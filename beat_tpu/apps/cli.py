@@ -1,0 +1,54 @@
+"""
+``beat-tpu`` command line interface.
+
+Re-design of the reference ``beat`` app (``beat/apps/beat.py``): same
+subcommand surface (init, import, update, clone, build_gfs, sample,
+summarize, export, plot, check), argparse-based.  Subcommands are filled
+in as the corresponding subsystems land.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+logger = logging.getLogger("beat_tpu.cli")
+
+SUBCOMMANDS = [
+    "init", "import", "update", "clone", "build_gfs",
+    "sample", "summarize", "export", "plot", "check",
+]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="beat-tpu",
+        description="TPU-native Bayesian earthquake-source inversion",
+    )
+    sub = parser.add_subparsers(dest="command")
+
+    from beat_tpu.apps import commands
+
+    for name in SUBCOMMANDS:
+        register = getattr(commands, f"register_{name}", None)
+        if register is not None:
+            register(sub)
+    return parser
+
+
+def main(argv=None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.command is None:
+        parser.print_help()
+        return 1
+    handler = getattr(args, "handler", None)
+    if handler is None:
+        parser.error(f"subcommand {args.command} not yet implemented")
+    logging.basicConfig(level=logging.INFO)
+    return handler(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,278 @@
+"""
+Noise covariance models, weight factorisation, and sampler covariances.
+
+Host-side (numpy, float64) re-design of ``beat/covariance.py`` and the
+``Covariance`` container from ``beat/heart.py:104-264``.  Estimation runs
+between SMC stages on small host arrays; the products consumed on device
+are the per-dataset inverse-Cholesky weight matrices and log-determinants
+(see :mod:`beat_tpu.distributions`).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+import scipy.linalg
+
+from beat_tpu.utility import distances, ensure_cov_psd, running_window_rms
+
+logger = logging.getLogger("beat_tpu.covariance")
+
+
+# ---------------------------------------------------------------------------
+# Covariance container (reference heart.Covariance, beat/heart.py:104-264)
+# ---------------------------------------------------------------------------
+
+
+def log_determinant(A: np.ndarray, inverse: bool = False) -> float:
+    """Log determinant via Cholesky (reference ``heart.log_determinant`` :65)."""
+    chol = scipy.linalg.cholesky(A, lower=True)
+    ldet = 2.0 * np.sum(np.log(np.diag(chol)))
+    return -ldet if inverse else ldet
+
+
+def chol_inverse(C: np.ndarray) -> np.ndarray:
+    """
+    Inverse of the lower Cholesky factor of ``C`` — the weight matrix ``W``
+    with ``W C Wᵀ = I``.  Falls back to a QR-based factorisation when ``C``
+    is not positive definite (reference ``heart.py:212-237``).
+    """
+    C = np.asarray(C, dtype=np.float64)
+    try:
+        L = scipy.linalg.cholesky(C, lower=True)
+    except scipy.linalg.LinAlgError:
+        logger.warning("Covariance not positive definite — QR/PSD-repair fallback")
+        C = ensure_cov_psd(C)
+        L = scipy.linalg.cholesky(C, lower=True)
+    W = scipy.linalg.solve_triangular(L, np.eye(C.shape[0]), lower=True)
+    if np.isnan(W).any() or np.isinf(W).any():
+        raise ValueError("chol_inverse contains NaN/Inf")
+    return W
+
+
+@dataclass
+class Covariance:
+    """
+    Dataset noise covariance split into data / prediction parts
+    (reference ``heart.Covariance``).  ``total = data + pred_g + pred_v``.
+    """
+
+    data: np.ndarray | None = None
+    pred_g: np.ndarray | None = None
+    pred_v: np.ndarray | None = None
+
+    def _parts(self):
+        return [p for p in (self.data, self.pred_g, self.pred_v) if p is not None]
+
+    @property
+    def p_total(self) -> np.ndarray:
+        parts = self._parts()
+        if not parts:
+            raise ValueError("Covariance has no parts set")
+        total = np.zeros_like(parts[0])
+        for p in parts:
+            total = total + p
+        return total
+
+    @property
+    def chol_inverse(self) -> np.ndarray:
+        return chol_inverse(self.p_total)
+
+    @property
+    def log_pdet(self) -> float:
+        return log_determinant(ensure_cov_psd(self.p_total))
+
+    @property
+    def inverse(self) -> np.ndarray:
+        W = self.chol_inverse
+        return W.T @ W
+
+    def get_min_max_components(self):
+        t = self.p_total
+        return float(t.min()), float(t.max())
+
+
+# ---------------------------------------------------------------------------
+# Structure generators (reference covariance.py:24-105)
+# ---------------------------------------------------------------------------
+
+
+def exponential_data_covariance(n: int, dt: float, tzero: float) -> np.ndarray:
+    """C_ij = σ² exp(-|i-j|·dt/tzero) with σ² set like the reference :24."""
+    idx = np.arange(n)
+    return np.exp(-np.abs(idx[:, None] - idx[None, :]) * dt / tzero)
+
+
+def identity_data_covariance(n: int, dt: float = 0.0, tzero: float = 0.0) -> np.ndarray:
+    return np.eye(n)
+
+
+def ones_data_covariance(n: int, dt: float = 0.0, tzero: float = 0.0) -> np.ndarray:
+    return np.ones((n, n)) + np.eye(n) * 1e-6
+
+
+noise_structure_catalog = {
+    "exponential": exponential_data_covariance,
+    "identity": identity_data_covariance,
+    "import": identity_data_covariance,
+    "ones": ones_data_covariance,
+    "variance": identity_data_covariance,
+    "non-toeplitz": identity_data_covariance,
+}
+
+
+# ---------------------------------------------------------------------------
+# Non-Toeplitz noise estimation (Dettmer et al. 2007)
+# Reference: beat/covariance.py:716-849
+# ---------------------------------------------------------------------------
+
+
+def autocovariance(data: np.ndarray) -> np.ndarray:
+    """Biased sample autocovariance of a 1-d series (reference :716)."""
+    n = data.size
+    meand = data.mean()
+    centered = data - meand
+    acov = np.correlate(centered, centered, mode="full")[n - 1:] / n
+    return acov
+
+
+def toeplitz_covariance(data: np.ndarray, window_size: int):
+    """
+    Symmetric Toeplitz covariance from the autocovariance of the
+    RMS-normalised residual, plus the running-window RMS scale
+    (reference :739).
+    """
+    data = np.asarray(data, dtype=np.float64)
+    stds = running_window_rms(data, window_size=window_size, mode="same")
+    acov = autocovariance(data / stds)
+    return scipy.linalg.toeplitz(acov), stds
+
+
+def non_toeplitz_covariance(data: np.ndarray, window_size: int) -> np.ndarray:
+    """
+    Non-stationary covariance: Toeplitz base scaled by the outer product of
+    running RMS (reference :754).  ``window_size`` defaults to n/5 in
+    callers.
+    """
+    toep, stds = toeplitz_covariance(data, window_size)
+    return toep * np.outer(stds, stds)
+
+
+def k_nearest_neighbor_rms(coords: np.ndarray, data: np.ndarray, max_dist_perc: float = 0.2) -> np.ndarray:
+    """
+    Per-point RMS over all neighbours within ``max_dist_perc`` of the scene
+    extent (reference ``covariance.py:774-812``).
+    """
+    dists = distances(coords, coords)
+    radius = dists.max() * max_dist_perc
+    rms = np.empty(data.size)
+    for i in range(data.size):
+        neighbors = data[dists[i] <= radius]
+        rms[i] = np.sqrt(np.mean(neighbors**2))
+    return rms
+
+
+def toeplitz_covariance_2d(coords: np.ndarray, data: np.ndarray, max_dist_perc: float = 0.2):
+    """2-d analogue: autocovariance over distance bins (reference :814)."""
+    stds = k_nearest_neighbor_rms(coords, data, max_dist_perc)
+    acov = autocovariance(data / stds)
+    return scipy.linalg.toeplitz(acov), stds
+
+
+def non_toeplitz_covariance_2d(coords: np.ndarray, data: np.ndarray, max_dist_perc: float = 0.2) -> np.ndarray:
+    """Spatial non-stationary covariance for InSAR scenes (reference :831)."""
+    toep, stds = toeplitz_covariance_2d(coords, data, max_dist_perc)
+    return ensure_cov_psd(toep * np.outer(stds, stds))
+
+
+# ---------------------------------------------------------------------------
+# Noise analysers (reference covariance.py:154-360)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SeismicNoiseAnalyser:
+    """
+    Estimate data covariance of waveform datasets
+    (reference ``covariance.SeismicNoiseAnalyser`` :236).
+
+    structure: 'variance' (pre-arrival window variance × identity),
+    'exponential', 'import', 'non-toeplitz'.
+    """
+
+    structure: str = "variance"
+    pre_arrival_time: float = 5.0
+
+    def get_data_covariance(self, ydata: np.ndarray, dt: float,
+                            arrival_index: int | None = None,
+                            residual: np.ndarray | None = None) -> np.ndarray:
+        n = ydata.size
+        if self.structure == "variance":
+            cut = arrival_index if arrival_index is not None else max(2, int(self.pre_arrival_time / dt))
+            noise = ydata[:cut]
+            var = float(np.var(noise)) if noise.size > 1 else float(np.var(ydata))
+            var = max(var, 1e-30)
+            return np.eye(n) * var
+        elif self.structure == "exponential":
+            var = float(np.var(ydata))
+            return exponential_data_covariance(n, dt, tzero=max(dt * 4, 0.5)) * max(var, 1e-30)
+        elif self.structure == "non-toeplitz":
+            res = residual if residual is not None else ydata
+            return non_toeplitz_covariance(res, window_size=max(4, res.size // 5))
+        elif self.structure == "import":
+            return np.eye(n)
+        raise ValueError(f"Unknown noise structure {self.structure}")
+
+
+@dataclass
+class GeodeticNoiseAnalyser:
+    """Reference ``covariance.GeodeticNoiseAnalyser`` :154."""
+
+    structure: str = "import"
+    max_dist_perc: float = 0.2
+
+    def get_data_covariance(self, coords: np.ndarray, displacement: np.ndarray,
+                            imported: np.ndarray | None = None,
+                            residual: np.ndarray | None = None) -> np.ndarray:
+        n = displacement.size
+        if self.structure == "import":
+            if imported is None:
+                var = max(float(np.var(displacement)), 1e-30)
+                return np.eye(n) * var
+            return imported
+        elif self.structure == "non-toeplitz":
+            res = residual if residual is not None else displacement
+            return non_toeplitz_covariance_2d(coords, res, self.max_dist_perc)
+        raise ValueError(f"Unknown noise structure {self.structure}")
+
+
+# ---------------------------------------------------------------------------
+# Sampler proposal covariances (reference covariance.py:851-908)
+# ---------------------------------------------------------------------------
+
+
+def init_proposal_covariance(priors_lower: np.ndarray, priors_upper: np.ndarray,
+                             scale: float = 1.0) -> np.ndarray:
+    """Diagonal seed proposal covariance from prior widths (reference :851)."""
+    widths = (priors_upper - priors_lower) / scale
+    widths = np.where(widths <= 0, 1e-12, widths)
+    return np.diag((widths / 6.0) ** 2)
+
+
+def calc_sample_covariance(population: np.ndarray, likelihoods: np.ndarray,
+                           beta: float, prev_beta: float = 0.0) -> np.ndarray:
+    """
+    Tempered importance-weighted sample covariance for the proposal
+    (reference ``calc_sample_covariance`` :865 / SMC ``calc_covariance``).
+    """
+    lweights = (beta - prev_beta) * (likelihoods - likelihoods.max())
+    weights = np.exp(lweights)
+    weights = weights / weights.sum()
+    cov = np.cov(population, aweights=weights, rowvar=False, bias=False)
+    cov = np.atleast_2d(cov)
+    cov = ensure_cov_psd(cov)
+    if np.isnan(cov).any() or np.isinf(cov).any():
+        raise ValueError("Sample covariance contains NaN/Inf")
+    return cov

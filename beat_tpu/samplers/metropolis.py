@@ -1,0 +1,221 @@
+"""
+Vmapped adaptive Metropolis: every Markov chain is one row of a device
+array; one ``lax.scan`` advances all chains in lockstep.
+
+Replaces the reference's per-chain Python step loop + fork pool
+(``beat/sampler/metropolis.py`` ``astep`` :276 and
+``beat/sampler/base.py`` ``iter_parallel_chains`` :428).  Semantics kept:
+
+* proposal scaled by a per-chain adaptive ``scaling`` retuned every
+  ``tune_interval`` steps from the chain's acceptance fraction using the
+  pymc tuning table;
+* hard prior-bound check: out-of-bounds proposals are rejected without
+  counting the forward model (we still *compute* it in lockstep — the
+  proposal is clipped into bounds for numerical safety and the result
+  masked);
+* tempered accept: ``log u < beta * (llk' - llk)`` (+ prior ratio, which
+  is zero for in-bounds uniform boxes).
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.samplers.base import choose_proposal
+
+logger = logging.getLogger("beat_tpu.metropolis")
+
+
+def tune_scale(scale, acc_rate):
+    """
+    pymc/reference step-scale tuning table
+    (reference ``sampler/metropolis.py:318`` via pymc ``tune``):
+
+      <0.001: x0.1   <0.05: x0.5   <0.2: x0.9
+      >0.95:  x10    >0.75: x2     >0.5:  x1.1
+    """
+    factors = jnp.select(
+        [acc_rate < 0.001, acc_rate < 0.05, acc_rate < 0.2,
+         acc_rate > 0.95, acc_rate > 0.75, acc_rate > 0.5],
+        [0.1, 0.5, 0.9, 10.0, 2.0, 1.1],
+        default=1.0,
+    )
+    return scale * factors
+
+
+class MetropolisState(NamedTuple):
+    """Carried state of all chains (leading axis = chains)."""
+
+    q: jax.Array          # (n_chains, dim) current positions
+    llk: jax.Array        # (n_chains,) current data log-likelihoods
+    scaling: jax.Array    # (n_chains,) adaptive proposal scale
+    accepted: jax.Array   # (n_chains,) accepts since last tune
+    acc_total: jax.Array  # (n_chains,) accepts in this stage
+    key: jax.Array        # PRNG key
+
+
+def init_metropolis_state(logp_fn: Callable, q0: np.ndarray, key, scale: float = 1.0) -> MetropolisState:
+    """Evaluate the likelihood of the start population and build the state."""
+    q0 = jnp.asarray(q0)
+    llk0 = jax.vmap(logp_fn)(q0)
+    n = q0.shape[0]
+    return MetropolisState(
+        q=q0,
+        llk=llk0,
+        scaling=jnp.full((n,), float(scale)),
+        accepted=jnp.zeros((n,)),
+        acc_total=jnp.zeros((n,)),
+        key=key,
+    )
+
+
+def _make_step(logp_fn, lower, upper, proposal, tune_interval, tune):
+    """One lockstep Metropolis transition for all chains."""
+
+    def step(carry, step_idx, beta, cov_chol):
+        state = carry
+        key, k_prop, k_acc = jax.random.split(state.key, 3)
+        n = state.q.shape[0]
+
+        # --- adaptive scale retune at tune_interval boundaries ---
+        if tune:
+            do_tune = (step_idx > 0) & (step_idx % tune_interval == 0)
+            new_scaling = tune_scale(state.scaling, state.accepted / tune_interval)
+            scaling = jnp.where(do_tune, new_scaling, state.scaling)
+            accepted = jnp.where(do_tune, jnp.zeros_like(state.accepted), state.accepted)
+        else:
+            scaling, accepted = state.scaling, state.accepted
+
+        # --- propose ---
+        delta = proposal(k_prop, n, cov_chol) * scaling[:, None]
+        q_prop = state.q + delta
+        in_bounds = jnp.all((q_prop >= lower) & (q_prop <= upper), axis=-1)
+        # Clip for evaluation so the physics never sees wild inputs; the
+        # result is masked out when the proposal was out of bounds.
+        q_eval = jnp.clip(q_prop, lower, upper)
+        llk_prop = jax.vmap(logp_fn)(q_eval)
+
+        # --- tempered Metropolis accept (reference metropolis.py:355-358) ---
+        log_ratio = beta * (llk_prop - state.llk)
+        log_u = jnp.log(jax.random.uniform(k_acc, (n,)))
+        accept = in_bounds & jnp.isfinite(llk_prop) & (log_u < log_ratio)
+
+        q_new = jnp.where(accept[:, None], q_prop, state.q)
+        llk_new = jnp.where(accept, llk_prop, state.llk)
+
+        new_state = MetropolisState(
+            q=q_new,
+            llk=llk_new,
+            scaling=scaling,
+            accepted=accepted + accept,
+            acc_total=state.acc_total + accept,
+            key=key,
+        )
+        return new_state, (q_new, llk_new)
+
+    return step
+
+
+@partial(jax.jit, static_argnames=("logp_fn", "n_steps", "proposal_name",
+                                   "tune_interval", "tune", "record_every"))
+def run_metropolis_stage(
+    logp_fn: Callable,
+    state: MetropolisState,
+    beta,
+    cov_chol,
+    lower,
+    upper,
+    n_steps: int,
+    proposal_name: str = "MultivariateNormal",
+    tune_interval: int = 100,
+    tune: bool = True,
+    record_every: int = 1,
+):
+    """
+    Advance all chains ``n_steps`` under tempering ``beta``; returns the
+    final state and the recorded (thinned) trace
+    ``(q_trace (n_rec, n_chains, dim), llk_trace (n_rec, n_chains))``.
+    """
+    proposal = choose_proposal(proposal_name)
+    step = _make_step(logp_fn, lower, upper, proposal, tune_interval, tune)
+
+    def body(carry, step_idx):
+        new_state, (q, llk) = step(carry, step_idx, beta, cov_chol)
+        return new_state, (q, llk)
+
+    if record_every <= 1:
+        final, (q_tr, llk_tr) = jax.lax.scan(body, state, jnp.arange(n_steps))
+    else:
+        # Thinned recording: scan over blocks, keep only each block's last.
+        n_blocks = n_steps // record_every
+
+        def block(carry, block_idx):
+            def inner(c, i):
+                s, _ = step(c, block_idx * record_every + i, beta, cov_chol)
+                return s, None
+
+            new_state, _ = jax.lax.scan(inner, carry, jnp.arange(record_every))
+            return new_state, (new_state.q, new_state.llk)
+
+        final, (q_tr, llk_tr) = jax.lax.scan(block, state, jnp.arange(n_blocks))
+
+    return final, (q_tr, llk_tr)
+
+
+def metropolis_sample(
+    logp_fn: Callable,
+    lower: np.ndarray,
+    upper: np.ndarray,
+    n_chains: int = 100,
+    n_steps: int = 10000,
+    burn: float = 0.1,
+    thin: int = 2,
+    scale: float = 1.0,
+    proposal_name: str = "MultivariateNormal",
+    tune_interval: int = 100,
+    seed: int = 0,
+    start: np.ndarray | None = None,
+    cov: np.ndarray | None = None,
+    stage_handler=None,
+):
+    """
+    Plain (non-staged) adaptive Metropolis driver — the analogue of the
+    reference single-stage ``metropolis_sample`` (``sampler/metropolis.py:425``).
+
+    Returns ``(q_trace, llk_trace)`` after burn-in removal and thinning,
+    shapes (n_kept, n_chains, dim) / (n_kept, n_chains).
+    """
+    from beat_tpu.covariance import init_proposal_covariance
+
+    lower = jnp.asarray(lower, dtype=jnp.float32)
+    upper = jnp.asarray(upper, dtype=jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    key, k_init = jax.random.split(key)
+
+    if start is None:
+        start = jax.random.uniform(
+            k_init, (n_chains, lower.size), minval=lower, maxval=upper)
+    if cov is None:
+        cov = init_proposal_covariance(np.asarray(lower), np.asarray(upper))
+    cov_chol = jnp.asarray(np.linalg.cholesky(cov), dtype=jnp.float32)
+
+    state = init_metropolis_state(logp_fn, start, key, scale=scale)
+    final, (q_tr, llk_tr) = run_metropolis_stage(
+        logp_fn, state, jnp.float32(1.0), cov_chol, lower, upper,
+        n_steps=n_steps, proposal_name=proposal_name,
+        tune_interval=tune_interval, tune=True, record_every=1,
+    )
+    n_burn = int(burn * n_steps)
+    q_kept = np.asarray(q_tr[n_burn::thin])
+    llk_kept = np.asarray(llk_tr[n_burn::thin])
+    if stage_handler is not None:
+        stage_handler.save_stage(
+            -1, {"q": q_kept, "llk": llk_kept},
+            {"beta": 1.0, "n_steps": n_steps, "burn": burn, "thin": thin})
+    return q_kept, llk_kept

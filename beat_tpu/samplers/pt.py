@@ -1,0 +1,230 @@
+"""
+Parallel Tempering (replica exchange) — single device program.
+
+Re-design of ``beat/sampler/pt.py`` + ``beat/sampler/distributed.py``:
+the reference runs one MPI rank per temperature with a master process
+relaying chain-end state vectors (raw float64 arrays) and swap decisions.
+Here all replicas live in one ``(n_chains, dim)`` device array sharded
+over the mesh; a swap is a masked pairwise permutation — no messages,
+no master.
+
+Algorithm parity:
+
+* β ladder: ``n_posterior`` replicas at β=1, the rest geometric
+  ``β_k = scale^{-k}`` (reference ``TemperingManager.update_betas`` :179).
+* Swap accept: ``log u < (β₂-β₁)(llk₁-llk₂)``
+  (reference ``propose_chain_swap`` :429).
+* β-ladder adaptation: every ``beta_tune_interval`` posterior samples the
+  swap-acceptance rate between the posterior group and the adjacent
+  tempered replicas retunes the scale with the *inverse-logic* table
+  (reference ``tune`` :37 + ``tune_betas`` :331).
+
+Temporal-structure difference (documented, see SURVEY §7 hard part 4):
+the reference swaps random pairs after random-length chain segments;
+here segments are a fixed ``swap_interval`` steps and swaps use the
+standard even/odd adjacent-pair scheme across the β-sorted ladder, which
+preserves detailed balance per segment and mixes at least as fast.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.backend import SampleStage
+from beat_tpu.covariance import init_proposal_covariance
+from beat_tpu.samplers.metropolis import MetropolisState, run_metropolis_stage
+
+logger = logging.getLogger("beat_tpu.pt")
+
+
+def tune_temp_scale(scale, acc_rate):
+    """Inverse-logic tuning of the temperature scale (reference pt.py:37-73)."""
+    if acc_rate < 0.001:
+        scale *= 0.85
+    elif acc_rate < 0.05:
+        scale *= 0.9
+    elif acc_rate < 0.2:
+        scale *= 0.95
+    elif acc_rate > 0.95:
+        scale *= 1.15
+    elif acc_rate > 0.75:
+        scale *= 1.10
+    elif acc_rate > 0.5:
+        scale *= 1.05
+    return scale
+
+
+def make_betas(n_chains: int, n_posterior: int, scale: float) -> np.ndarray:
+    """β ladder: n_posterior ones, then geometric 1/scale^k (reference :179)."""
+    n_temp = n_chains - n_posterior
+    betas_temp = 1.0 / np.power(scale, np.arange(1, n_temp + 1))
+    return np.concatenate([np.ones(n_posterior), betas_temp])
+
+
+@partial(jax.jit, static_argnames=("n_posterior",))
+def _swap_step(q, llk, betas, key, parity, n_posterior: int):
+    """
+    Even/odd adjacent-pair replica exchange over the β-sorted chain array.
+    Returns swapped (q, llk) plus per-pair acceptance bookkeeping
+    (accepted mask and proposed mask over pair slots).
+    """
+    n = llk.shape[0]
+    idx = jnp.arange(n)
+    # partner of i: i^1 shifted by parity (pairs (0,1),(2,3).. or (1,2),(3,4)..)
+    partner = jnp.where((idx - parity) % 2 == 0, idx + 1, idx - 1)
+    partner = jnp.clip(partner, 0, n - 1)
+    valid = (partner != idx) & (partner >= 0) & (partner < n)
+
+    alpha = (betas[partner] - betas[idx]) * (llk[idx] - llk[partner])
+    log_u = jnp.log(jax.random.uniform(key, (n,)))
+    # decide once per pair: use the lower index's random number
+    low = jnp.minimum(idx, partner)
+    accept = (log_u[low] < alpha) & valid
+
+    perm = jnp.where(accept, partner, idx)
+    q_new = q[perm]
+    llk_new = llk[perm]
+
+    # bookkeeping: count proposals/accepts where this replica is the pair's low end
+    is_low = idx == low
+    proposed = valid & is_low
+    accepted = accept & is_low
+    return q_new, llk_new, accepted, proposed
+
+
+@dataclass
+class PTParams:
+    """Reference ``ParallelTemperingConfig`` (``config.py:1715``)."""
+
+    n_chains: int = 16
+    n_samples: int = 20000          # total posterior MH steps
+    swap_interval: tuple = (10, 30) # reference draws segment length in this range
+    n_chains_posterior: int = 4
+    tune_interval: int = 100
+    beta_tune_interval: int = 1000
+    t_scale: float = 1.2
+    t_scale_min: float = 1.01
+    t_scale_max: float = 2.0
+    proposal_name: str = "MultivariateNormal"
+    record_worker_chains: bool = False
+    seed: int = 0
+
+
+def pt_sample(
+    logp_fn: Callable,
+    lower: np.ndarray,
+    upper: np.ndarray,
+    params: PTParams,
+    homepath: str | None = None,
+    ordering=None,
+    start: np.ndarray | None = None,
+):
+    """
+    Run parallel tempering; returns the posterior trace
+    ``(q_trace (n_rec, n_posterior, dim), llk_trace)`` collected from the
+    β=1 replicas after every segment, plus a history dict (β scales, swap
+    acceptance) for diagnostics (reference ``SamplingHistory`` pt.py:76).
+    """
+    lower64 = np.asarray(lower, dtype=np.float64)
+    upper64 = np.asarray(upper, dtype=np.float64)
+    dim = lower64.size
+    lo = jnp.asarray(lower64, dtype=jnp.float32)
+    hi = jnp.asarray(upper64, dtype=jnp.float32)
+    rng = np.random.default_rng(params.seed)
+    key = jax.random.PRNGKey(params.seed)
+
+    n = params.n_chains
+    n_post = params.n_chains_posterior
+    t_scale = params.t_scale
+    betas = make_betas(n, n_post, t_scale)
+
+    if start is None:
+        start = rng.uniform(lower64, upper64, size=(n, dim))
+    cov = init_proposal_covariance(lower64, upper64)
+    cov_chol = jnp.asarray(np.linalg.cholesky(cov), dtype=jnp.float32)
+
+    key, sub = jax.random.split(key)
+    q = jnp.asarray(start, dtype=jnp.float32)
+    llk = jax.vmap(logp_fn)(q)
+    scaling = jnp.ones((n,))
+    state = MetropolisState(q=q, llk=llk, scaling=scaling,
+                            accepted=jnp.zeros((n,)), acc_total=jnp.zeros((n,)), key=sub)
+
+    seg_lo, seg_hi = params.swap_interval
+    mean_seg = (seg_lo + seg_hi) // 2
+    n_segments = max(1, params.n_samples // mean_seg)
+
+    post_q, post_llk = [], []
+    acc_matrix_accepted = 0
+    acc_matrix_proposed = 0
+    samples_since_tune = 0
+    scale_history = [t_scale]
+    swap_acc_history = []
+    parity = 0
+
+    betas_dev = jnp.asarray(betas, dtype=jnp.float32)
+
+    for seg in range(n_segments):
+        seg_len = int(rng.integers(seg_lo, seg_hi + 1))
+        # Per-replica tempered Metropolis segment: run_metropolis_stage
+        # supports per-chain beta via broadcasting in the accept ratio.
+        state, _ = run_metropolis_stage(
+            logp_fn, state, betas_dev, cov_chol, lo, hi,
+            n_steps=seg_len, proposal_name=params.proposal_name,
+            tune_interval=params.tune_interval, tune=True,
+            record_every=seg_len,  # keep only segment end (swap points)
+        )
+
+        key, k_swap = jax.random.split(key)
+        q_new, llk_new, accepted, proposed = _swap_step(
+            state.q, state.llk, betas_dev, k_swap, parity, n_post)
+        parity ^= 1
+        state = state._replace(q=q_new, llk=llk_new)
+
+        # posterior replicas bookkeeping (only adjacent to the tempered group
+        # contribute to the tuning statistic, reference tune_betas :331)
+        acc_np = np.asarray(accepted)
+        prop_np = np.asarray(proposed)
+        # pairs whose low end is within [n_post-1, n_post]: posterior<->tempered edge
+        edge = slice(max(0, n_post - 1), min(n, n_post + 1))
+        acc_matrix_accepted += int(acc_np[edge].sum())
+        acc_matrix_proposed += int(prop_np[edge].sum())
+
+        post_q.append(np.asarray(state.q[:n_post]))
+        post_llk.append(np.asarray(state.llk[:n_post]))
+        samples_since_tune += seg_len * n_post
+
+        if samples_since_tune >= params.beta_tune_interval:
+            acc_rate = (acc_matrix_accepted / acc_matrix_proposed
+                        if acc_matrix_proposed else 0.0)
+            t_scale = float(np.clip(tune_temp_scale(t_scale, acc_rate),
+                                    params.t_scale_min, params.t_scale_max))
+            betas = make_betas(n, n_post, t_scale)
+            betas_dev = jnp.asarray(betas, dtype=jnp.float32)
+            swap_acc_history.append(acc_rate)
+            scale_history.append(t_scale)
+            samples_since_tune = 0
+            acc_matrix_accepted = acc_matrix_proposed = 0
+            logger.info("PT retune: swap acceptance %.3f -> t_scale %.4f", acc_rate, t_scale)
+
+    q_trace = np.stack(post_q)           # (n_segments, n_post, dim)
+    llk_trace = np.stack(post_llk)
+    history = {"scale_history": np.asarray(scale_history),
+               "swap_acceptance": np.asarray(swap_acc_history),
+               "betas": betas}
+
+    if homepath is not None:
+        handler = SampleStage(homepath, ordering=ordering)
+        handler.save_stage(-1, {"q": q_trace, "llk": llk_trace},
+                           {"beta": 1.0, "cov": cov, "population": np.asarray(state.q),
+                            "likelihoods": np.asarray(state.llk),
+                            "betas": betas, "scale_history": history["scale_history"],
+                            "swap_acceptance": history["swap_acceptance"]})
+    return q_trace, llk_trace, history

@@ -1,0 +1,258 @@
+"""
+Sequential Monte Carlo / transitional MCMC (Ching & Chen 2007).
+
+Re-design of ``beat/sampler/smc.py``: the stage structure, β bisection,
+importance-weighted proposal covariance and Kitagawa systematic resampling
+are kept numerically identical; execution changes from "fork pool runs N
+Python chain loops per stage" to "one jitted ``lax.scan`` advances all
+chains in lockstep on device".  Stage transitions (tiny O(n_chains) math)
+run on host in float64.
+
+Stage loop (reference ``smc_sample`` ``sampler/smc.py:333``):
+
+  stage 0:   draw the initial population from the prior, evaluate llks.
+  stage m:   bisect β_{m+1} s.t. CoV(importance weights) == coef_variation;
+             weighted proposal covariance (PSD-repaired);
+             systematic resampling of chain end points;
+             run n_steps of adaptive Metropolis at β_{m+1}.
+  final:     β = 1, sample_factor_final_stage × n_steps → stage_-1.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.backend import SampleStage
+from beat_tpu.covariance import init_proposal_covariance
+from beat_tpu.samplers.metropolis import init_metropolis_state, run_metropolis_stage, MetropolisState
+from beat_tpu.utility import ensure_cov_psd
+
+logger = logging.getLogger("beat_tpu.smc")
+
+sample_factor_final_stage = 1
+
+
+def calc_beta(beta: float, likelihoods: np.ndarray, coef_variation: float = 1.0):
+    """
+    Bisect the next tempering β so that the coefficient of variation of the
+    importance weights equals ``coef_variation``
+    (reference ``SMC.calc_beta`` ``sampler/smc.py:133``).
+
+    Returns (new_beta, old_beta, normalised weights).
+    """
+    llks = np.asarray(likelihoods, dtype=np.float64)
+    low_beta = beta
+    up_beta = 2.0
+    current_beta = up_beta
+    temp = np.exp((current_beta - beta) * (llks - llks.max()))
+    while up_beta - low_beta > 1e-6:
+        current_beta = (low_beta + up_beta) / 2.0
+        temp = np.exp((current_beta - beta) * (llks - llks.max()))
+        cov_temp = np.std(temp) / np.mean(temp)
+        if cov_temp > coef_variation:
+            up_beta = current_beta
+        else:
+            low_beta = current_beta
+    weights = temp / np.sum(temp)
+    return current_beta, beta, weights
+
+
+def calc_covariance(population: np.ndarray, weights: np.ndarray) -> np.ndarray:
+    """Importance-weighted proposal covariance with PSD repair
+    (reference ``SMC.calc_covariance`` ``sampler/smc.py:167``)."""
+    cov = np.cov(population, aweights=weights.ravel(), bias=False, rowvar=False)
+    cov = ensure_cov_psd(np.atleast_2d(cov))
+    if np.isnan(cov).any() or np.isinf(cov).any():
+        raise ValueError("Sample covariance contains NaN/Inf — check hyper bounds")
+    return cov
+
+
+def systematic_resample(weights: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """
+    Kitagawa deterministic/systematic resampling
+    (reference ``SMC.resample`` ``sampler/smc.py:290``): one shared uniform
+    offset, children counts via the inverse CDF.  Returns parent indexes
+    sorted ascending, exactly like the reference's outindx.
+    """
+    n = weights.size
+    u = (np.arange(n) + rng.random()) / n
+    cum = np.cumsum(weights)
+    cum[-1] = 1.0  # guard fp round-off
+    return np.searchsorted(cum, u).astype(np.int64)
+
+
+@dataclass
+class SMCParams:
+    """Sampler configuration (reference ``SMCConfig`` ``config.py:1794``)."""
+
+    n_chains: int = 1000
+    n_steps: int = 100
+    coef_variation: float = 1.0
+    tune_interval: int = 25
+    proposal_name: str = "MultivariateNormal"
+    stage: int = 0                  # resume stage ('0' fresh, N continue)
+    buffer_thinning: int = 1
+    rm_flag: bool = False
+    max_stages: int = 100
+    seed: int = 0
+
+
+def smc_sample(
+    logp_fn: Callable,
+    lower: np.ndarray,
+    upper: np.ndarray,
+    params: SMCParams,
+    homepath: str | None = None,
+    ordering=None,
+    start: np.ndarray | None = None,
+    update_weights: Callable | None = None,
+    progress: bool = True,
+):
+    """
+    Run the full SMC sampler.
+
+    Parameters
+    ----------
+    logp_fn : pure JAX function (dim,) -> scalar data log-likelihood
+        ("like" in the reference).  vmapped/jitted internally.
+    lower, upper : flat prior bounds.
+    homepath : stage checkpoint directory (resume supported); None = no IO.
+    update_weights : optional callback ``(map_point) -> None`` invoked at
+        each stage's MAP point to re-estimate data covariances (reference
+        "update" problem hook ``smc.py:492-503``).
+
+    Returns the final-stage (β=1) trace ``(q_trace, llk_trace)`` as numpy.
+    """
+    lower64 = np.asarray(lower, dtype=np.float64)
+    upper64 = np.asarray(upper, dtype=np.float64)
+    dim = lower64.size
+    lo = jnp.asarray(lower64, dtype=jnp.float32)
+    hi = jnp.asarray(upper64, dtype=jnp.float32)
+    rng = np.random.default_rng(params.seed)
+    key = jax.random.PRNGKey(params.seed)
+
+    handler = SampleStage(homepath, ordering=ordering) if homepath else None
+
+    # ---- resume logic (reference init_stage, sampler/base.py:618) ----
+    stage = params.stage
+    beta = 0.0
+    cov = init_proposal_covariance(lower64, upper64)
+    population = None
+    likelihoods = None
+    if handler is not None and stage != 0:
+        top = handler.highest_sampled_stage()
+        if top == -1:
+            logger.info("Found complete final stage — nothing to do")
+            tr = handler.load_trace(-1)
+            return tr.q_trace, tr.llk_trace
+        if top >= 0:
+            st = handler.load_state(top)
+            beta = float(st["beta"])
+            cov = np.asarray(st["cov"])
+            population = np.asarray(st["population"])
+            likelihoods = np.asarray(st["likelihoods"])
+            stage = top + 1
+            logger.info("Resuming from stage %i at beta=%.5f", top, beta)
+        else:
+            stage = 0
+
+    if params.n_chains < 2:
+        raise ValueError("SMC needs n_chains >= 2 (population-based sampler); "
+                         f"got {params.n_chains}")
+
+    if population is None:
+        # stage 0: prior-predictive population (reference metropolis.py:128)
+        if start is None:
+            start = rng.uniform(lower64, upper64, size=(params.n_chains, dim))
+        population = np.asarray(start, dtype=np.float64)
+        if np.any(population < lower64) or np.any(population > upper64):
+            raise ValueError("Start population outside prior bounds — chains "
+                             "could never re-enter the support")
+        key, sub = jax.random.split(key)
+        state0 = init_metropolis_state(logp_fn, jnp.asarray(population, dtype=jnp.float32), sub)
+        likelihoods = np.asarray(state0.llk, dtype=np.float64)
+        if not np.isfinite(likelihoods).all():
+            raise ValueError("NaN/Inf in initial likelihood evaluation — "
+                             "invalid model or start outside prior bounds")
+        if handler is not None:
+            handler.save_stage(0, {"q": population[None], "llk": likelihoods[None]},
+                               {"beta": 0.0, "cov": cov, "population": population,
+                                "likelihoods": likelihoods, "stage": 0})
+        stage = max(stage, 1)
+
+    betas = [beta]
+    acceptance = []
+    # ---- stage loop ----
+    while beta < 1.0 and stage < params.max_stages:
+        new_beta, old_beta, weights = calc_beta(beta, likelihoods, params.coef_variation)
+        final_stage = new_beta >= 1.0
+        if final_stage:
+            new_beta = 1.0
+            weights_final = np.exp((1.0 - old_beta) * (likelihoods - likelihoods.max()))
+            weights = weights_final / weights_final.sum()
+
+        cov = calc_covariance(population, weights)
+        resampling_idx = systematic_resample(weights, rng)
+        population = population[resampling_idx]
+        likelihoods = likelihoods[resampling_idx]
+
+        n_steps = params.n_steps * (sample_factor_final_stage if final_stage else 1)
+        logger.info("Stage %i: beta %.6f -> %.6f, %i steps x %i chains",
+                    stage, old_beta, new_beta, n_steps, params.n_chains)
+
+        key, sub = jax.random.split(key)
+        state = MetropolisState(
+            q=jnp.asarray(population, dtype=jnp.float32),
+            llk=jnp.asarray(likelihoods, dtype=jnp.float32),
+            scaling=jnp.ones((params.n_chains,)),
+            accepted=jnp.zeros((params.n_chains,)),
+            acc_total=jnp.zeros((params.n_chains,)),
+            key=sub,
+        )
+        cov_chol = jnp.asarray(np.linalg.cholesky(cov), dtype=jnp.float32)
+        final, (q_tr, llk_tr) = run_metropolis_stage(
+            logp_fn, state, jnp.float32(new_beta), cov_chol, lo, hi,
+            n_steps=n_steps, proposal_name=params.proposal_name,
+            tune_interval=params.tune_interval, tune=True,
+            record_every=params.buffer_thinning,
+        )
+        population = np.asarray(final.q, dtype=np.float64)
+        likelihoods = np.asarray(final.llk, dtype=np.float64)
+        acc_rate = float(np.mean(np.asarray(final.acc_total)) / n_steps)
+        acceptance.append(acc_rate)
+        beta = new_beta
+        betas.append(beta)
+        if progress:
+            logger.info("Stage %i done: acceptance %.3f, max llk %.2f",
+                        stage, acc_rate, likelihoods.max())
+
+        save_stage_num = -1 if final_stage else stage
+        if handler is not None:
+            handler.save_stage(
+                save_stage_num,
+                {"q": np.asarray(q_tr), "llk": np.asarray(llk_tr)},
+                {"beta": beta, "cov": cov, "population": population,
+                 "likelihoods": likelihoods, "stage": stage,
+                 "resampling_indexes": resampling_idx,
+                 "acceptance": np.asarray(acceptance)},
+            )
+
+        # data-covariance update hook at the MAP point (reference smc.py:492)
+        if update_weights is not None and not final_stage:
+            map_point = population[int(np.argmax(likelihoods))]
+            update_weights(map_point)
+            key, sub = jax.random.split(key)
+            st = init_metropolis_state(logp_fn, jnp.asarray(population, dtype=jnp.float32), sub)
+            likelihoods = np.asarray(st.llk, dtype=np.float64)
+
+        if final_stage:
+            return np.asarray(q_tr), np.asarray(llk_tr)
+        stage += 1
+
+    raise RuntimeError(f"SMC did not reach beta=1 within {params.max_stages} stages")

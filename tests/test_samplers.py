@@ -1,0 +1,138 @@
+"""
+Sampler acceptance tests on analytic toy posteriors.
+
+Ports the reference's sampler verification strategy:
+* ``test/test_smc.py:38-115`` — SMC on a 4-D two-Gaussian mixture;
+  posterior mean of |x| must match the mode location within atol=0.03.
+* ``test/test_pt.py`` — the same mixture via parallel tempering.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from beat_tpu.samplers import (
+    PTParams,
+    SMCParams,
+    calc_beta,
+    metropolis_sample,
+    pt_sample,
+    smc_sample,
+    systematic_resample,
+)
+
+N_DIM = 4
+MU1 = np.ones(N_DIM) * 0.5
+MU2 = -MU1
+STDEV = 0.1
+
+
+def make_mixture_logp():
+    """4-D two-Gaussian mixture (weights 0.1/0.9), as in the reference test."""
+    sigma = STDEV**2 * jnp.eye(N_DIM)
+    isigma = jnp.linalg.inv(sigma)
+    _, ldet = jnp.linalg.slogdet(sigma)
+    mu1 = jnp.asarray(MU1, dtype=jnp.float32)
+    mu2 = jnp.asarray(MU2, dtype=jnp.float32)
+    w1, w2 = STDEV, 1.0 - STDEV
+    log_norm = -0.5 * N_DIM * jnp.log(2 * jnp.pi) - 0.5 * ldet
+
+    def logp(x):
+        d1 = x - mu1
+        d2 = x - mu2
+        l1 = log_norm - 0.5 * d1 @ isigma @ d1
+        l2 = log_norm - 0.5 * d2 @ isigma @ d2
+        return jnp.logaddexp(jnp.log(w1) + l1, jnp.log(w2) + l2)
+
+    return logp
+
+
+LOWER = -2.0 * np.ones(N_DIM)
+UPPER = 2.0 * np.ones(N_DIM)
+
+
+class TestSMC:
+    def test_two_gaussians(self, tmp_path):
+        logp = make_mixture_logp()
+        params = SMCParams(n_chains=100, n_steps=100, tune_interval=25, seed=123)
+        q_tr, llk_tr = smc_sample(logp, LOWER, UPPER, params, homepath=str(tmp_path / "smc"))
+        # final positions of all chains at beta=1
+        x = q_tr[-1]  # (n_chains, dim)
+        mu1d = np.abs(x).mean(axis=0)
+        np.testing.assert_allclose(MU1, mu1d, rtol=0.0, atol=0.03)
+
+    def test_resume(self, tmp_path):
+        logp = make_mixture_logp()
+        home = str(tmp_path / "smc_resume")
+        params = SMCParams(n_chains=50, n_steps=40, seed=7)
+        q1, _ = smc_sample(logp, LOWER, UPPER, params, homepath=home)
+        # resume request on completed run returns saved final stage
+        params2 = SMCParams(n_chains=50, n_steps=40, seed=7, stage=-1)
+        q2, _ = smc_sample(logp, LOWER, UPPER, params2, homepath=home)
+        np.testing.assert_allclose(q1, q2)
+
+
+class TestSMCMath:
+    def test_calc_beta_monotone(self):
+        llks = np.random.default_rng(0).normal(size=200) * 50
+        beta, old, weights = calc_beta(0.0, llks, 1.0)
+        assert 0 < beta <= 2.0
+        assert old == 0.0
+        np.testing.assert_allclose(weights.sum(), 1.0)
+        # tighter coef_variation -> smaller beta step
+        beta_tight, _, _ = calc_beta(0.0, llks, 0.2)
+        assert beta_tight < beta
+
+    def test_systematic_resample_proportional(self):
+        rng = np.random.default_rng(0)
+        weights = np.array([0.5, 0.25, 0.125, 0.125])
+        idx = systematic_resample(weights, rng)
+        counts = np.bincount(idx, minlength=4)
+        # systematic resampling: counts within 1 of expectation N*w
+        expect = weights * weights.size
+        assert np.all(np.abs(counts - expect) <= 1)
+
+    def test_resample_identity_on_uniform(self):
+        rng = np.random.default_rng(0)
+        n = 16
+        idx = systematic_resample(np.full(n, 1.0 / n), rng)
+        np.testing.assert_array_equal(np.sort(idx), np.arange(n))
+
+
+class TestMetropolis:
+    def test_gaussian_moments(self):
+        """Adaptive MH recovers mean/std of a correlated 2-D Gaussian."""
+        cov = jnp.asarray([[0.04, 0.02], [0.02, 0.09]])
+        icov = jnp.linalg.inv(cov)
+        mu = jnp.asarray([0.3, -0.2])
+
+        def logp(x):
+            d = x - mu
+            return -0.5 * d @ icov @ d
+
+        q_tr, _ = metropolis_sample(
+            logp, np.array([-2.0, -2.0]), np.array([2.0, 2.0]),
+            n_chains=32, n_steps=1500, burn=0.4, thin=2, seed=3)
+        samples = q_tr.reshape(-1, 2)
+        np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.05)
+        np.testing.assert_allclose(samples.std(axis=0),
+                                   np.sqrt(np.diag(np.asarray(cov))), rtol=0.25)
+
+
+class TestPT:
+    def test_two_gaussians(self):
+        logp = make_mixture_logp()
+        params = PTParams(
+            n_chains=8, n_chains_posterior=2, n_samples=12000,
+            swap_interval=(10, 16), beta_tune_interval=2000, seed=11)
+        q_tr, llk_tr, history = pt_sample(logp, LOWER, UPPER, params)
+        # discard burn-in half, pool posterior replicas
+        n_burn = q_tr.shape[0] // 2
+        x = q_tr[n_burn:].reshape(-1, N_DIM)
+        mu1d = np.abs(x).mean(axis=0)
+        # PT with few chains: looser tolerance than SMC
+        np.testing.assert_allclose(MU1, mu1d, rtol=0.0, atol=0.08)
+        assert history["betas"][0] == 1.0
+        assert np.all(np.diff(history["betas"]) <= 0)
