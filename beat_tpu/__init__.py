@@ -22,4 +22,14 @@ Architecture (vs. the reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("BEAT_TPU_PLATFORM"):
+    # Some environments register TPU PJRT plugins at interpreter start,
+    # overriding JAX_PLATFORMS; this forces the backend explicitly
+    # (e.g. BEAT_TPU_PLATFORM=cpu for host-only runs).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["BEAT_TPU_PLATFORM"])
+
 from beat_tpu import utility  # noqa: F401

@@ -13,6 +13,213 @@ import logging
 logger = logging.getLogger("beat_tpu.cli")
 
 
+def register_init(sub):
+    p = sub.add_parser("init", help="create a new project directory + config")
+    p.add_argument("name")
+    p.add_argument("project_dir", nargs="?", default=None)
+    p.add_argument("--mode", default="geometry", choices=["geometry", "ffi", "bem"])
+    p.add_argument("--source_types", default="RectangularSource",
+                   help="comma-separated source types")
+    p.add_argument("--n_sources", default="1")
+    p.add_argument("--datatypes", default="geodetic",
+                   help="comma-separated: geodetic,seismic,polarity")
+    p.add_argument("--sampler", default="SMC", choices=["SMC", "PT", "Metropolis"])
+    p.set_defaults(handler=_cmd_init)
+
+
+def _cmd_init(args):
+    import os
+
+    from beat_tpu.config import init_config
+
+    project_dir = args.project_dir or os.path.join(os.getcwd(), args.name)
+    init_config(
+        args.name, project_dir, mode=args.mode,
+        source_types=args.source_types.split(","),
+        n_sources=[int(x) for x in args.n_sources.split(",")],
+        datatypes=args.datatypes.split(","),
+        sampler=args.sampler)
+    print(f"Initialised project in {project_dir}")
+    return 0
+
+
+def register_import(sub):
+    p = sub.add_parser("import", help="import data into the project")
+    p.add_argument("project_dir")
+    p.add_argument("--geodetic_npz", default=None,
+                   help="npz with <name>:coords/<name>:displacement/<name>:los arrays")
+    p.add_argument("--mode", default="geometry")
+    p.set_defaults(handler=_cmd_import)
+
+
+def _cmd_import(args):
+    import shutil
+    import os
+
+    import numpy as np
+
+    if args.geodetic_npz:
+        # validate the file satisfies the dataset schema, then install it
+        from beat_tpu.config import GeodeticConfig, load_geodetic_datasets
+
+        dst = os.path.join(args.project_dir, "geodetic_data.npz")
+        shutil.copy(args.geodetic_npz, dst)
+        datasets = load_geodetic_datasets(args.project_dir, GeodeticConfig())
+        print(f"Imported {len(datasets)} geodetic datasets "
+              f"({sum(d.samples for d in datasets)} samples) -> {dst}")
+    else:
+        print("Nothing to import: pass --geodetic_npz (seismic import lands "
+              "with the waveform IO round)")
+    return 0
+
+
+def register_clone(sub):
+    p = sub.add_parser("clone", help="clone a project (config + data)")
+    p.add_argument("project_dir")
+    p.add_argument("clone_dir")
+    p.add_argument("--mode", default="geometry")
+    p.set_defaults(handler=_cmd_clone)
+
+
+def _cmd_clone(args):
+    import os
+    import shutil
+
+    from beat_tpu.config import config_file_name, dump_config, load_config
+
+    os.makedirs(args.clone_dir, exist_ok=True)
+    config = load_config(args.project_dir, args.mode)
+    config.name = os.path.basename(os.path.normpath(args.clone_dir))
+    dump_config(config, args.clone_dir)
+    for fname in ("geodetic_data.npz", "seismic_data.npz"):
+        src = os.path.join(args.project_dir, fname)
+        if os.path.exists(src):
+            shutil.copy(src, os.path.join(args.clone_dir, fname))
+    print(f"Cloned {args.project_dir} -> {args.clone_dir}")
+    return 0
+
+
+def register_build_gfs(sub):
+    p = sub.add_parser("build_gfs", help="build Green's function libraries")
+    p.add_argument("project_dir")
+    p.add_argument("--mode", default="ffi")
+    p.add_argument("--patch_length", type=float, default=2.0, help="[km]")
+    p.add_argument("--patch_width", type=float, default=2.0, help="[km]")
+    p.set_defaults(handler=_cmd_build_gfs)
+
+
+def _cmd_build_gfs(args):
+    import os
+    import pickle
+
+    import numpy as np
+
+    from beat_tpu.config import load_config, load_geodetic_datasets
+    from beat_tpu.ffi import discretize_sources, geo_construct_gf_linear
+    from beat_tpu.heart.geodesy import DatasetStack
+    from beat_tpu.sources import RectangularSource
+
+    config = load_config(args.project_dir, "geometry") \
+        if not os.path.exists(os.path.join(args.project_dir, "config_ffi.yaml")) \
+        else load_config(args.project_dir, "ffi")
+    gc = config.geodetic_config
+    datasets = load_geodetic_datasets(args.project_dir, gc)
+    stack = DatasetStack.from_datasets(datasets)
+
+    ref = RectangularSource(depth=config.event.depth)
+    fault = discretize_sources([ref], patch_length=args.patch_length * 1e3,
+                               patch_width=args.patch_width * 1e3)
+    lib = geo_construct_gf_linear(fault, stack.coords, stack.los,
+                                  components=("uparr", "uperp"))
+    outdir = os.path.join(args.project_dir, "ffi", "linear_gfs")
+    os.makedirs(outdir, exist_ok=True)
+    lib.save(os.path.join(outdir, "geodetic_gfs.npz"))
+    with open(os.path.join(outdir, "fault_geometry.pkl"), "wb") as f:
+        pickle.dump(fault, f)
+    print(f"Built geodetic GF library: {fault.npatches} patches -> {outdir}")
+    return 0
+
+
+def register_plot(sub):
+    p = sub.add_parser("plot", help="create result plots")
+    p.add_argument("project_dir")
+    p.add_argument("plot_names", help="comma-separated names or 'all'")
+    p.add_argument("--mode", default="geometry")
+    p.add_argument("--stage", type=int, default=-1)
+    p.add_argument("--format", default="png")
+    p.set_defaults(handler=_cmd_plot)
+
+
+def _cmd_plot(args):
+    from beat_tpu.models import load_model
+    from beat_tpu.plotting import plots_catalog
+    from beat_tpu.plotting.common import PlotOptions
+
+    problem = load_model(args.project_dir, args.mode, build=True)
+    po = PlotOptions(outformat=args.format, load_stage=args.stage)
+    names = list(plots_catalog) if args.plot_names == "all" \
+        else args.plot_names.split(",")
+    for name in names:
+        if name not in plots_catalog:
+            print(f"Unknown plot '{name}'; available: {sorted(plots_catalog)}")
+            continue
+        try:
+            path = plots_catalog[name](problem, po)
+            print(f"{name}: {path}")
+        except Exception as e:
+            print(f"{name}: skipped ({e})")
+    return 0
+
+
+def register_export(sub):
+    p = sub.add_parser("export", help="export synthetics/residuals at best point")
+    p.add_argument("project_dir")
+    p.add_argument("--mode", default="geometry")
+    p.add_argument("--stage", type=int, default=-1)
+    p.set_defaults(handler=_cmd_export)
+
+
+def _cmd_export(args):
+    import os
+
+    import numpy as np
+
+    from beat_tpu.backend import SampleStage
+    from beat_tpu.models import load_model
+
+    problem = load_model(args.project_dir, args.mode, build=True)
+    handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+    trace = handler.load_trace(args.stage)
+    pop, llks = trace.end_points()
+    point = problem.ordering.to_point(pop[int(np.argmax(llks))])
+    synths = problem.get_synthetics(point)
+    vrs = problem.get_variance_reductions(point)
+    out = os.path.join(problem.outfolder, "export.npz")
+    arrays = {"map_point": pop[int(np.argmax(llks))]}
+    for comp, d in synths.items():
+        for name, arr in d.items():
+            arrays[f"synth:{comp}:{name}"] = np.asarray(arr)
+    np.savez_compressed(out, **arrays)
+    print(f"Exported MAP synthetics to {out}; variance reductions: {vrs}")
+    return 0
+
+
+def register_update(sub):
+    p = sub.add_parser("update", help="migrate/refresh a project config")
+    p.add_argument("project_dir")
+    p.add_argument("--mode", default="geometry")
+    p.set_defaults(handler=_cmd_update)
+
+
+def _cmd_update(args):
+    from beat_tpu.config import dump_config, load_config
+
+    config = load_config(args.project_dir, args.mode)
+    dump_config(config, args.project_dir)  # re-serialise with current schema
+    print("Config re-written with current schema")
+    return 0
+
+
 def register_sample(sub):
     p = sub.add_parser("sample", help="sample the solution space of a problem")
     p.add_argument("project_dir")

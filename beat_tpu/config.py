@@ -1,0 +1,533 @@
+"""
+Typed project configuration with YAML persistence.
+
+Re-design of ``beat/config.py`` (pyrocko.guts YAML tree): dataclasses with
+recursive ``to_dict``/``from_dict``; one config file per mode in the
+project directory (``config_geometry.yaml``, ``config_ffi.yaml``,
+``config_bem.yaml``; reference ``config.py:2294-2336``).
+
+Semantic parity:
+* ``modes_catalog`` geometry / ffi / bem (reference ``config.py:106-112``)
+* priors as named bounded Parameters validated against physical bounds
+* per-datatype configs (geodetic/seismic/polarity) with noise estimators
+  and corrections
+* sampler configs: SMC / Metropolis / PT (reference ``config.py:1698-1833``)
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from dataclasses import asdict, dataclass, field
+
+import numpy as np
+import yaml
+
+from beat_tpu import defaults
+from beat_tpu.parameter import Parameter, PriorSet
+from beat_tpu.samplers import PTParams, SMCParams
+
+logger = logging.getLogger("beat_tpu.config")
+
+geometry_mode_str = "geometry"
+ffi_mode_str = "ffi"
+bem_mode_str = "bem"
+MODES = [geometry_mode_str, ffi_mode_str, bem_mode_str]
+
+#: slip-component variable registries (reference ``config.py:81-96``)
+static_dist_vars = ["uparr", "uperp", "utens"]
+derived_dist_vars = ["coupling"]
+hypo_vars = ["nucleation_strike", "nucleation_dip", "time"]
+partial_kinematic_vars = ["durations", "velocities"] + hypo_vars
+kinematic_dist_vars = static_dist_vars + partial_kinematic_vars
+transd_vars_dist = ["npatches"]
+
+#: what `summarize --calc_derived` appends (reference ``config.py:114-123``)
+derived_variables_mapping = {
+    "MTQTSource": ["mnn", "mee", "mdd", "mne", "mnd", "med",
+                   "strike1", "dip1", "rake1", "strike2", "dip2", "rake2"],
+    "MTSource": ["magnitude", "strike1", "dip1", "rake1",
+                 "strike2", "dip2", "rake2"],
+    "DCSource": ["magnitude"],
+    "RectangularSource": ["magnitude"],
+    "ExplosionSource": ["magnitude"],
+}
+
+
+# ---------------------------------------------------------------------------
+# Event metadata
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class EventConfig:
+    name: str = "event"
+    lat: float = 0.0
+    lon: float = 0.0
+    depth: float = 10000.0  # [m]
+    time: float = 0.0       # epoch [s]
+    magnitude: float = 6.0
+
+
+# ---------------------------------------------------------------------------
+# Datatype configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class NoiseEstimatorConfig:
+    """Reference ``SeismicNoiseAnalyserConfig`` (``config.py:591``) /
+    geodetic noise estimator options."""
+
+    structure: str = "variance"   # variance|exponential|import|non-toeplitz
+    pre_arrival_time: float = 5.0
+    max_dist_perc: float = 0.2
+
+
+@dataclass
+class RampConfig:
+    enabled: bool = True
+    dataset_names: list = field(default_factory=list)
+
+
+@dataclass
+class EulerPoleConfig:
+    enabled: bool = True
+    station_whitelist: list = field(default_factory=list)
+    station_blacklist: list = field(default_factory=list)
+
+
+@dataclass
+class StrainRateConfig:
+    enabled: bool = True
+    station_whitelist: list = field(default_factory=list)
+    station_blacklist: list = field(default_factory=list)
+
+
+@dataclass
+class GeodeticCorrectionsConfig:
+    """Reference ``config.py:895-913``."""
+
+    ramps: RampConfig | None = None
+    euler_poles: list = field(default_factory=list)
+    strain_rates: list = field(default_factory=list)
+
+
+@dataclass
+class GeodeticConfig:
+    """Reference ``GeodeticConfig`` (``config.py:971``)."""
+
+    datadir: str = "./"
+    names: list = field(default_factory=lambda: ["all"])
+    types: list = field(default_factory=lambda: ["SAR"])
+    noise_estimator: NoiseEstimatorConfig = field(
+        default_factory=lambda: NoiseEstimatorConfig(structure="import"))
+    interpolation: str = "multilinear"
+    corrections: GeodeticCorrectionsConfig = field(default_factory=GeodeticCorrectionsConfig)
+    dataset_specific_residual_noise_estimation: bool = False
+
+
+@dataclass
+class ArrivalTaperConfig:
+    """Cosine taper fractions a<b<c<d around the phase arrival
+    (reference ``heart.ArrivalTaper`` :266)."""
+
+    a: float = -15.0
+    b: float = -10.0
+    c: float = 50.0
+    d: float = 55.0
+
+
+@dataclass
+class FilterConfig:
+    """Butterworth bandpass (reference ``heart.Filter`` :342)."""
+
+    lower_corner: float = 0.001
+    upper_corner: float = 0.1
+    order: int = 4
+
+
+@dataclass
+class WaveformFitConfig:
+    """Reference ``WaveformFitConfig`` (``config.py:540``)."""
+
+    include: bool = True
+    name: str = "any_P"           # phase
+    channels: list = field(default_factory=lambda: ["Z"])
+    filterer: FilterConfig = field(default_factory=FilterConfig)
+    arrival_taper: ArrivalTaperConfig = field(default_factory=ArrivalTaperConfig)
+    distances: tuple = (30.0, 90.0)  # [deg]
+    interpolation: str = "multilinear"
+    domain: str = "time"          # time | spectrum
+    quantity: str = "displacement"
+    blacklist: list = field(default_factory=list)
+    event_idx: int = 0
+
+
+@dataclass
+class SeismicConfig:
+    """Reference ``SeismicConfig`` (``config.py:618``)."""
+
+    datadir: str = "./"
+    noise_estimator: NoiseEstimatorConfig = field(default_factory=NoiseEstimatorConfig)
+    responses_path: str | None = None
+    pre_stack_cut: bool = True
+    station_corrections: bool = False
+    waveforms: list = field(default_factory=lambda: [WaveformFitConfig()])
+    dataset_specific_residual_noise_estimation: bool = False
+    gf_config: dict = field(default_factory=dict)
+
+
+@dataclass
+class PolarityConfig:
+    datadir: str = "./"
+    waveforms: list = field(default_factory=list)
+    gf_config: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# Problem / sampler configs
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ProblemConfig:
+    """Reference ``ProblemConfig`` (``config.py:1339``)."""
+
+    mode: str = geometry_mode_str
+    source_types: list = field(default_factory=lambda: ["RectangularSource"])
+    n_sources: list = field(default_factory=lambda: [1])
+    datatypes: list = field(default_factory=lambda: ["geodetic"])
+    stf_type: str = "HalfSinusoid"
+    decimation_factors: dict = field(default_factory=dict)
+    priors: dict = field(default_factory=dict)   # name -> Parameter dict
+
+    #: config-layer units follow the reference (km, km/s for these vars;
+    #: ``beat/defaults.py`` registry); the device layer is SI.
+    KM_SCALED_VARS = ("east_shift", "north_shift", "depth", "length", "width",
+                      "nucleation_strike", "nucleation_dip", "diameter",
+                      "locking_depth", "depth_bottom", "distance",
+                      "a_half_axis", "b_half_axis", "a_half_axis_bottom",
+                      "b_half_axis_bottom", "delta_east_shift_bottom",
+                      "delta_north_shift_bottom", "velocities")
+
+    def get_prior_set(self, to_si: bool = False, skip_fixed: bool = False) -> PriorSet:
+        """Priors in config (reference) units, or converted to SI for the
+        device layer (analogue of ``utility.adjust_point_units``
+        ``beat/utility.py:651``).  Parameters with ``lower == upper`` are
+        *fixed* (reference convention) and skipped when requested."""
+        ps = PriorSet()
+        for name, d in self.priors.items():
+            p = Parameter.from_dict(d if isinstance(d, dict) else d)
+            if skip_fixed and np.all(p.lower == p.upper):
+                continue
+            if to_si and name in self.KM_SCALED_VARS:
+                p = Parameter(name=p.name, lower=p.lower * 1e3,
+                              upper=p.upper * 1e3, testvalue=p.testvalue * 1e3,
+                              form=p.form)
+            ps.add(p)
+        return ps
+
+    def get_fixed_params(self, to_si: bool = True) -> dict:
+        """Parameters fixed via lower == upper (config units or SI)."""
+        out = {}
+        for name, d in self.priors.items():
+            p = Parameter.from_dict(d if isinstance(d, dict) else d)
+            if np.all(p.lower == p.upper):
+                val = p.lower * (1e3 if (to_si and name in self.KM_SCALED_VARS) else 1.0)
+                out[name] = val if p.dimension > 1 else float(val[0])
+        return out
+
+    def set_default_priors(self, variables: list[str], n_sources: int = 1) -> None:
+        """Seed priors from the defaults registry
+        (reference ``get_random_variables``/``init_vars``)."""
+        for name in variables:
+            dim = n_sources if n_sources > 1 else 1
+            p = Parameter.from_defaults(name, dimension=dim)
+            self.priors[name] = p.to_dict()
+
+    def validate(self) -> None:
+        if self.mode not in MODES:
+            raise ValueError(f"mode must be one of {MODES}")
+        self.get_prior_set().validate()
+
+
+@dataclass
+class SamplerConfig:
+    """Reference ``SamplerConfig`` (``config.py:1836``)."""
+
+    name: str = "SMC"  # SMC | Metropolis | PT
+    backend: str = "npz"
+    progressbar: bool = True
+    buffer_thinning: int = 1
+    parameters: dict = field(default_factory=dict)
+
+    def get_params(self):
+        if self.name == "SMC":
+            return SMCParams(**self.parameters)
+        elif self.name == "PT":
+            return PTParams(**self.parameters)
+        raise ValueError(f"Unknown sampler {self.name}")
+
+
+@dataclass
+class BEATconfig:
+    """Top-level project config (reference ``BEATconfig`` ``config.py:1929``)."""
+
+    name: str = "project"
+    date: str = ""
+    event: EventConfig = field(default_factory=EventConfig)
+    project_dir: str = "./"
+    problem_config: ProblemConfig = field(default_factory=ProblemConfig)
+    geodetic_config: GeodeticConfig | None = None
+    seismic_config: SeismicConfig | None = None
+    polarity_config: PolarityConfig | None = None
+    sampler_config: SamplerConfig = field(default_factory=SamplerConfig)
+    hyper_sampler_config: SamplerConfig | None = None
+
+    def validate(self):
+        self.problem_config.validate()
+
+
+# ---------------------------------------------------------------------------
+# YAML round trip
+# ---------------------------------------------------------------------------
+
+_NESTED = {
+    "event": EventConfig,
+    "problem_config": ProblemConfig,
+    "geodetic_config": GeodeticConfig,
+    "seismic_config": SeismicConfig,
+    "polarity_config": PolarityConfig,
+    "sampler_config": SamplerConfig,
+    "hyper_sampler_config": SamplerConfig,
+    "noise_estimator": NoiseEstimatorConfig,
+    "corrections": GeodeticCorrectionsConfig,
+    "ramps": RampConfig,
+    "filterer": FilterConfig,
+    "arrival_taper": ArrivalTaperConfig,
+}
+
+_NESTED_LISTS = {
+    "waveforms": WaveformFitConfig,
+    "euler_poles": EulerPoleConfig,
+    "strain_rates": StrainRateConfig,
+}
+
+
+def _from_dict(cls, d):
+    if d is None:
+        return None
+    kwargs = {}
+    for k, v in d.items():
+        if k in _NESTED and isinstance(v, dict):
+            kwargs[k] = _from_dict(_NESTED[k], v)
+        elif k in _NESTED_LISTS and isinstance(v, list):
+            kwargs[k] = [_from_dict(_NESTED_LISTS[k], x) if isinstance(x, dict) else x
+                         for x in v]
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+def config_file_name(mode: str) -> str:
+    return f"config_{mode}.yaml"
+
+
+def dump_config(config: BEATconfig, project_dir: str | None = None) -> str:
+    project_dir = project_dir or config.project_dir
+    os.makedirs(project_dir, exist_ok=True)
+    path = os.path.join(project_dir, config_file_name(config.problem_config.mode))
+    with open(path, "w") as f:
+        yaml.safe_dump(asdict(config), f, sort_keys=False)
+    logger.info("Wrote config to %s", path)
+    return path
+
+
+def load_config(project_dir: str, mode: str = geometry_mode_str) -> BEATconfig:
+    path = os.path.join(project_dir, config_file_name(mode))
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"No {config_file_name(mode)} in {project_dir} — run 'beat-tpu init' first")
+    with open(path) as f:
+        d = yaml.safe_load(f)
+    config = _from_dict(BEATconfig, d)
+    config.project_dir = project_dir
+    config.validate()
+    return config
+
+
+# ---------------------------------------------------------------------------
+# Project scaffolding + problem construction
+# ---------------------------------------------------------------------------
+
+#: variables sampled per source type in geometry mode
+source_geometry_vars = {
+    "RectangularSource": ["east_shift", "north_shift", "depth", "strike",
+                          "dip", "rake", "length", "width", "slip"],
+    "MTSource": ["east_shift", "north_shift", "depth",
+                 "mnn", "mee", "mdd", "mne", "mnd", "med", "magnitude"],
+    "MTQTSource": ["east_shift", "north_shift", "depth",
+                   "w", "v", "kappa", "sigma", "h", "magnitude"],
+    "DCSource": ["east_shift", "north_shift", "depth",
+                 "strike", "dip", "rake", "magnitude"],
+    "ExplosionSource": ["east_shift", "north_shift", "depth", "volume_change"],
+}
+
+#: extra temporal variables when seismic data participates
+seismic_geometry_vars = ["time", "duration"]
+
+
+def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
+                source_types=("RectangularSource",), n_sources=(1,),
+                datatypes=("geodetic",), sampler="SMC",
+                event: EventConfig | None = None) -> BEATconfig:
+    """
+    Scaffold a new project (reference ``init_config`` ``config.py:2083``).
+    """
+    pc = ProblemConfig(mode=mode, source_types=list(source_types),
+                       n_sources=list(n_sources), datatypes=list(datatypes))
+    variables: list[str] = []
+    for st, ns in zip(source_types, n_sources):
+        variables.extend(source_geometry_vars[st])
+    if "seismic" in datatypes:
+        variables.extend(seismic_geometry_vars)
+    total_sources = int(sum(n_sources))
+    pc.set_default_priors(sorted(set(variables)), n_sources=total_sources)
+
+    config = BEATconfig(name=name, project_dir=project_dir, event=event or EventConfig(),
+                        problem_config=pc,
+                        sampler_config=SamplerConfig(name=sampler))
+    if "geodetic" in datatypes:
+        config.geodetic_config = GeodeticConfig()
+    if "seismic" in datatypes:
+        config.seismic_config = SeismicConfig()
+    if "polarity" in datatypes:
+        config.polarity_config = PolarityConfig()
+    config.validate()
+    dump_config(config, project_dir)
+    return config
+
+
+def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig) -> list:
+    """
+    Load geodetic datasets from ``<project_dir>/geodetic_data.npz``
+    (our portable format; reference loads ``geodetic_data.pkl`` of pyrocko
+    objects, ``models/geodetic.py:40``).
+
+    npz layout per dataset <name>: ``<name>:coords``, ``<name>:displacement``,
+    ``<name>:los``, optional ``<name>:odw``, ``<name>:covariance``,
+    ``<name>:typ`` (0=SAR, 1=GNSS).
+    """
+    from beat_tpu.covariance import Covariance
+    from beat_tpu.heart.geodesy import GeodeticDataset
+
+    path = os.path.join(project_dir, gc.datadir, "geodetic_data.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No geodetic data at {path} — run 'beat-tpu import'")
+    datasets = []
+    with np.load(path, allow_pickle=False) as z:
+        names = sorted({k.split(":")[0] for k in z.files})
+        for name in names:
+            cov = None
+            if f"{name}:covariance" in z.files:
+                cov = Covariance(data=z[f"{name}:covariance"])
+            typ = "GNSS" if f"{name}:typ" in z.files and int(z[f"{name}:typ"]) == 1 else "SAR"
+            datasets.append(GeodeticDataset(
+                name=name, typ=typ,
+                coords=z[f"{name}:coords"],
+                displacement=z[f"{name}:displacement"],
+                los_vector=z[f"{name}:los"],
+                odw=z[f"{name}:odw"] if f"{name}:odw" in z.files else None,
+                covariance=cov))
+    return datasets
+
+
+def save_geodetic_datasets(datasets, project_dir: str, datadir: str = "./") -> str:
+    arrays = {}
+    for ds in datasets:
+        arrays[f"{ds.name}:coords"] = ds.coords
+        arrays[f"{ds.name}:displacement"] = ds.displacement
+        arrays[f"{ds.name}:los"] = ds.los_vector
+        arrays[f"{ds.name}:odw"] = ds.odw
+        arrays[f"{ds.name}:covariance"] = ds.covariance.data
+        arrays[f"{ds.name}:typ"] = np.array(1 if ds.typ == "GNSS" else 0)
+    outdir = os.path.join(project_dir, datadir)
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "geodetic_data.npz")
+    np.savez_compressed(path, **arrays)
+    return path
+
+
+def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True):
+    """Instantiate the Problem for a loaded config
+    (reference ``load_model`` + ``GeometryOptimizer.__init__``)."""
+    from beat_tpu.models.geodetic import GeodeticGeometryComposite
+    from beat_tpu.models.problem import Problem
+    from beat_tpu.sources import source_catalog
+
+    pc = config.problem_config
+    priors = pc.get_prior_set(to_si=True, skip_fixed=True)
+    fixed = pc.get_fixed_params(to_si=True)
+
+    sources = []
+    i_src = 0
+    for st, ns in zip(pc.source_types, pc.n_sources):
+        for _ in range(int(ns)):
+            src = source_catalog[st](depth=config.event.depth)
+            # fixed parameters (lower == upper) override source templates
+            for name, val in fixed.items():
+                if hasattr(src, name):
+                    v = np.atleast_1d(val)
+                    setattr(src, name, float(v[i_src] if v.size > 1 else v[0]))
+            sources.append(src)
+            i_src += 1
+
+    composites = {}
+    if "geodetic" in pc.datatypes and config.geodetic_config is not None:
+        gc = config.geodetic_config
+        datasets = load_geodetic_datasets(project_dir, gc)
+        corrections = _build_corrections(gc, datasets)
+        composites["geodetic"] = GeodeticGeometryComposite(
+            datasets, sources,
+            noise_structure=gc.noise_estimator.structure,
+            hp_specific=gc.dataset_specific_residual_noise_estimation,
+            corrections=corrections)
+    if "seismic" in pc.datatypes and config.seismic_config is not None:
+        from beat_tpu.models.seismic import build_seismic_composite
+
+        composites["seismic"] = build_seismic_composite(
+            config.seismic_config, project_dir, sources)
+
+    outfolder = os.path.join(project_dir, pc.mode)
+    return Problem(priors, composites, outfolder=outfolder,
+                   sampler_params=config.sampler_config.get_params())
+
+
+def _build_corrections(gc: GeodeticConfig, datasets):
+    from beat_tpu.heart.corrections import EulerPoleCorrection, RampCorrection, StrainRateCorrection
+
+    corrections = []
+    cc = gc.corrections
+    if cc.ramps is not None and cc.ramps.enabled:
+        names = cc.ramps.dataset_names or [ds.name for ds in datasets if ds.typ == "SAR"]
+        corrections.extend(RampCorrection(dataset_name=n) for n in names)
+    for i, ep in enumerate(cc.euler_poles):
+        if not getattr(ep, "enabled", True):
+            continue
+        gnss = [ds for ds in datasets if ds.typ == "GNSS"]
+        if gnss:
+            lats = np.concatenate([ds.lats for ds in gnss if ds.lats is not None] or [np.zeros(0)])
+            lons = np.concatenate([ds.lons for ds in gnss if ds.lons is not None] or [np.zeros(0)])
+            corrections.append(EulerPoleCorrection(number=i, lats=lats, lons=lons))
+    for i, sr in enumerate(cc.strain_rates):
+        if not getattr(sr, "enabled", True):
+            continue
+        gnss = [ds for ds in datasets if ds.typ == "GNSS"]
+        if gnss:
+            coords = np.concatenate([ds.coords for ds in gnss], axis=0)
+            centroid = coords.mean(axis=0)
+            corrections.append(StrainRateCorrection(
+                number=i, norths=coords[:, 1] - centroid[1],
+                easts=coords[:, 0] - centroid[0]))
+    return corrections

@@ -1,0 +1,272 @@
+"""
+HBM-resident Green's-function tables and the on-device seismic forward.
+
+This replaces the reference's per-draw calls into pyrocko's
+``engine.process`` + disk-resident fomosto stores
+(``heart.seis_synthetics`` ``beat/heart.py:3564``, op wrapper
+``pytensorf.SeisSynthesizer`` :129) with a fixed-shape XLA pipeline:
+
+    table gather (bilinear in distance × depth, frequency domain)
+    → moment-tensor weighting (einsum, azimuth-rotated m6)
+    → × STF spectrum × time-shift phasor × bandpass response
+    → irfft → per-target window gather → cosine taper
+
+Design notes (TPU-first):
+
+* The table stores the response to the **six elementary moment tensors**
+  for a receiver at azimuth 0, in (Z, R, T) components, on a regular
+  (distance, depth) grid, as **rfft spectra**.  A 1-D (layered) medium is
+  rotationally symmetric, so any source-receiver azimuth reduces to
+  rotating the MT into the ray frame — no azimuth axis in the table.
+* Everything the sampler varies (location → distance/azimuth/depth,
+  magnitude/MT, origin time, STF duration) enters through gathers and
+  phase factors — shapes are chain-invariant, so one compiled program
+  serves every draw (SURVEY §7 "hard part 1").
+* Tables can be built (a) analytically for a homogeneous medium
+  (hermetic tests; far-field P+S ray theory) or (b) converted from
+  pyrocko fomosto stores offline (``beat_tpu.heart.store_convert``,
+  import-gated).
+
+Conventions: N-E-D source frame for the MT; (Z up, R radial away from
+source, T = E at azimuth 0) receiver components; distances/depths in
+metres; table time axis starts at ``t0`` seconds after origin time.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.heart.taper import stf_spectrum
+
+logger = logging.getLogger("beat_tpu.heart.gftable")
+
+COMP_Z, COMP_R, COMP_T = 0, 1, 2
+component_index = {"Z": COMP_Z, "R": COMP_R, "T": COMP_T}
+
+
+def rotate_m6_to_ray_frame(m6, azimuth_rad):
+    """
+    Rotate an NED moment tensor so the receiver azimuth maps to 0 (north):
+    the rotated tensor drives the azimuth-0 table entries.  Linear in m6.
+
+    m6: (..., 6) = (mnn, mee, mdd, mne, mnd, med); azimuth in radians
+    (clockwise from north, source→receiver).
+    """
+    ca = jnp.cos(azimuth_rad)
+    sa = jnp.sin(azimuth_rad)
+    mnn, mee, mdd, mne, mnd, med = (m6[..., i] for i in range(6))
+    # rotation of horizontal indices by -azimuth: n' = ca·n + sa·e, e' = -sa·n + ca·e
+    mnn_r = ca * ca * mnn + sa * sa * mee + 2 * ca * sa * mne
+    mee_r = sa * sa * mnn + ca * ca * mee - 2 * ca * sa * mne
+    mne_r = (ca * ca - sa * sa) * mne + ca * sa * (mee - mnn)
+    mnd_r = ca * mnd + sa * med
+    med_r = -sa * mnd + ca * med
+    mdd_b = jnp.broadcast_to(mdd, mnn_r.shape)
+    return jnp.stack([mnn_r, mee_r, mdd_b, mne_r, mnd_r, med_r], axis=-1)
+
+
+@dataclass
+class GreensTable:
+    """
+    Elementary-MT Green's-function spectra on a (distance, depth) grid.
+
+    spectra : (6, 3, ndist, ndepth, nfreq) complex64 — rfft of the
+        response to unit elementary MTs (order mnn, mee, mdd, mne, mnd,
+        med), receiver at azimuth 0, components (Z, R, T).
+    distances, depths : grid nodes [m]
+    dt : sample interval [s]; nt : time samples; t0 : time of the first
+        sample relative to origin time [s].
+    """
+
+    spectra: jnp.ndarray
+    distances: np.ndarray
+    depths: np.ndarray
+    dt: float
+    nt: int
+    t0: float = 0.0
+    #: medium metadata for travel-time computations
+    vp: float = 6000.0
+    vs: float = 3500.0
+
+    @property
+    def freqs(self) -> np.ndarray:
+        return np.fft.rfftfreq(self.nt, self.dt)
+
+    def travel_time(self, phase: str, distance, depth):
+        """First-arrival time [s].  Homogeneous straight-ray by default;
+        store-converted tables override with their travel-time tables."""
+        r = jnp.sqrt(distance**2 + depth**2)
+        v = self.vp if phase.lower().endswith("p") else self.vs
+        return r / v
+
+    # -- the forward kernel --------------------------------------------------
+
+    def gather_spectra(self, distance, depth):
+        """
+        Bilinear (distance, depth) interpolation of the table for a batch
+        of targets: distance (ntargets,), depth scalar/() traced.
+        Returns (ntargets, 6, 3, nfreq) complex spectra.
+        """
+        d_grid = jnp.asarray(self.distances)
+        z_grid = jnp.asarray(self.depths)
+
+        di = jnp.clip((distance - d_grid[0]) / (d_grid[1] - d_grid[0]),
+                      0.0, d_grid.size - 1.001)
+        zi = jnp.clip((depth - z_grid[0]) / (z_grid[1] - z_grid[0]),
+                      0.0, z_grid.size - 1.001)
+        d0 = jnp.floor(di).astype(jnp.int32)
+        z0 = jnp.floor(zi).astype(jnp.int32)
+        fd = (di - d0)[..., None, None, None]
+        fz = (zi - z0)[..., None, None, None]
+
+        sp = self.spectra  # (6, 3, nd, nz, nf)
+        g00 = sp[:, :, d0, z0, :]        # (6, 3, nt?, nf) with d0 (ntargets,)
+        g10 = sp[:, :, d0 + 1, z0, :]
+        g01 = sp[:, :, d0, z0 + 1, :]
+        g11 = sp[:, :, d0 + 1, z0 + 1, :]
+        # indexing with (ntargets,) d0 gives (6, 3, ntargets, nf) → move axis
+        out = ((1 - fd) * (1 - fz) * jnp.moveaxis(g00, 2, 0)
+               + fd * (1 - fz) * jnp.moveaxis(g10, 2, 0)
+               + (1 - fd) * fz * jnp.moveaxis(g01, 2, 0)
+               + fd * fz * jnp.moveaxis(g11, 2, 0))
+        return out  # (ntargets, 6, 3, nf)
+
+    def point_spectra(self, m6, east_shift, north_shift, depth,
+                      station_east, station_north, comp_idx,
+                      filter_response=None):
+        """
+        Raw (no STF / no time shift) channel spectra of a point MT source:
+        gather + azimuth-rotated weighting + optional filter.
+        Returns (ntargets, nfreq) complex.
+        """
+        de = station_east - east_shift
+        dn = station_north - north_shift
+        distance = jnp.sqrt(de**2 + dn**2)
+        azimuth = jnp.arctan2(de, dn)
+
+        g = self.gather_spectra(distance, depth)               # (nt, 6, 3, nf)
+        m6_ray = rotate_m6_to_ray_frame(m6[None, :], azimuth)  # (nt, 6)
+        spec_zrt = jnp.einsum("tk,tkcf->tcf", m6_ray.astype(g.dtype), g)
+        spec = jnp.take_along_axis(
+            spec_zrt, comp_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+        if filter_response is not None:
+            spec = spec * filter_response[None, :]
+        return spec
+
+    def synthesize_spectra(self, m6, east_shift, north_shift, depth, time_shift,
+                           duration, station_east, station_north,
+                           comp_idx, stf_type="HalfSinusoid",
+                           filter_response=None):
+        """
+        Frequency-domain synthesis for a batch of targets.
+
+        m6 : (6,) NED moment tensor [Nm]
+        east_shift/north_shift/depth/time_shift/duration : traced source
+            scalars ([m], [s])
+        station_east/station_north : (ntargets,) station coordinates [m]
+        comp_idx : (ntargets,) int — 0 Z / 1 R / 2 T channel per target
+        filter_response : (nfreq,) complex or None
+
+        Returns (ntargets, nfreq) complex spectra of full-length traces
+        whose time axis starts at ``t0`` after origin.
+        """
+        spec = self.point_spectra(m6, east_shift, north_shift, depth,
+                                  station_east, station_north, comp_idx,
+                                  filter_response)
+        freqs = jnp.asarray(self.freqs)
+        w = 2.0 * jnp.pi * freqs
+        phasor = jnp.exp(-1j * w * time_shift)
+        stf = stf_spectrum(freqs, duration, stf_type)
+        return spec * (phasor * stf)[None, :]
+
+    def synthesize_windows(self, spec, window_starts, window_taper, nsamples_win):
+        """
+        irfft + per-target window extraction + taper.
+
+        spec : (ntargets, nfreq) from :meth:`synthesize_spectra`
+        window_starts : (ntargets,) static int start samples (precomputed
+            from reference arrival times — chain-invariant shapes)
+        window_taper : (nsamples_win,) taper amplitudes
+        """
+        traces = jnp.fft.irfft(spec, n=self.nt, axis=-1)
+
+        def cut(tr, start):
+            return jax.lax.dynamic_slice(tr, (start,), (nsamples_win,))
+
+        wins = jax.vmap(cut)(traces, window_starts)
+        return wins * window_taper[None, :]
+
+
+# ---------------------------------------------------------------------------
+# Homogeneous-medium analytic table (hermetic builder)
+# ---------------------------------------------------------------------------
+
+ELEMENTARY_M6 = np.eye(6)
+
+
+def _m6_to_matrix_np(m6):
+    mnn, mee, mdd, mne, mnd, med = m6
+    return np.array([[mnn, mne, mnd], [mne, mee, med], [mnd, med, mdd]])
+
+
+def build_homogeneous_table(distances, depths, nt, dt, vp=6000.0, vs=3500.0,
+                            rho=2700.0, t0=0.0) -> GreensTable:
+    """
+    Analytic far-field P+S Green's functions for a homogeneous fullspace
+    (Aki & Richards eq. 4.96 far-field terms): for each elementary MT,
+    receiver at azimuth 0 (due north), distance d on the surface, source
+    at depth z:
+
+        u_P(t) = γ (γᵀMγ) / (4πρ vp³ r) · δ(t − r/vp)
+        u_S(t) = (Mγ − γ(γᵀMγ)) / (4πρ vs³ r) · δ(t − r/vs)
+
+    expressed directly in the frequency domain (impulses → phasors) —
+    band-limited by the subsequent filters, which every dataset shares.
+    The free-surface amplification factor 2 for the halfspace is applied.
+
+    This is the hermetic stand-in for layered fomosto stores: it produces
+    physically-plausible traces with correct radiation patterns,
+    geometric spreading and P/S move-out, enabling full pipeline tests
+    without Fortran codes (SURVEY §7 table: "psgrn/pscmp/qseis/qssp kept
+    offline + analytic fallback").
+    """
+    distances = np.asarray(distances, dtype=np.float64)
+    depths = np.asarray(depths, dtype=np.float64)
+    freqs = np.fft.rfftfreq(nt, dt)
+    nf = freqs.size
+    spectra = np.zeros((6, 3, distances.size, depths.size, nf), dtype=np.complex64)
+
+    w = 2.0 * np.pi * freqs
+    for iz, z in enumerate(depths):
+        for id_, d in enumerate(distances):
+            r = math.sqrt(d * d + z * z)
+            # unit ray vector source->receiver in NED (receiver north, surface)
+            gamma = np.array([d, 0.0, -z]) / max(r, 1.0)
+            amp_p = 2.0 / (4.0 * np.pi * rho * vp**3 * max(r, 1.0))
+            amp_s = 2.0 / (4.0 * np.pi * rho * vs**3 * max(r, 1.0))
+            tp = r / vp
+            ts = r / vs
+            ph_p = np.exp(-1j * w * (tp - t0))
+            ph_s = np.exp(-1j * w * (ts - t0))
+            for k in range(6):
+                M = _m6_to_matrix_np(ELEMENTARY_M6[k])
+                mgg = gamma @ M @ gamma
+                u_p = gamma * mgg * amp_p               # NED direction vector
+                u_s = (M @ gamma - gamma * mgg) * amp_s
+                for u, ph in ((u_p, ph_p), (u_s, ph_s)):
+                    # NED -> (Z up, R=+N, T=+E at azimuth 0)
+                    uz, ur, ut = -u[2], u[0], u[1]
+                    spectra[k, COMP_Z, id_, iz, :] += uz * ph
+                    spectra[k, COMP_R, id_, iz, :] += ur * ph
+                    spectra[k, COMP_T, id_, iz, :] += ut * ph
+
+    logger.info("Built homogeneous GF table: %i dist x %i depth x %i samples",
+                distances.size, depths.size, nt)
+    return GreensTable(spectra=jnp.asarray(spectra), distances=distances,
+                       depths=depths, dt=dt, nt=nt, t0=t0, vp=vp, vs=vs)

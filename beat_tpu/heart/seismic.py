@@ -1,0 +1,154 @@
+"""
+Seismic waveform datasets and waveform mappings.
+
+Re-design of the dataset/target machinery in ``beat/heart.py``
+(``SeismicDataset`` :892, ``DynamicTarget`` :429, ``WaveformMapping``
+:2884, ``init_datahandler``/``init_wavemap`` :3387-3465): a
+WaveformMapping bundles the stations/channels selected by one
+``WaveformFitConfig`` into fixed-shape arrays (station coordinates,
+channel indexes, window start samples, taper, filter response) that the
+on-device forward consumes, and processes the observed traces through
+the *identical* taper/filter pipeline (``post_process_trace`` :3466).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from beat_tpu.covariance import Covariance, SeismicNoiseAnalyser
+from beat_tpu.heart.gftable import GreensTable, component_index
+from beat_tpu.heart.taper import ArrivalTaper, Filter
+
+logger = logging.getLogger("beat_tpu.heart.seismic")
+
+
+@dataclass
+class SeismicDataset:
+    """One observed trace: station/channel + raw samples on the table
+    time grid (t0-aligned), with noise covariance over the fit window."""
+
+    station: str
+    channel: str                  # 'Z' | 'R' | 'T'
+    east: float                   # station local coordinates [m]
+    north: float
+    ydata: np.ndarray             # raw trace on the table grid
+    covariance: Covariance | None = None
+
+    @property
+    def samples(self) -> int:
+        return int(self.ydata.size)
+
+
+@dataclass
+class WaveformMapping:
+    """
+    Targets of one WaveformFitConfig (reference ``WaveformMapping``
+    ``heart.py:2884``): shared phase, taper, filter and window length.
+    """
+
+    name: str                      # e.g. 'any_P'
+    datasets: list                 # of SeismicDataset
+    table: GreensTable
+    taper: ArrivalTaper
+    filterer: Filter
+    domain: str = "time"           # time | spectrum
+    station_corrections: bool = False
+
+    # filled by prepare()
+    station_east: np.ndarray = field(default=None)
+    station_north: np.ndarray = field(default=None)
+    comp_idx: np.ndarray = field(default=None)
+    window_starts: np.ndarray = field(default=None)
+    arrival_times: np.ndarray = field(default=None)
+    taper_window: np.ndarray = field(default=None)
+    filter_response: np.ndarray = field(default=None)
+    data_windows: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        if self.station_east is None:
+            self.prepare()
+
+    @property
+    def ntargets(self) -> int:
+        return len(self.datasets)
+
+    @property
+    def nsamples_win(self) -> int:
+        return self.taper.nsamples(self.table.dt)
+
+    @property
+    def hypername(self) -> str:
+        return f"h_{self.name}"
+
+    def prepare(self, reference_distance_point=(0.0, 0.0)) -> None:
+        """
+        Precompute geometry, windows, and process observed data
+        (reference ``prepare_data`` ``heart.py:3041``): arrival times are
+        evaluated at the reference event location so window shapes stay
+        chain-invariant (SURVEY §7 hard part 1); the source ``time``
+        parameter moves the synthetics via phase shifts instead.
+        """
+        import jax.numpy as jnp
+
+        dt = self.table.dt
+        self.station_east = np.array([ds.east for ds in self.datasets])
+        self.station_north = np.array([ds.north for ds in self.datasets])
+        self.comp_idx = np.array([component_index[ds.channel] for ds in self.datasets],
+                                 dtype=np.int32)
+        e0, n0 = reference_distance_point
+        dist = np.sqrt((self.station_east - e0) ** 2 + (self.station_north - n0) ** 2)
+        # reference arrivals at the mid-depth of the table grid
+        z_ref = float(np.mean(self.table.depths))
+        self.arrival_times = np.asarray(
+            self.table.travel_time(self.name, jnp.asarray(dist), z_ref))
+        start_times = self.arrival_times + self.taper.a - self.table.t0
+        self.window_starts = np.clip(
+            np.round(start_times / dt).astype(np.int32),
+            0, self.table.nt - self.nsamples_win - 1)
+        self.taper_window = self.taper.window(dt)
+        self.filter_response = self.filterer.response(self.table.nt, dt)
+        self._process_observed()
+
+    def _process_observed(self) -> None:
+        """Filter + chop + taper the raw observed traces — the same
+        pipeline the synthetics take (``post_process_trace`` :3466)."""
+        wins = []
+        n_win = self.nsamples_win
+        for ds, start in zip(self.datasets, self.window_starts):
+            spec = np.fft.rfft(ds.ydata, n=self.table.nt)
+            filtered = np.fft.irfft(spec * self.filter_response, n=self.table.nt)
+            win = filtered[start:start + n_win] * self.taper_window
+            wins.append(win)
+        self.data_windows = np.stack(wins).astype(np.float32)
+
+    def analyse_noise(self, analyser: SeismicNoiseAnalyser | None = None) -> None:
+        """Set per-dataset covariances over the fit window
+        (reference ``SeismicComposite.analyse_noise`` ``models/seismic.py:162``)."""
+        analyser = analyser or SeismicNoiseAnalyser(structure="variance")
+        dt = self.table.dt
+        for ds, start, arr in zip(self.datasets, self.window_starts, self.arrival_times):
+            spec = np.fft.rfft(ds.ydata, n=self.table.nt)
+            filtered = np.fft.irfft(spec * self.filter_response, n=self.table.nt)
+            pre_arrival_idx = max(int(round((arr - self.table.t0 - 1.0) / dt)), 2)
+            noise = filtered[:pre_arrival_idx]
+            var = float(np.var(noise)) if noise.size > 2 else float(np.var(filtered))
+            cov = analyser.get_data_covariance(
+                filtered[:start + self.nsamples_win], dt,
+                arrival_index=pre_arrival_idx)
+            # restrict to window size
+            if cov.shape[0] != self.nsamples_win:
+                cov = np.eye(self.nsamples_win) * max(var, 1e-30)
+            ds.covariance = Covariance(data=cov)
+
+    def get_station_names(self) -> list:
+        return [ds.station for ds in self.datasets]
+
+    def time_shift_names(self) -> list:
+        """Hierarchical station-correction names
+        (reference ``init_hierarchicals`` ``models/seismic.py:198``)."""
+        if not self.station_corrections:
+            return []
+        return [f"{self.name}_{ds.station}_time_shift" for ds in self.datasets]

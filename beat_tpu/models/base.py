@@ -1,0 +1,83 @@
+"""
+Composite interface (reference ``beat/models/base.py:71`` ``Composite``).
+
+A composite owns one datatype's datasets, noise model and forward model,
+and contributes:
+
+* ``loglike(point)`` — pure JAX, the analogue of ``get_formula``;
+* ``hyper_loglike(point)`` — hyperparameter-only likelihood on fixed
+  residuals (``get_hyper_formula``);
+* hyperparameter names/priors;
+* ``update_weights(point)`` — host-side covariance re-estimation between
+  sampler stages (``apply``/``update_weights``);
+* ``get_synthetics(point)`` — numpy-friendly forward for checks/plots.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterable
+
+import numpy as np
+
+from beat_tpu.parameter import Parameter
+
+logger = logging.getLogger("beat_tpu.models")
+
+
+class Composite:
+    name = "composite"
+
+    def loglike(self, point: dict):
+        raise NotImplementedError
+
+    def hyper_loglike(self, point: dict):
+        raise NotImplementedError
+
+    # -- hyperparameters ----------------------------------------------------
+
+    def get_hypernames(self) -> list[str]:
+        return []
+
+    def get_hyper_parameters(self) -> list[Parameter]:
+        return [Parameter.from_defaults(name) for name in self.get_hypernames()]
+
+    # -- hierarchicals (corrections, station time shifts, ...) ---------------
+
+    def get_hierarchical_names(self) -> list[str]:
+        return []
+
+    def get_hierarchical_parameters(self) -> list[Parameter]:
+        out = []
+        for name in self.get_hierarchical_names():
+            p = Parameter.from_defaults(_strip_prefix(name))
+            p.name = name  # registry bounds, user-facing hierarchical name
+            out.append(p)
+        return out
+
+    # -- between-stage updates ----------------------------------------------
+
+    def update_weights(self, point: dict) -> None:
+        """Re-estimate data covariances at ``point`` (no-op by default)."""
+
+    def get_synthetics(self, point: dict) -> dict:
+        return {}
+
+    def get_standardized_residuals(self, point: dict) -> dict:
+        return {}
+
+    def get_variance_reductions(self, point: dict) -> dict:
+        return {}
+
+
+def _strip_prefix(name: str) -> str:
+    """'<dataset>_azimuth_ramp' -> 'ramp'; '<n>_pole_lat' -> 'lat' etc."""
+    for suffix, key in (
+        ("azimuth_ramp", "ramp"), ("range_ramp", "ramp"), ("offset", "offset"),
+        ("pole_lat", "lat"), ("pole_lon", "lon"), ("omega", "omega"),
+        ("exx", "exx"), ("eyy", "eyy"), ("exy", "exy"), ("rotation", "rotation"),
+        ("time_shift", "time_shift"),
+    ):
+        if name.endswith(suffix):
+            return key
+    return name

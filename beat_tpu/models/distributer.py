@@ -1,0 +1,238 @@
+"""
+Distributed-slip (FFI) composites — linear forward models over
+precomputed Green's-function libraries.
+
+Re-design of the distributer composites in ``beat/models/geodetic.py``
+(``GeodeticDistributerComposite`` :929: ``mu += gfs.stack_all(slips)``)
+and ``beat/models/seismic.py`` (``SeismicDistributerComposite`` :1056:
+eikonal starttimes → 5-D library ``stack_all``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.distributions import multivariate_normal_chol, multivariate_normal_chol_batched
+from beat_tpu.models.base import Composite
+
+logger = logging.getLogger("beat_tpu.models.distributer")
+
+
+class GeodeticDistributerComposite(Composite):
+    """
+    Static slip inversion: synthetic = Σ_c G_cᵀ s_c
+    (reference ``models/geodetic.py:929-1070``).
+    """
+
+    name = "geodetic"
+
+    def __init__(self, datasets, gflibrary, fault, hp_specific=False):
+        from beat_tpu.heart.geodesy import DatasetStack
+
+        self.datasets = list(datasets)
+        self.stack = DatasetStack.from_datasets(self.datasets)
+        self.gflibrary = gflibrary
+        self.fault = fault
+        self.hp_specific = hp_specific
+        self._update_device_arrays()
+
+    def _update_device_arrays(self):
+        self._device = {
+            "data": jnp.asarray(self.stack.displacement, dtype=jnp.float32),
+            "odw": jnp.asarray(self.stack.odw, dtype=jnp.float32),
+            "weights": [jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
+                        for ds in self.datasets],
+            "slog_pdets": [jnp.float32(ds.covariance.log_pdet) for ds in self.datasets],
+        }
+
+    def get_hypernames(self):
+        if self.hp_specific:
+            return [f"h_{ds.typ}_{i}" for i, ds in enumerate(self.datasets)]
+        return sorted({f"h_{ds.typ}" for ds in self.datasets})
+
+    def _hyper_of(self, point, i, ds):
+        name = f"h_{ds.typ}_{i}" if self.hp_specific else f"h_{ds.typ}"
+        return point.get(name, 0.0)
+
+    def synthetics_los(self, point: dict):
+        slips = {c: point.get(c) for c in self.gflibrary.component_names
+                 if c in point}
+        return self.gflibrary.stack_all(**slips)
+
+    def loglike(self, point: dict):
+        synth = self.synthetics_los(point)
+        llk = 0.0
+        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
+            res = (self._device["data"][slc] - synth[slc]) * self._device["odw"][slc]
+            llk = llk + multivariate_normal_chol(
+                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                self._hyper_of(point, i, ds))
+        return llk
+
+    def hyper_loglike(self, point: dict, fixed_point: dict):
+        synth = self.synthetics_los(fixed_point)
+        llk = 0.0
+        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
+            res = (self._device["data"][slc] - synth[slc]) * self._device["odw"][slc]
+            llk = llk + multivariate_normal_chol(
+                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                self._hyper_of(point, i, ds))
+        return llk
+
+    def get_synthetics(self, point: dict):
+        point = {k: jnp.asarray(v) for k, v in point.items()}
+        synth = np.asarray(self.synthetics_los(point))
+        return {ds.name: synth[slc]
+                for ds, slc in zip(self.datasets, self.stack.slices)}
+
+    def get_variance_reductions(self, point: dict):
+        synth = np.asarray(self.synthetics_los(
+            {k: jnp.asarray(v) for k, v in point.items()}))
+        out = {}
+        for ds, slc in zip(self.datasets, self.stack.slices):
+            obs = self.stack.displacement[slc]
+            res = obs - synth[slc]
+            out[ds.name] = 1.0 - (res @ res) / max(obs @ obs, 1e-30)
+        return out
+
+    def lsq_solution(self, ridge: float = 0.0):
+        """
+        Non-negative least-squares warm start for slip priors
+        (reference ``DistributionOptimizer.lsq_solution``
+        ``models/problems.py:753`` via scipy nnls).
+        Returns dict component -> (npatches,) slips.
+        """
+        from scipy.optimize import nnls
+
+        comps = self.gflibrary.component_names
+        G_blocks = [np.asarray(self.gflibrary.gfs[c]).T for c in comps]  # (ns, np)
+        G = np.concatenate(G_blocks, axis=1)
+        W = np.concatenate([np.asarray(w) for w in self._device["weights"]][0:1])
+        d = self.stack.displacement
+        if ridge > 0:
+            G = np.vstack([G, np.sqrt(ridge) * np.eye(G.shape[1])])
+            d = np.concatenate([d, np.zeros(G.shape[1])])
+        sol, _ = nnls(G, d)
+        npatch = self.gflibrary.npatches
+        return {c: sol[i * npatch:(i + 1) * npatch] for i, c in enumerate(comps)}
+
+
+class SeismicDistributerComposite(Composite):
+    """
+    Kinematic slip inversion (reference ``SeismicDistributerComposite``
+    ``models/seismic.py:1056``): eikonal rupture-onset times from
+    nucleation + per-patch velocities, then the 5-D GF-library stack.
+    """
+
+    name = "seismic"
+
+    def __init__(self, wavemaps_libs, fault, slip_varnames=("uparr",),
+                 interpolation="multilinear", hp_specific=False):
+        """
+        wavemaps_libs : list of (WaveformMapping, {component: SeismicGFLibrary})
+        """
+        self.wavemaps_libs = list(wavemaps_libs)
+        self.fault = fault
+        self.slip_varnames = list(slip_varnames)
+        self.interpolation = interpolation
+        self.hp_specific = hp_specific
+        self._device = []
+        for wmap, libs in self.wavemaps_libs:
+            self._device.append({
+                "data": jnp.asarray(wmap.data_windows),
+                "weights": jnp.stack([
+                    jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
+                    for ds in wmap.datasets]),
+                "slog_pdets": jnp.asarray(
+                    [ds.covariance.log_pdet for ds in wmap.datasets], dtype=jnp.float32),
+                "nsamples": jnp.asarray([wmap.nsamples_win] * wmap.ntargets,
+                                        dtype=jnp.float32),
+            })
+
+    def get_hypernames(self):
+        return [wmap.hypername for wmap, _ in self.wavemaps_libs]
+
+    def get_hierarchical_names(self):
+        names = []
+        for wmap, _ in self.wavemaps_libs:
+            names.extend(wmap.time_shift_names())
+        return names
+
+    def point2starttimes(self, point: dict):
+        """Eikonal onset times for all patches, SI units (m, m/s) —
+        single subfault for now; multi-subfault loops over planes."""
+        sf = self.fault.get_subfault(0)
+        velocities = point["velocities"]
+        nuc_strike = jnp.reshape(point["nucleation_strike"], ()) \
+            if "nucleation_strike" in point else sf.plane.length / 2.0
+        nuc_dip = jnp.reshape(point["nucleation_dip"], ()) \
+            if "nucleation_dip" in point else sf.plane.width / 2.0
+        time = point.get("time", 0.0)
+        return self.fault.point2starttimes(0, velocities, nuc_strike,
+                                           nuc_dip, time)
+
+    def synthetics_windows(self, point: dict, w_idx: int):
+        wmap, libs = self.wavemaps_libs[w_idx]
+        starttimes_patch = self.point2starttimes(point)      # (npatches,)
+        durations = point.get(
+            "durations", jnp.ones(self.fault.npatches))
+
+        ntargets = wmap.ntargets
+        st = jnp.broadcast_to(starttimes_patch[None, :],
+                              (ntargets, self.fault.npatches))
+        # station-correction time shifts subtract from starttimes
+        # (reference models/seismic.py:1281-1296)
+        ts_names = wmap.time_shift_names()
+        if ts_names:
+            shifts = jnp.stack([point[n] for n in ts_names])
+            st = st - shifts[:, None]
+
+        synth = 0.0
+        for comp in self.slip_varnames:
+            lib = libs[comp]
+            synth = synth + lib.stack_all(durations, st, point[comp],
+                                          self.interpolation)
+        return synth
+
+    def loglike(self, point: dict):
+        total = 0.0
+        for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
+            dev = self._device[w_idx]
+            synth = self.synthetics_windows(point, w_idx)
+            res = dev["data"] - synth
+            h = point.get(wmap.hypername, 0.0)
+            hs = jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))
+            llks = multivariate_normal_chol_batched(
+                res, dev["weights"], dev["slog_pdets"], hs, dev["nsamples"])
+            total = total + jnp.sum(llks)
+        return total
+
+    def hyper_loglike(self, point: dict, fixed_point: dict):
+        total = 0.0
+        for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
+            dev = self._device[w_idx]
+            synth = self.synthetics_windows(fixed_point, w_idx)
+            res = dev["data"] - synth
+            h = point.get(wmap.hypername, 0.0)
+            hs = jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))
+            llks = multivariate_normal_chol_batched(
+                res, dev["weights"], dev["slog_pdets"], hs, dev["nsamples"])
+            total = total + jnp.sum(llks)
+        return total
+
+    def get_synthetics(self, point: dict):
+        point = {k: jnp.asarray(v) for k, v in point.items()}
+        return {wmap.name: np.asarray(self.synthetics_windows(point, i))
+                for i, (wmap, _) in enumerate(self.wavemaps_libs)}
+
+    def get_variance_reductions(self, point: dict):
+        synths = self.get_synthetics(point)
+        out = {}
+        for wmap, _ in self.wavemaps_libs:
+            obs = wmap.data_windows
+            res = obs - synths[wmap.name]
+            out[wmap.name] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
+        return out

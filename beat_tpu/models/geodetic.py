@@ -1,0 +1,216 @@
+"""
+Geodetic composites: static surface-displacement likelihoods.
+
+Re-design of ``beat/models/geodetic.py``: the reference wires a pytensor
+graph with a ``GeoSynthesizer`` op calling pyrocko per draw
+(``GeodeticGeometryComposite.get_formula`` :605); here the forward model
+(Okada halfspace, later layered GF tables) runs inside the jitted
+log-likelihood, vmapped over chains.
+
+Data flow per evaluation (matching ``models/geodetic.py:605-680``):
+point -> per-source surface displacements (summed) -> LOS projection
+``(disp · los).sum(-1)`` -> corrections -> residual ``(obs - synth)·odw``
+-> per-dataset Cholesky-weighted Gaussian log-likelihood with noise
+hyperparameter scaling.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.covariance import GeodeticNoiseAnalyser
+from beat_tpu.distributions import multivariate_normal_chol
+from beat_tpu.heart.corrections import EulerPoleCorrection, RampCorrection, StrainRateCorrection
+from beat_tpu.heart.geodesy import DatasetStack
+from beat_tpu.heart.okada import okada_surface_displacement
+from beat_tpu.models.base import Composite
+from beat_tpu.sources import RectangularSource
+
+logger = logging.getLogger("beat_tpu.models.geodetic")
+
+
+class GeodeticComposite(Composite):
+    """
+    Shared machinery: dataset stacking, weights, hyperparams, corrections
+    (reference ``GeodeticComposite`` ``models/geodetic.py:40``).
+    """
+
+    name = "geodetic"
+
+    def __init__(self, datasets, noise_structure="import", hp_specific=False,
+                 corrections=None):
+        self.datasets = list(datasets)
+        self.stack = DatasetStack.from_datasets(self.datasets)
+        self.hp_specific = hp_specific
+        self.noise_analyser = GeodeticNoiseAnalyser(structure=noise_structure)
+        self.corrections = list(corrections or [])
+        self._device = {}
+        self._update_device_arrays()
+        logger.info("Geodetic composite: %i datasets, %i data points",
+                    len(self.datasets), self.stack.samples)
+
+    # -- weights ------------------------------------------------------------
+
+    def _update_device_arrays(self):
+        """Refresh per-dataset weight matrices on device
+        (reference ``init_weights`` ``models/geodetic.py``)."""
+        self._device = {
+            "data": jnp.asarray(self.stack.displacement, dtype=jnp.float32),
+            "los": jnp.asarray(self.stack.los, dtype=jnp.float32),
+            "odw": jnp.asarray(self.stack.odw, dtype=jnp.float32),
+            "coords": jnp.asarray(self.stack.coords, dtype=jnp.float32),
+            "weights": [jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
+                        for ds in self.datasets],
+            "slog_pdets": [jnp.float32(ds.covariance.log_pdet) for ds in self.datasets],
+        }
+
+    def update_weights(self, point: dict) -> None:
+        """Non-Toeplitz / residual-based covariance update at the MAP point
+        (reference ``analyse_noise`` ``models/geodetic.py:143``)."""
+        if self.noise_analyser.structure == "import":
+            return
+        synth = np.asarray(self.synthetics_los_np(point))
+        for ds, slc in zip(self.datasets, self.stack.slices):
+            residual = self.stack.displacement[slc] - synth[slc]
+            ds.covariance.data = self.noise_analyser.get_data_covariance(
+                ds.coords, ds.displacement, residual=residual)
+        self._update_device_arrays()
+
+    # -- hyperparameters ----------------------------------------------------
+
+    def get_hypernames(self):
+        if self.hp_specific:
+            return [f"h_{ds.typ}_{i}" for i, ds in enumerate(self.datasets)]
+        return sorted({f"h_{ds.typ}" for ds in self.datasets})
+
+    def _hyper_of(self, point, i, ds):
+        name = f"h_{ds.typ}_{i}" if self.hp_specific else f"h_{ds.typ}"
+        return point.get(name, 0.0)
+
+    # -- hierarchicals ------------------------------------------------------
+
+    def get_hierarchical_names(self):
+        names = []
+        for corr in self.corrections:
+            names.extend(corr.parameter_names)
+        return names
+
+    def _correction_displacement(self, point, ds, slc):
+        """Summed correction displacement for one dataset (LOS units)."""
+        out = 0.0
+        for corr in self.corrections:
+            if isinstance(corr, RampCorrection):
+                if corr.dataset_name != ds.name:
+                    continue
+                out = out + corr.displacement(point, self._device["coords"][slc])
+            elif isinstance(corr, (EulerPoleCorrection, StrainRateCorrection)):
+                if ds.typ != "GNSS":
+                    continue
+                out = out + corr.displacement(point, self._device["los"][slc])
+        return out
+
+    # -- likelihood ---------------------------------------------------------
+
+    def loglike(self, point: dict):
+        synth = self.synthetics_los(point)
+        llk = 0.0
+        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
+            corr = self._correction_displacement(point, ds, slc)
+            res = (self._device["data"][slc] - synth[slc] - corr) * self._device["odw"][slc]
+            llk = llk + multivariate_normal_chol(
+                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                self._hyper_of(point, i, ds))
+        return llk
+
+    def hyper_loglike(self, point: dict, fixed_point: dict):
+        """Hyperparameter-only likelihood with residuals frozen at
+        ``fixed_point`` (reference ``get_hyper_formula``)."""
+        synth = self.synthetics_los(fixed_point)
+        llk = 0.0
+        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
+            corr = self._correction_displacement(fixed_point, ds, slc)
+            res = (self._device["data"][slc] - synth[slc] - corr) * self._device["odw"][slc]
+            llk = llk + multivariate_normal_chol(
+                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                self._hyper_of(point, i, ds))
+        return llk
+
+    # -- diagnostics --------------------------------------------------------
+
+    def get_synthetics(self, point: dict) -> dict:
+        synth = np.asarray(self.synthetics_los_np(point))
+        return {ds.name: synth[slc] for ds, slc in zip(self.datasets, self.stack.slices)}
+
+    def get_standardized_residuals(self, point: dict) -> dict:
+        """Residuals whitened by the covariance Cholesky factor
+        (reference ``get_standardized_residuals``)."""
+        synth = np.asarray(self.synthetics_los_np(point))
+        out = {}
+        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
+            res = (self.stack.displacement[slc] - synth[slc]) * self.stack.odw[slc]
+            out[ds.name] = ds.covariance.chol_inverse @ res
+        return out
+
+    def get_variance_reductions(self, point: dict) -> dict:
+        synth = np.asarray(self.synthetics_los_np(point))
+        out = {}
+        for ds, slc in zip(self.datasets, self.stack.slices):
+            obs = self.stack.displacement[slc]
+            res = obs - synth[slc]
+            out[ds.name] = 1.0 - (res @ res) / max(obs @ obs, 1e-30)
+        return out
+
+
+class GeodeticGeometryComposite(GeodeticComposite):
+    """
+    Nonlinear source-geometry forward: sum of rectangular-dislocation
+    sources, analytic halfspace (reference ``GeodeticGeometryComposite``
+    ``models/geodetic.py:681``; engine replaced by the Okada kernel).
+    """
+
+    def __init__(self, datasets, sources, nu=0.25, **kwargs):
+        super().__init__(datasets, **kwargs)
+        self.sources = list(sources)
+        for src in self.sources:
+            if not isinstance(src, RectangularSource):
+                raise NotImplementedError(
+                    f"Geodetic geometry forward for {type(src).__name__} requires "
+                    "a layered GF table or point-source halfspace kernel "
+                    "(planned); RectangularSource is supported analytically.")
+        self.nu = nu
+
+    def _source_kwargs(self, point: dict, i: int) -> dict:
+        """Pull source-i parameters from the sampled point, falling back to
+        the template source (reference ``utility.split_point`` + sources)."""
+        src = self.sources[i]
+        kwargs = {}
+        for name in ("east_shift", "north_shift", "depth", "strike", "dip",
+                     "rake", "length", "width", "slip", "opening_fraction"):
+            if name in point:
+                val = point[name]
+                val = val[i] if getattr(val, "ndim", 0) > 0 and len(self.sources) > 1 else jnp.reshape(val, ())
+                kwargs[name] = val
+            else:
+                kwargs[name] = getattr(src, name)
+        return kwargs
+
+    def synthetics_los(self, point: dict):
+        """LOS-projected synthetic displacement, pure JAX (Ntot,)."""
+        coords = self._device["coords"]
+        disp = jnp.zeros((coords.shape[0], 3))
+        for i in range(len(self.sources)):
+            kw = self._source_kwargs(point, i)
+            opening_frac = kw.pop("opening_fraction")
+            slip_total = kw.pop("slip")
+            disp = disp + okada_surface_displacement(
+                coords, slip=slip_total * (1.0 - jnp.abs(opening_frac)),
+                opening=slip_total * opening_frac, nu=self.nu,
+                anchor=self.sources[i].anchor, **kw)
+        return jnp.sum(disp * self._device["los"], axis=-1)
+
+    def synthetics_los_np(self, point: dict):
+        point = {k: jnp.asarray(v) for k, v in point.items()}
+        return self.synthetics_los(point)

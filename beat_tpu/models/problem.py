@@ -1,0 +1,184 @@
+"""
+Problem: assembles priors + composites into one log-posterior and drives
+the samplers.
+
+Re-design of ``beat/models/problems.py``: ``built_model`` (pymc graph,
+:212) becomes ``make_logp_fn`` (pure JAX closure); ``init_sampler`` /
+``sample`` (:121, ``models/base.py:195``) dispatch to the on-device
+samplers; ``estimate_hypers`` (``models/base.py:304``) runs the cheap
+hyperparameter-only Metropolis and rewrites hyper prior bounds.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.backend import SampleStage, summarize_trace
+from beat_tpu.parameter import Parameter, PriorSet
+from beat_tpu.samplers import PTParams, SMCParams, metropolis_sample, pt_sample, smc_sample
+
+logger = logging.getLogger("beat_tpu.models.problem")
+
+
+class Problem:
+    """
+    A fully-specified inverse problem: sampled parameters (source priors +
+    hyperparameters + hierarchicals) and the composites whose likelihoods
+    sum into ``like`` (reference ``Problem.built_model``
+    ``models/problems.py:212-248``).
+    """
+
+    def __init__(self, priors: PriorSet, composites: dict, outfolder: str = "out",
+                 sampler_params=None, hyper_sampler_params=None):
+        self.source_priors = priors
+        self.composites = dict(composites)
+        self.outfolder = outfolder
+        self.sampler_params = sampler_params or SMCParams()
+        self.hyper_sampler_params = hyper_sampler_params
+
+        # full sampled space: source params + hierarchicals + hyperparams
+        self.priors = PriorSet()
+        for p in priors.parameters.values():
+            self.priors.add(p)
+        for comp in self.composites.values():
+            for p in comp.get_hierarchical_parameters():
+                if p.name not in self.priors:
+                    self.priors.add(p)
+        for comp in self.composites.values():
+            for p in comp.get_hyper_parameters():
+                if p.name not in self.priors:
+                    self.priors.add(p)
+
+    @property
+    def ordering(self):
+        return self.priors.ordering
+
+    @property
+    def hypernames(self):
+        names = []
+        for comp in self.composites.values():
+            names.extend(comp.get_hypernames())
+        return names
+
+    # -- log-posterior assembly ---------------------------------------------
+
+    def make_logp_fn(self):
+        """Pure function q(flat) -> total data log-likelihood ('like')."""
+        ordering = self.ordering
+        comps = list(self.composites.values())
+
+        def logp(q):
+            point = ordering.to_point(q)
+            total = 0.0
+            for comp in comps:
+                total = total + comp.loglike(point)
+            return total
+
+        return logp
+
+    def make_hyper_logp_fn(self, fixed_point: dict):
+        """Hyperparameter-only posterior with residuals frozen at
+        ``fixed_point`` (reference ``built_hyper_model`` :261)."""
+        ordering = self.ordering
+        comps = list(self.composites.values())
+        fixed = {k: jnp.asarray(v) for k, v in fixed_point.items()}
+
+        def logp(q):
+            point = ordering.to_point(q)
+            total = 0.0
+            for comp in comps:
+                total = total + comp.hyper_loglike(point, fixed)
+            return total
+
+        return logp
+
+    # -- sampling -----------------------------------------------------------
+
+    def sample(self, params=None, update_weights: bool = False):
+        """Run the configured sampler (reference ``models/base.py:195``)."""
+        params = params or self.sampler_params
+        lower, upper = self.priors.bounds_arrays()
+        logp_fn = self.make_logp_fn()
+        os.makedirs(self.outfolder, exist_ok=True)
+
+        update_cb = None
+        if update_weights:
+            def update_cb(map_q):
+                point = self.ordering.to_point(map_q)
+                self.update_weights(point)
+
+        if isinstance(params, SMCParams):
+            return smc_sample(logp_fn, lower, upper, params,
+                              homepath=self.outfolder, ordering=self.ordering,
+                              update_weights=update_cb)
+        elif isinstance(params, PTParams):
+            return pt_sample(logp_fn, lower, upper, params,
+                             homepath=self.outfolder, ordering=self.ordering)
+        raise TypeError(f"Unknown sampler params {type(params)}")
+
+    def estimate_hypers(self, n_steps: int = 5000, n_chains: int = 20):
+        """
+        Cheap hyperparameter-only Metropolis run; rewrites hyper prior
+        bounds around the sampled range (reference ``estimate_hypers``
+        ``models/base.py:304-379``).
+        """
+        test_point = self.priors.test_point()
+        logp_fn = self.make_hyper_logp_fn(test_point)
+        lower, upper = self.priors.bounds_arrays()
+        q_tr, _ = metropolis_sample(
+            logp_fn, lower, upper, n_chains=n_chains, n_steps=n_steps,
+            burn=0.5, thin=2)
+        samples = q_tr.reshape(-1, q_tr.shape[-1])
+        for name in self.hypernames:
+            slc = self.ordering.slice_of(name)
+            vals = samples[:, slc]
+            lo = np.floor(vals.min(axis=0) - 1.0)
+            hi = np.ceil(vals.max(axis=0) + 1.0)
+            par = self.priors[name]
+            par.lower = np.maximum(lo, -10.0)
+            par.upper = np.minimum(hi, 10.0)
+            par.testvalue = (par.lower + par.upper) / 2.0
+            logger.info("Hyper %s bounds -> [%s, %s]", name, par.lower, par.upper)
+        return {name: (self.priors[name].lower, self.priors[name].upper)
+                for name in self.hypernames}
+
+    # -- utilities ----------------------------------------------------------
+
+    def point_to_array(self, point: dict) -> np.ndarray:
+        """Flatten a (possibly partial) point; unspecified variables take
+        their prior test values (the reference bijection's dummy-fill for
+        fixed variables, ``utility.py:184-208``)."""
+        full = self.priors.test_point()
+        full.update(point)
+        return self.ordering.to_array(full)
+
+    def update_weights(self, point: dict) -> None:
+        for comp in self.composites.values():
+            comp.update_weights(point)
+
+    def get_synthetics(self, point: dict) -> dict:
+        return {name: comp.get_synthetics(point)
+                for name, comp in self.composites.items()}
+
+    def get_variance_reductions(self, point: dict) -> dict:
+        return {name: comp.get_variance_reductions(point)
+                for name, comp in self.composites.items()}
+
+    def summarize(self, stage: int = -1) -> dict:
+        handler = SampleStage(self.outfolder, ordering=self.ordering)
+        return summarize_trace(handler.load_trace(stage))
+
+
+def load_model(project_dir: str, mode: str = "geometry", build: bool = True) -> Problem:
+    """
+    Load a problem from a project directory config
+    (reference ``load_model`` ``models/problems.py:883``).
+    """
+    from beat_tpu.config import load_config, problem_from_config
+
+    config = load_config(project_dir, mode)
+    return problem_from_config(config, project_dir, build=build)

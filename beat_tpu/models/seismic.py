@@ -1,0 +1,245 @@
+"""
+Seismic composites: waveform likelihoods for geometry mode (point/finite
+sources via GF-table synthesis) and — later rounds — kinematic FFI.
+
+Re-design of ``beat/models/seismic.py``: ``SeismicGeometryComposite``
+(:637) wires ``SeisSynthesizer`` (pytensor op → pyrocko engine) into the
+graph; here the full synthesis (table gather → MT weighting → STF/shift
+phasors → irfft → window/taper) happens inside the jitted likelihood.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax.numpy as jnp
+import numpy as np
+
+from beat_tpu.distributions import multivariate_normal_chol_batched
+from beat_tpu.models.base import Composite
+from beat_tpu.sources import DCSource, ExplosionSource, MTQTSource, MTSource, sdr_to_m6
+
+logger = logging.getLogger("beat_tpu.models.seismic")
+
+
+def source_m6(template, point: dict, idx: int, n_sources: int):
+    """Traced NED m6 for source ``idx`` from the sampled point, falling
+    back to template attribute values."""
+
+    def get(name):
+        if name in point:
+            val = point[name]
+            return val[idx] if getattr(val, "ndim", 0) > 0 and n_sources > 1 \
+                else jnp.reshape(val, ())
+        return jnp.asarray(getattr(template, name))
+
+    if isinstance(template, MTSource):
+        from beat_tpu.sources import SQRT2, magnitude_to_moment
+
+        comps = jnp.stack([get("mnn"), get("mee"), get("mdd"),
+                           get("mne"), get("mnd"), get("med")])
+        # Frobenius scalar moment: off-diagonals count twice
+        # (reference ``MTSourceWithMagnitude.scaled_m6``
+        # ``beat/sources.py:630-637``)
+        norm = jnp.sqrt(jnp.sum(comps[:3] ** 2) + 2.0 * jnp.sum(comps[3:] ** 2)) / SQRT2
+        return comps / jnp.maximum(norm, 1e-20) * magnitude_to_moment(get("magnitude"))
+    elif isinstance(template, MTQTSource):
+        from beat_tpu.sources import mtqt_to_m6
+
+        return mtqt_to_m6(get("w"), get("v"), get("kappa"), get("sigma"),
+                          get("h"), get("magnitude"))
+    elif isinstance(template, DCSource):
+        from beat_tpu.sources import magnitude_to_moment
+
+        return sdr_to_m6(get("strike"), get("dip"), get("rake"),
+                         magnitude_to_moment(get("magnitude")))
+    elif isinstance(template, ExplosionSource):
+        from beat_tpu.sources import magnitude_to_moment
+
+        m0 = magnitude_to_moment(get("magnitude")) if template.magnitude is not None \
+            else 33e9 * get("volume_change")
+        zero = jnp.zeros(())
+        return jnp.stack([m0, m0, m0, zero, zero, zero])
+    raise NotImplementedError(f"m6 for {type(template).__name__}")
+
+
+class SeismicGeometryComposite(Composite):
+    """
+    Waveform likelihood for point-source geometry inversion
+    (reference ``SeismicGeometryComposite`` ``models/seismic.py:637``).
+    """
+
+    name = "seismic"
+
+    def __init__(self, wavemaps, sources, stf_type="HalfSinusoid",
+                 hp_specific=False, noise_analyser=None):
+        self.wavemaps = list(wavemaps)
+        self.sources = list(sources)
+        self.stf_type = stf_type
+        self.hp_specific = hp_specific
+        self.noise_analyser = noise_analyser
+        self._device = []
+        for wmap in self.wavemaps:
+            if wmap.datasets[0].covariance is None:
+                wmap.analyse_noise(noise_analyser)
+            self._device.append(self._wavemap_device(wmap))
+        n_targets = sum(w.ntargets for w in self.wavemaps)
+        logger.info("Seismic composite: %i wavemaps, %i targets",
+                    len(self.wavemaps), n_targets)
+
+    def _wavemap_device(self, wmap):
+        return {
+            "data": jnp.asarray(wmap.data_windows),
+            "station_east": jnp.asarray(wmap.station_east, dtype=jnp.float32),
+            "station_north": jnp.asarray(wmap.station_north, dtype=jnp.float32),
+            "comp_idx": jnp.asarray(wmap.comp_idx),
+            "window_starts": jnp.asarray(wmap.window_starts),
+            "taper": jnp.asarray(wmap.taper_window, dtype=jnp.float32),
+            "filter": jnp.asarray(wmap.filter_response),
+            "weights": jnp.stack([jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
+                                  for ds in wmap.datasets]),
+            "slog_pdets": jnp.asarray([ds.covariance.log_pdet for ds in wmap.datasets],
+                                      dtype=jnp.float32),
+            "nsamples": jnp.asarray([wmap.nsamples_win] * wmap.ntargets,
+                                    dtype=jnp.float32),
+        }
+
+    # -- hyperparams --------------------------------------------------------
+
+    def get_hypernames(self):
+        if self.hp_specific:
+            return [f"{w.hypername}_{i}" for w in self.wavemaps
+                    for i in range(w.ntargets)]
+        return [w.hypername for w in self.wavemaps]
+
+    def get_hierarchical_names(self):
+        names = []
+        for wmap in self.wavemaps:
+            names.extend(wmap.time_shift_names())
+        return names
+
+    # -- forward ------------------------------------------------------------
+
+    def _source_scalar(self, point, name, idx, default):
+        if name in point:
+            val = point[name]
+            return val[idx] if getattr(val, "ndim", 0) > 0 and len(self.sources) > 1 \
+                else jnp.reshape(val, ())
+        return jnp.asarray(default)
+
+    def synthetics_windows(self, point: dict, wmap_idx: int):
+        """(ntargets, nsamples_win) synthetic windows for one wavemap."""
+        wmap = self.wavemaps[wmap_idx]
+        dev = self._device[wmap_idx]
+        spec_total = 0.0
+        for i, src in enumerate(self.sources):
+            m6 = source_m6(src, point, i, len(self.sources))
+            spec = wmap.table.synthesize_spectra(
+                m6,
+                east_shift=self._source_scalar(point, "east_shift", i, src.east_shift),
+                north_shift=self._source_scalar(point, "north_shift", i, src.north_shift),
+                depth=self._source_scalar(point, "depth", i, src.depth),
+                time_shift=self._source_scalar(point, "time", i, src.time),
+                duration=self._source_scalar(point, "duration", i,
+                                             getattr(src, "duration", 0.0) or 1.0),
+                station_east=dev["station_east"],
+                station_north=dev["station_north"],
+                comp_idx=dev["comp_idx"],
+                stf_type=self.stf_type,
+                filter_response=dev["filter"])
+            spec_total = spec_total + spec
+
+        # station-correction time shifts (reference models/seismic.py:1281)
+        if wmap.station_corrections:
+            freqs = jnp.asarray(wmap.table.freqs)
+            shifts = jnp.stack([point[n] for n in wmap.time_shift_names()])
+            spec_total = spec_total * jnp.exp(
+                -1j * 2 * jnp.pi * freqs[None, :] * shifts[:, None])
+
+        return wmap.table.synthesize_windows(
+            spec_total, dev["window_starts"], dev["taper"], wmap.nsamples_win)
+
+    # -- likelihood ---------------------------------------------------------
+
+    def _hyper_vector(self, point, wmap, w_idx):
+        if self.hp_specific:
+            return jnp.stack([point.get(f"{wmap.hypername}_{i}", 0.0)
+                              for i in range(wmap.ntargets)])
+        h = point.get(wmap.hypername, 0.0)
+        return jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))
+
+    def loglike(self, point: dict):
+        total = 0.0
+        for w_idx, wmap in enumerate(self.wavemaps):
+            dev = self._device[w_idx]
+            synth = self.synthetics_windows(point, w_idx)
+            res = dev["data"] - synth
+            llks = multivariate_normal_chol_batched(
+                res, dev["weights"], dev["slog_pdets"],
+                self._hyper_vector(point, wmap, w_idx), dev["nsamples"])
+            total = total + jnp.sum(llks)
+        return total
+
+    def hyper_loglike(self, point: dict, fixed_point: dict):
+        total = 0.0
+        for w_idx, wmap in enumerate(self.wavemaps):
+            dev = self._device[w_idx]
+            synth = self.synthetics_windows(fixed_point, w_idx)
+            res = dev["data"] - synth
+            llks = multivariate_normal_chol_batched(
+                res, dev["weights"], dev["slog_pdets"],
+                self._hyper_vector(point, wmap, w_idx), dev["nsamples"])
+            total = total + jnp.sum(llks)
+        return total
+
+    # -- updates / diagnostics ----------------------------------------------
+
+    def update_weights(self, point: dict) -> None:
+        """Residual-based covariance re-estimation at the MAP point
+        (reference ``update_weights`` ``models/seismic.py:957``)."""
+        if self.noise_analyser is None or self.noise_analyser.structure != "non-toeplitz":
+            return
+        for w_idx, wmap in enumerate(self.wavemaps):
+            synth = np.asarray(self.synthetics_windows(
+                {k: jnp.asarray(v) for k, v in point.items()}, w_idx))
+            res = wmap.data_windows - synth
+            from beat_tpu.covariance import Covariance, non_toeplitz_covariance
+
+            for i, ds in enumerate(wmap.datasets):
+                ds.covariance = Covariance(data=non_toeplitz_covariance(
+                    res[i], window_size=max(4, res[i].size // 5)))
+            self._device[w_idx] = self._wavemap_device(wmap)
+
+    def get_synthetics(self, point: dict) -> dict:
+        point = {k: jnp.asarray(v) for k, v in point.items()}
+        out = {}
+        for w_idx, wmap in enumerate(self.wavemaps):
+            out[wmap.name] = np.asarray(self.synthetics_windows(point, w_idx))
+        return out
+
+    def get_variance_reductions(self, point: dict) -> dict:
+        synths = self.get_synthetics(point)
+        out = {}
+        for wmap in self.wavemaps:
+            obs = wmap.data_windows
+            res = obs - synths[wmap.name]
+            out[wmap.name] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
+        return out
+
+    def get_standardized_residuals(self, point: dict) -> dict:
+        synths = self.get_synthetics(point)
+        out = {}
+        for w_idx, wmap in enumerate(self.wavemaps):
+            res = wmap.data_windows - synths[wmap.name]
+            out[wmap.name] = np.stack([
+                ds.covariance.chol_inverse @ res[i]
+                for i, ds in enumerate(wmap.datasets)])
+        return out
+
+
+def build_seismic_composite(seismic_config, project_dir, sources):
+    """Construct the composite from config + project data
+    (CLI path; reference ``SeismicComposite.__init__``)."""
+    raise NotImplementedError(
+        "Config-driven seismic data loading lands with the importers; "
+        "construct SeismicGeometryComposite directly from WaveformMappings.")

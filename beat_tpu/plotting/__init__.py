@@ -1,0 +1,29 @@
+"""
+Post-processing plots (matplotlib backend).
+
+Re-design of ``beat/plotting/`` (``plots_catalog``
+``beat/plotting/__init__.py:7-25``).  GMT-based map plots of the
+reference are re-implemented in matplotlib; each plot function takes a
+Problem + stage trace and writes a PNG/PDF into
+``<outfolder>/figures/``.
+"""
+
+from beat_tpu.plotting.marginals import plot_correlation_hist, plot_stage_posteriors
+from beat_tpu.plotting.geodetic import plot_scene_fits
+from beat_tpu.plotting.seismic import plot_station_variance_reductions, plot_waveform_fits
+from beat_tpu.plotting.ffi import plot_moment_rate, plot_slip_distribution
+from beat_tpu.plotting.mt import plot_fuzzy_beachball, plot_hudson, plot_lune
+
+#: name -> (function, modes, datatypes) — reference plots_catalog parity
+plots_catalog = {
+    "stage_posteriors": plot_stage_posteriors,
+    "correlation_hist": plot_correlation_hist,
+    "scene_fits": plot_scene_fits,
+    "waveform_fits": plot_waveform_fits,
+    "station_variance_reductions": plot_station_variance_reductions,
+    "slip_distribution": plot_slip_distribution,
+    "moment_rate": plot_moment_rate,
+    "hudson": plot_hudson,
+    "lune": plot_lune,
+    "fuzzy_beachball": plot_fuzzy_beachball,
+}

@@ -1,0 +1,119 @@
+"""FFI plots: slip distribution and moment rate
+(reference ``beat/plotting/ffi.py``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from beat_tpu.plotting.common import PlotOptions, format_axes, save_figure
+
+
+def plot_slip_distribution(problem, po: PlotOptions | None = None, point=None,
+                           fault=None):
+    """
+    Posterior-mean slip on the fault plane grid with rupture-onset
+    contours when kinematic variables are present
+    (reference ``slip_distribution``).
+    """
+    import matplotlib.pyplot as plt
+
+    from beat_tpu.backend import SampleStage
+
+    po = po or PlotOptions()
+    if fault is None:
+        for comp in problem.composites.values():
+            if hasattr(comp, "fault"):
+                fault = comp.fault
+                break
+    if fault is None:
+        raise ValueError("No fault geometry in problem composites")
+
+    handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+    trace = handler.load_trace(po.load_stage)
+    flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
+    mean_point = problem.ordering.to_point(flat.mean(axis=0))
+    if point is not None:
+        mean_point.update(point)
+
+    uparr = np.asarray(mean_point.get("uparr", np.zeros(fault.npatches)))
+    uperp = np.asarray(mean_point.get("uperp", np.zeros(fault.npatches)))
+    slip = np.sqrt(uparr**2 + uperp**2)
+
+    n_sf = fault.nsubfaults
+    fig, axes = plt.subplots(n_sf, 1, figsize=(8, 4 * n_sf), squeeze=False)
+    for i in range(n_sf):
+        sf = fault.get_subfault(i)
+        slc = fault.ordering.slices[i]
+        grid = slip[slc].reshape(sf.n_dip, sf.n_strike)
+        ax = axes[i][0]
+        im = ax.imshow(grid, cmap="hot_r", aspect="auto",
+                       extent=[0, sf.plane.length / 1e3, sf.plane.width / 1e3, 0])
+        fig.colorbar(im, ax=ax, label="slip [m]")
+        # rupture-onset contours if kinematic variables sampled
+        if "velocities" in mean_point and "nucleation_strike" in mean_point:
+            import jax.numpy as jnp
+
+            times = np.asarray(fault.point2starttimes(
+                i, jnp.asarray(mean_point["velocities"][slc]),
+                float(np.atleast_1d(mean_point["nucleation_strike"])[i]),
+                float(np.atleast_1d(mean_point["nucleation_dip"])[i]),
+            )).reshape(sf.n_dip, sf.n_strike)
+            s = (np.arange(sf.n_strike) + 0.5) * sf.patch_length / 1e3
+            d = (np.arange(sf.n_dip) + 0.5) * sf.patch_width / 1e3
+            cs = ax.contour(s, d, times, colors="k", linewidths=0.7)
+            ax.clabel(cs, fontsize=6, fmt="%.1f s")
+        ax.set_xlabel("along strike [km]")
+        ax.set_ylabel("down dip [km]")
+    fig.tight_layout()
+    return save_figure(fig, problem.outfolder, "slip_distribution", po)
+
+
+def plot_moment_rate(problem, po: PlotOptions | None = None, fault=None,
+                     shear_modulus=33e9, n_samples: int = 100):
+    """
+    Posterior ensemble of moment-rate functions from slip + durations +
+    rupture onsets (reference ``moment_rate``).
+    """
+    import jax.numpy as jnp
+    import matplotlib.pyplot as plt
+
+    from beat_tpu.backend import SampleStage
+    from beat_tpu.sources import half_sinusoid_stf
+
+    po = po or PlotOptions()
+    if fault is None:
+        for comp in problem.composites.values():
+            if hasattr(comp, "fault"):
+                fault = comp.fault
+                break
+    handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+    trace = handler.load_trace(po.load_stage)
+    flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
+    idx = np.linspace(0, flat.shape[0] - 1, min(n_samples, flat.shape[0])).astype(int)
+
+    t = np.linspace(0, 30, 300)
+    fig, ax = plt.subplots(figsize=(7, 4))
+    areas = fault.patch_areas()
+    for q in flat[idx]:
+        point = problem.ordering.to_point(q)
+        uparr = np.asarray(np.atleast_1d(point.get("uparr", 0.0)))
+        durations = np.asarray(np.atleast_1d(point.get("durations",
+                                                       np.ones(fault.npatches))))
+        if "velocities" in point:
+            st = np.asarray(fault.point2starttimes(
+                0, jnp.asarray(point["velocities"]),
+                float(point.get("nucleation_strike", 0.0)),
+                float(point.get("nucleation_dip", 0.0))))
+        else:
+            st = np.zeros(fault.npatches)
+        rate = np.zeros_like(t)
+        for p in range(fault.npatches):
+            m0 = shear_modulus * areas[p] * abs(uparr[p]) if uparr.size > 1 \
+                else shear_modulus * areas[p] * abs(float(uparr))
+            rate += m0 * np.asarray(half_sinusoid_stf(
+                jnp.asarray(t - st[p]), float(durations[p] if durations.size > 1 else durations)))
+        ax.plot(t, rate, color="grey", alpha=0.2, lw=0.6)
+    ax.set_xlabel("time after origin [s]")
+    ax.set_ylabel("moment rate [Nm/s]")
+    format_axes(ax)
+    return save_figure(fig, problem.outfolder, "moment_rate", po)

@@ -1,0 +1,410 @@
+"""
+Source parameterizations.
+
+Re-design of ``beat/sources.py`` without pyrocko: sources are light
+dataclasses whose geometry/moment-tensor math is JAX-traceable, so a
+sampler point maps to forward-model inputs entirely on device.
+
+Catalog parity (reference ``source_catalog`` ``beat/sources.py:694-721``):
+RectangularSource, MTSource, MTQTSource (Tape & Tape 2015 lune), DCSource,
+ExplosionSource, plus the STF catalog (Boxcar/Triangular/HalfSinusoid,
+``beat/sources.py:723-729``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+SQRT2 = math.sqrt(2.0)
+SQRT3 = math.sqrt(3.0)
+SQRT6 = math.sqrt(6.0)
+PI4 = math.pi / 4.0
+
+# pyrocko convention used throughout the reference:
+# M0 [Nm] = 10^(1.5·(Mw + 10.7)) · 1e-7
+MOMENT_EXP_OFFSET = 1.5 * 10.7 - 7.0  # = 9.05
+
+
+def magnitude_to_moment(magnitude):
+    return 10.0 ** (1.5 * magnitude + MOMENT_EXP_OFFSET)
+
+
+def moment_to_magnitude(moment):
+    return (jnp.log10(moment) - MOMENT_EXP_OFFSET) / 1.5
+
+
+# ---------------------------------------------------------------------------
+# Rotation helpers (NWU frame, as in Tape & Tape 2015)
+# ---------------------------------------------------------------------------
+
+
+def rot_x(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.array([[1.0, 0.0, 0.0], [0.0, c, -s], [0.0, s, c]])
+
+
+def rot_y(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
+
+
+def rot_z(angle):
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+# ---------------------------------------------------------------------------
+# Moment-tensor conversions
+# ---------------------------------------------------------------------------
+
+
+def sdr_to_m6(strike, dip, rake, moment=1.0):
+    """
+    Double couple (strike, dip, rake [deg]) -> MT components in NED basis
+    (Aki & Richards box 4.4).  Returns (mnn, mee, mdd, mne, mnd, med)·M0.
+    """
+    phi = jnp.deg2rad(strike)
+    delta = jnp.deg2rad(dip)
+    lam = jnp.deg2rad(rake)
+    sd, cd = jnp.sin(delta), jnp.cos(delta)
+    s2d, c2d = jnp.sin(2 * delta), jnp.cos(2 * delta)
+    sl, cl = jnp.sin(lam), jnp.cos(lam)
+    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    s2p, c2p = jnp.sin(2 * phi), jnp.cos(2 * phi)
+
+    mnn = -(sd * cl * s2p + s2d * sl * sp**2)
+    mee = sd * cl * s2p - s2d * sl * cp**2
+    mdd = s2d * sl
+    mne = sd * cl * c2p + 0.5 * s2d * sl * s2p
+    mnd = -(cd * cl * cp + c2d * sl * sp)
+    med = -(cd * cl * sp - c2d * sl * cp)
+    return moment * jnp.stack([mnn, mee, mdd, mne, mnd, med])
+
+
+def tensile_m6(strike, dip, potency, lam=33e9, mu=33e9):
+    """
+    Moment tensor of a tensile crack opening normal to a plane with the
+    given strike/dip [deg]: M = potency·(λ·I + 2µ·n nᵀ), NED basis.
+    ``potency`` = area × opening [m³].
+    """
+    phi = jnp.deg2rad(strike)
+    delta = jnp.deg2rad(dip)
+    # fault normal (hanging-wall side, pointing up) in NED
+    # (Aki & Richards): n = (-sinδ·sinφ, sinδ·cosφ, -cosδ)
+    n_vec = jnp.stack([-jnp.sin(delta) * jnp.sin(phi),
+                       jnp.sin(delta) * jnp.cos(phi),
+                       -jnp.cos(delta)])
+    nn = jnp.outer(n_vec, n_vec)
+    M = potency * (lam * jnp.eye(3) + 2.0 * mu * nn)
+    return matrix_to_m6(M)
+
+
+def m6_to_matrix(m6):
+    """(mnn, mee, mdd, mne, mnd, med) -> symmetric 3x3 in NED."""
+    mnn, mee, mdd, mne, mnd, med = (m6[..., i] for i in range(6))
+    row0 = jnp.stack([mnn, mne, mnd], axis=-1)
+    row1 = jnp.stack([mne, mee, med], axis=-1)
+    row2 = jnp.stack([mnd, med, mdd], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+def matrix_to_m6(m):
+    return jnp.stack([m[..., 0, 0], m[..., 1, 1], m[..., 2, 2],
+                      m[..., 0, 1], m[..., 0, 2], m[..., 1, 2]], axis=-1)
+
+
+# --- Tape & Tape 2015 lune parameterization (reference sources.py:403-599) --
+
+_N_BETA = 1000
+_BETA_TABLE = np.linspace(0.0, np.pi, _N_BETA)
+_U_TABLE = (0.75 * _BETA_TABLE
+            - 0.5 * np.sin(2.0 * _BETA_TABLE)
+            + 0.0625 * np.sin(4.0 * _BETA_TABLE))
+
+_LAMBDA_FACTOR = np.array(
+    [[SQRT3, -1.0, SQRT2], [0.0, 2.0, SQRT2], [-SQRT3, -1.0, SQRT2]])
+
+
+def v_to_gamma(v):
+    """Lune longitude γ from v: v = (1/3)·sin(3γ)."""
+    return jnp.arcsin(3.0 * v) / 3.0
+
+
+def w_to_beta(w):
+    """
+    Lune colatitude β from w = (3π/8) − u, where
+    u(β) = ¾β − ½sin2β + (1/16)sin4β, inverted by table interpolation
+    (reference ``U_MAPPING``/``BETA_MAPPING`` ``beat/sources.py:31-37``).
+    """
+    u = 3.0 / 8.0 * jnp.pi - w
+    return jnp.interp(u, jnp.asarray(_U_TABLE), jnp.asarray(_BETA_TABLE))
+
+
+def mtqt_to_m6(w, v, kappa, sigma, h, magnitude):
+    """
+    (w, v, κ, σ, h, Mw) -> m6 in NED.  Orientation math in NWU then
+    rotated to NED by Rx(π), as the reference does
+    (``MTQTSource.m9`` ``beat/sources.py:528-534``).
+    """
+    rho = magnitude_to_moment(magnitude) * SQRT2
+    beta = w_to_beta(w)
+    gamma = v_to_gamma(v)
+    theta = jnp.arccos(h)
+
+    sb, cb = jnp.sin(beta), jnp.cos(beta)
+    sg, cg = jnp.sin(gamma), jnp.cos(gamma)
+    vec = jnp.stack([sb * cg, sb * sg, cb])
+    lam = (1.0 / SQRT6) * (jnp.asarray(_LAMBDA_FACTOR) @ vec) * rho
+    lam_matrix = jnp.diag(lam)
+
+    rot_V = rot_z(-kappa) @ rot_x(theta) @ rot_z(sigma)
+    rot_U = rot_V @ rot_y(-PI4)
+    m_nwu = rot_U @ lam_matrix @ jnp.linalg.inv(rot_U)
+    rx = rot_x(jnp.pi)
+    m_ned = rx @ m_nwu @ rx.T
+    return matrix_to_m6(m_ned)
+
+
+# ---------------------------------------------------------------------------
+# Source classes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class BaseSource:
+    """Common location/time parameters of all sources."""
+
+    east_shift: float = 0.0   # [m]
+    north_shift: float = 0.0  # [m]
+    depth: float = 1000.0     # [m]
+    time: float = 0.0         # [s] relative to event reference
+    duration: float = 1.0     # [s] source-time-function duration
+
+    #: names the sampler may vary for this source type
+    parameter_names = ("east_shift", "north_shift", "depth", "time")
+
+    def to_dict(self):
+        from dataclasses import asdict
+
+        d = asdict(self)
+        d["type"] = type(self).__name__
+        return d
+
+
+@dataclass
+class RectangularSource(BaseSource):
+    """
+    Rectangular fault plane (reference ``beat.sources.RectangularSource``
+    ``beat/sources.py:46-400``).  Anchor convention 'top' (top-center),
+    with conversions as in the reference ``anchor`` handling (:118-157).
+    """
+
+    strike: float = 0.0   # [deg]
+    dip: float = 90.0     # [deg]
+    rake: float = 0.0     # [deg]
+    length: float = 1000.0  # [m]
+    width: float = 1000.0   # [m]
+    slip: float = 1.0       # [m]
+    opening_fraction: float = 0.0  # tensile fraction of slip
+    anchor: str = "top"
+    #: kinematic attributes (FFI mode)
+    velocity: float = 3500.0      # rupture velocity [m/s]
+    duration: float = 0.0         # STF duration [s]
+    nucleation_x: float = 0.0     # [-1, 1] along strike
+    nucleation_y: float = 0.0     # [-1, 1] down dip
+
+    parameter_names = ("east_shift", "north_shift", "depth", "strike", "dip",
+                       "rake", "length", "width", "slip", "opening_fraction",
+                       "time", "velocity", "duration",
+                       "nucleation_x", "nucleation_y")
+
+    @property
+    def dipvector(self) -> np.ndarray:
+        """Unit vector down-dip (ENU, z negative down)
+        (reference ``sources.py:56-70``)."""
+        st, di = np.deg2rad(self.strike), np.deg2rad(self.dip)
+        return np.array([np.cos(di) * np.cos(st),
+                         -np.cos(di) * np.sin(st),
+                         -np.sin(di)])
+
+    @property
+    def strikevector(self) -> np.ndarray:
+        st = np.deg2rad(self.strike)
+        return np.array([np.sin(st), np.cos(st), 0.0])
+
+    def surface_displacement(self, coords, nu=0.25):
+        """Static surface displacement (N, 3 = E,N,U) via Okada."""
+        from beat_tpu.heart.okada import okada_surface_displacement
+
+        slip_shear = self.slip * (1.0 - abs(self.opening_fraction))
+        opening = self.slip * self.opening_fraction
+        return okada_surface_displacement(
+            coords,
+            east_shift=self.east_shift, north_shift=self.north_shift,
+            depth=self.depth, strike=self.strike, dip=self.dip,
+            rake=self.rake, length=self.length, width=self.width,
+            slip=slip_shear, opening=opening, nu=nu, anchor=self.anchor)
+
+    def patches(self, n_length: int, n_width: int) -> list["RectangularSource"]:
+        """
+        Uniform discretization into n_length × n_width sub-faults
+        (reference ``RectangularSource.patches``), each anchored 'top'.
+        """
+        pl = self.length / n_length
+        pw = self.width / n_width
+        st = np.deg2rad(self.strike)
+        di = np.deg2rad(self.dip)
+        s_vec = np.array([np.sin(st), np.cos(st)])        # E,N along strike
+        d_vec_h = np.array([np.cos(st), -np.sin(st)])     # E,N horizontal dip dir
+        out = []
+        for iw in range(n_width):
+            for il in range(n_length):
+                # top-center anchor of this patch
+                along = (il + 0.5) * pl - self.length / 2.0
+                downdip = iw * pw
+                e = self.east_shift + along * s_vec[0] + downdip * np.cos(di) * d_vec_h[0]
+                n = self.north_shift + along * s_vec[1] + downdip * np.cos(di) * d_vec_h[1]
+                z = self.depth + downdip * np.sin(di)
+                out.append(RectangularSource(
+                    east_shift=e, north_shift=n, depth=z, time=self.time,
+                    strike=self.strike, dip=self.dip, rake=self.rake,
+                    length=pl, width=pw, slip=self.slip,
+                    opening_fraction=self.opening_fraction, anchor="top",
+                    velocity=self.velocity))
+        return out
+
+    @property
+    def bottom_depth(self):
+        return self.depth + self.width * np.sin(np.deg2rad(self.dip))
+
+    def center(self):
+        """(E, N, Z) of the plane center [m]."""
+        st, di = np.deg2rad(self.strike), np.deg2rad(self.dip)
+        d_vec_h = np.array([np.cos(st), -np.sin(st)])
+        half_w = 0.5 * self.width
+        return np.array([
+            self.east_shift + half_w * np.cos(di) * d_vec_h[0],
+            self.north_shift + half_w * np.cos(di) * d_vec_h[1],
+            self.depth + half_w * np.sin(di)])
+
+
+@dataclass
+class MTSource(BaseSource):
+    """Full moment tensor with unit-normalised components + magnitude
+    (reference ``MTSourceWithMagnitude`` ``beat/sources.py:599``)."""
+
+    mnn: float = 1.0
+    mee: float = 1.0
+    mdd: float = 1.0
+    mne: float = 0.0
+    mnd: float = 0.0
+    med: float = 0.0
+    magnitude: float = 6.0
+
+    parameter_names = ("east_shift", "north_shift", "depth", "time",
+                       "mnn", "mee", "mdd", "mne", "mnd", "med", "magnitude")
+
+    def m6(self):
+        """Scaled MT: Frobenius-unit components × scalar moment
+        (reference ``scaled_m6`` ``beat/sources.py:630-637``)."""
+        comps = jnp.stack([self.mnn, self.mee, self.mdd,
+                           self.mne, self.mnd, self.med])
+        norm = jnp.sqrt(jnp.sum(comps[:3] ** 2) + 2.0 * jnp.sum(comps[3:] ** 2)) / SQRT2
+        return comps / jnp.maximum(norm, 1e-20) * magnitude_to_moment(self.magnitude)
+
+
+@dataclass
+class MTQTSource(BaseSource):
+    """Tape & Tape 2015 lune-parameterised MT (reference ``MTQTSource``)."""
+
+    w: float = 0.0
+    v: float = 0.0
+    kappa: float = 0.0
+    sigma: float = 0.0
+    h: float = 0.5
+    magnitude: float = 6.0
+
+    parameter_names = ("east_shift", "north_shift", "depth", "time",
+                       "w", "v", "kappa", "sigma", "h", "magnitude")
+
+    def m6(self):
+        return mtqt_to_m6(self.w, self.v, self.kappa, self.sigma, self.h,
+                          self.magnitude)
+
+
+@dataclass
+class DCSource(BaseSource):
+    """Double couple (strike/dip/rake/magnitude)."""
+
+    strike: float = 0.0
+    dip: float = 90.0
+    rake: float = 0.0
+    magnitude: float = 6.0
+
+    parameter_names = ("east_shift", "north_shift", "depth", "time",
+                       "strike", "dip", "rake", "magnitude")
+
+    def m6(self):
+        return sdr_to_m6(self.strike, self.dip, self.rake,
+                         magnitude_to_moment(self.magnitude))
+
+
+@dataclass
+class ExplosionSource(BaseSource):
+    """Isotropic source (volume change / magnitude)."""
+
+    volume_change: float = 1e6  # [m^3]
+    magnitude: float | None = None
+
+    parameter_names = ("east_shift", "north_shift", "depth", "time",
+                       "volume_change")
+
+    def m6(self, shear_modulus=33e9):
+        m0 = (magnitude_to_moment(self.magnitude) if self.magnitude is not None
+              else shear_modulus * self.volume_change)
+        return jnp.stack([m0, m0, m0, 0.0 * m0, 0.0 * m0, 0.0 * m0])
+
+
+source_catalog = {
+    "RectangularSource": RectangularSource,
+    "MTSource": MTSource,
+    "MTQTSource": MTQTSource,
+    "DCSource": DCSource,
+    "ExplosionSource": ExplosionSource,
+}
+
+
+# ---------------------------------------------------------------------------
+# Source time functions (reference stf_catalog, beat/sources.py:723-729)
+# ---------------------------------------------------------------------------
+
+
+def boxcar_stf(t, duration):
+    """Unit-area boxcar on [0, duration]."""
+    d = jnp.maximum(duration, 1e-6)
+    return jnp.where((t >= 0) & (t <= d), 1.0 / d, 0.0)
+
+
+def triangular_stf(t, duration, peak_ratio=0.5):
+    d = jnp.maximum(duration, 1e-6)
+    tp = peak_ratio * d
+    up = jnp.where((t >= 0) & (t < tp), t / jnp.maximum(tp, 1e-6), 0.0)
+    down = jnp.where((t >= tp) & (t <= d), (d - t) / jnp.maximum(d - tp, 1e-6), 0.0)
+    return (up + down) * 2.0 / d
+
+
+def half_sinusoid_stf(t, duration):
+    d = jnp.maximum(duration, 1e-6)
+    return jnp.where((t >= 0) & (t <= d),
+                     jnp.sin(jnp.pi * t / d) * jnp.pi / (2.0 * d), 0.0)
+
+
+stf_catalog = {
+    "Boxcar": boxcar_stf,
+    "Triangular": triangular_stf,
+    "HalfSinusoid": half_sinusoid_stf,
+}

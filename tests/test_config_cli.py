@@ -1,0 +1,133 @@
+"""Config round trip + CLI project lifecycle (init → import → sample →
+summarize → check → plot → export), port of the reference project-flow
+intent (``test/test_config.py`` + CLI smoke)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from beat_tpu.config import (
+    BEATconfig,
+    GeodeticConfig,
+    SamplerConfig,
+    dump_config,
+    init_config,
+    load_config,
+    problem_from_config,
+    save_geodetic_datasets,
+)
+from beat_tpu.covariance import Covariance
+from beat_tpu.heart.geodesy import GeodeticDataset
+from beat_tpu.sources import RectangularSource
+
+
+def make_synthetic_scene(project_dir):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    g = 10
+    e = np.linspace(-12e3, 12e3, g)
+    coords = np.stack(np.meshgrid(e, e), -1).reshape(-1, 2)
+    src = RectangularSource(east_shift=1e3, depth=2e3, strike=15.0, dip=60.0,
+                            rake=90.0, length=7e3, width=4e3, slip=1.0)
+    disp = np.asarray(src.surface_displacement(jnp.asarray(coords)))
+    los = np.tile([-0.6, 0.1, 0.79], (coords.shape[0], 1))
+    los /= np.linalg.norm(los, axis=1, keepdims=True)
+    obs = (disp * los).sum(1)
+    sd = 0.01 * np.abs(obs).max()
+    ds = GeodeticDataset(
+        name="scene", typ="SAR", coords=coords,
+        displacement=obs + rng.normal(0, sd, obs.shape),
+        los_vector=los, covariance=Covariance(data=np.eye(obs.size) * sd**2))
+    save_geodetic_datasets([ds], project_dir)
+    return src
+
+
+class TestConfigRoundTrip:
+    def test_yaml_round_trip(self, tmp_path):
+        config = init_config("proj", str(tmp_path / "proj"),
+                             source_types=("RectangularSource",), n_sources=(1,))
+        loaded = load_config(str(tmp_path / "proj"), "geometry")
+        assert loaded.name == "proj"
+        assert loaded.problem_config.source_types == ["RectangularSource"]
+        assert "east_shift" in loaded.problem_config.priors
+        ps = loaded.problem_config.get_prior_set()
+        assert ps["depth"].upper[0] == 5.0  # default bounds from registry
+
+    def test_validation_rejects_bad_mode(self, tmp_path):
+        config = init_config("p2", str(tmp_path / "p2"))
+        config.problem_config.mode = "bogus"
+        with pytest.raises(ValueError):
+            config.validate()
+
+    def test_prior_physical_bound_validation(self, tmp_path):
+        config = init_config("p3", str(tmp_path / "p3"))
+        config.problem_config.priors["depth"]["upper"] = [2000.0]  # > physical 1000
+        with pytest.raises(ValueError):
+            config.validate()
+
+    def test_problem_from_config(self, tmp_path):
+        pdir = str(tmp_path / "p4")
+        config = init_config("p4", pdir)
+        make_synthetic_scene(pdir)
+        problem = problem_from_config(load_config(pdir), pdir)
+        assert "geodetic" in problem.composites
+        assert "h_SAR" in problem.priors.names
+        point = problem.priors.test_point()
+        synths = problem.get_synthetics(point)
+        assert synths["geodetic"]["scene"].shape == (100,)
+
+
+def run_cli(*argv):
+    from beat_tpu.apps.cli import main
+
+    return main(list(argv))
+
+
+class TestCLILifecycle:
+    def test_full_lifecycle(self, tmp_path, capsys):
+        pdir = str(tmp_path / "cliproj")
+        assert run_cli("init", "cliproj", pdir, "--datatypes", "geodetic") == 0
+        make_synthetic_scene(pdir)
+
+        # shrink sampler for test speed
+        config = load_config(pdir)
+        config.sampler_config.parameters = {"n_chains": 48, "n_steps": 30, "seed": 3}
+        # narrow priors to the relevant ones (fix others at defaults)
+        for name in list(config.problem_config.priors):
+            if name not in ("east_shift", "depth", "slip"):
+                del config.problem_config.priors[name]
+        # config layer is in reference units: km
+        config.problem_config.priors["east_shift"]["lower"] = [-5.0]
+        config.problem_config.priors["east_shift"]["upper"] = [5.0]
+        config.problem_config.priors["east_shift"]["testvalue"] = [0.0]
+        config.problem_config.priors["depth"]["lower"] = [0.5]
+        config.problem_config.priors["depth"]["upper"] = [5.0]
+        config.problem_config.priors["depth"]["testvalue"] = [2.0]
+        config.problem_config.priors["slip"]["lower"] = [0.1]
+        config.problem_config.priors["slip"]["upper"] = [3.0]
+        config.problem_config.priors["slip"]["testvalue"] = [1.0]
+        dump_config(config, pdir)
+
+        assert run_cli("check", pdir) == 0
+        assert run_cli("sample", pdir) == 0
+        assert run_cli("summarize", pdir) == 0
+        out = capsys.readouterr().out
+        assert "east_shift" in out
+        assert os.path.exists(os.path.join(pdir, "geometry", "summary.txt"))
+
+        assert run_cli("plot", pdir, "stage_posteriors,scene_fits") == 0
+        figs = os.listdir(os.path.join(pdir, "geometry", "figures"))
+        assert any("stage_posteriors" in f for f in figs)
+        assert any("scene_fits" in f for f in figs)
+
+        assert run_cli("export", pdir) == 0
+        assert os.path.exists(os.path.join(pdir, "geometry", "export.npz"))
+
+        clone_dir = str(tmp_path / "cliproj_clone")
+        assert run_cli("clone", pdir, clone_dir) == 0
+        assert os.path.exists(os.path.join(clone_dir, "config_geometry.yaml"))
+        assert os.path.exists(os.path.join(clone_dir, "geodetic_data.npz"))

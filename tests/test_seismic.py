@@ -1,0 +1,237 @@
+"""
+Seismic forward-model and inversion tests.
+
+Strategy mirrors the reference: unit checks on tapers/filters/STF
+spectra and radiation symmetry, then an end-to-end FullMT-style
+moment-tensor recovery on synthetic waveforms (reference
+``docs/examples/FullMT_regional.rst`` at toy scale).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from beat_tpu.covariance import Covariance
+from beat_tpu.heart.gftable import (
+    GreensTable,
+    build_homogeneous_table,
+    component_index,
+    rotate_m6_to_ray_frame,
+)
+from beat_tpu.heart.seismic import SeismicDataset, WaveformMapping
+from beat_tpu.heart.taper import ArrivalTaper, Filter, stf_spectrum
+from beat_tpu.models.seismic import SeismicGeometryComposite, source_m6
+from beat_tpu.models.problem import Problem
+from beat_tpu.parameter import Parameter, PriorSet
+from beat_tpu.samplers import SMCParams
+from beat_tpu.sources import DCSource, MTSource, sdr_to_m6
+
+
+# ---------------------------------------------------------------------------
+# units
+# ---------------------------------------------------------------------------
+
+
+class TestTaper:
+    def test_window_shape_and_plateau(self):
+        taper = ArrivalTaper(a=-2.0, b=-1.0, c=5.0, d=6.0)
+        w = taper.window(0.5)
+        assert w.size == taper.nsamples(0.5) == 16
+        # plateau at 1 between b and c
+        t = taper.a + np.arange(w.size) * 0.5
+        plateau = (t >= taper.b) & (t <= taper.c)
+        np.testing.assert_allclose(w[plateau], 1.0)
+        assert w[0] < 0.1  # ramped up from ~0
+
+
+class TestSTFSpectrum:
+    @pytest.mark.parametrize("stf_type", ["Boxcar", "Triangular", "HalfSinusoid"])
+    def test_matches_fft_of_sampled_stf(self, stf_type):
+        from beat_tpu.sources import stf_catalog
+
+        dt, n = 0.05, 512
+        duration = 3.0
+        t = np.arange(n) * dt
+        sampled = np.asarray(stf_catalog[stf_type](jnp.asarray(t), duration)) * dt
+        want = np.fft.rfft(sampled)
+        freqs = jnp.asarray(np.fft.rfftfreq(n, dt))
+        got = np.asarray(stf_spectrum(freqs, duration, stf_type))
+        # compare over the usable band (discretisation differences at high f)
+        band = np.fft.rfftfreq(n, dt) < 2.0
+        np.testing.assert_allclose(got[band], want[band], atol=0.02)
+
+    def test_zero_frequency_unit_area(self):
+        for stf_type in ("Boxcar", "Triangular", "HalfSinusoid"):
+            s0 = complex(stf_spectrum(jnp.asarray([0.0]), 2.5, stf_type)[0])
+            np.testing.assert_allclose(s0, 1.0, atol=1e-5)
+
+
+class TestRotation:
+    def test_zero_azimuth_identity(self):
+        m6 = jnp.asarray([1.0, -0.5, 0.2, 0.3, -0.1, 0.7])
+        out = rotate_m6_to_ray_frame(m6, jnp.asarray(0.0))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(m6), atol=1e-7)
+
+    def test_isotropic_invariant(self):
+        m6 = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+        out = rotate_m6_to_ray_frame(m6, jnp.asarray(1.1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(m6), atol=1e-6)
+
+    def test_trace_invariant(self):
+        m6 = jnp.asarray([0.3, -0.8, 0.5, 0.2, 0.9, -0.4])
+        out = rotate_m6_to_ray_frame(m6, jnp.asarray(0.7))
+        np.testing.assert_allclose(float(out[0] + out[1] + out[2]),
+                                   float(m6[0] + m6[1] + m6[2]), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# table physics
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def table():
+    return build_homogeneous_table(
+        distances=np.linspace(20e3, 120e3, 11),
+        depths=np.linspace(2e3, 20e3, 5),
+        nt=256, dt=0.25)
+
+
+class TestHomogeneousTable:
+    def test_explosion_has_no_transverse(self, table):
+        """Isotropic source: no T (SH) motion in a 1-D medium."""
+        iso = np.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
+        spec_t = np.einsum("k,kf->f", iso,
+                           np.asarray(table.spectra[:, 2, 5, 2, :]))
+        spec_z = np.einsum("k,kf->f", iso,
+                           np.asarray(table.spectra[:, 0, 5, 2, :]))
+        assert np.abs(spec_t).max() < 1e-6 * np.abs(spec_z).max()
+
+    def test_p_arrival_time(self, table):
+        """Z-component energy onset at r/vp."""
+        iso = jnp.asarray([1e15, 1e15, 1e15, 0.0, 0.0, 0.0])
+        spec = table.synthesize_spectra(
+            iso, 0.0, 0.0, jnp.asarray(10e3), 0.0, 0.5,
+            jnp.asarray([60e3]), jnp.asarray([0.0]),
+            jnp.asarray([0], dtype=jnp.int32))
+        trace = np.asarray(jnp.fft.irfft(spec, n=table.nt, axis=-1))[0]
+        r = np.sqrt(60e3**2 + 10e3**2)
+        tp = r / table.vp
+        i_onset = np.argmax(np.abs(trace) > 0.05 * np.abs(trace).max())
+        assert abs(i_onset * table.dt - tp) < 1.5  # within STF width
+
+    def test_moment_scaling_linear(self, table):
+        m6a = jnp.asarray(sdr_to_m6(30.0, 60.0, 90.0, 1e16))
+        m6b = 3.0 * m6a
+        kw = dict(east_shift=0.0, north_shift=0.0, depth=jnp.asarray(8e3),
+                  time_shift=0.0, duration=1.0,
+                  station_east=jnp.asarray([40e3, -70e3]),
+                  station_north=jnp.asarray([30e3, 10e3]),
+                  comp_idx=jnp.asarray([0, 1], dtype=jnp.int32))
+        sa = np.asarray(table.synthesize_spectra(m6a, **kw))
+        sb = np.asarray(table.synthesize_spectra(m6b, **kw))
+        np.testing.assert_allclose(sb, 3.0 * sa, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end FullMT-style inversion
+# ---------------------------------------------------------------------------
+
+TRUE_SDR = dict(strike=40.0, dip=55.0, rake=20.0)
+TRUE_MAG = 5.8
+TRUE_DEPTH = 9e3
+NOISE_REL = 0.02
+
+
+def make_wavemap(table, seed=0):
+    """Synthetic observed waveforms from the true DC source + noise."""
+    rng = np.random.default_rng(seed)
+    n_st = 8
+    az = np.linspace(0, 2 * np.pi, n_st, endpoint=False) + 0.2
+    dist = rng.uniform(40e3, 100e3, n_st)
+    st_e = dist * np.sin(az)
+    st_n = dist * np.cos(az)
+
+    m6_true = jnp.asarray(sdr_to_m6(TRUE_SDR["strike"], TRUE_SDR["dip"],
+                                    TRUE_SDR["rake"],
+                                    10 ** (1.5 * TRUE_MAG + 9.05)))
+    # full (unfiltered) traces on the table grid
+    spec = table.synthesize_spectra(
+        m6_true, 0.0, 0.0, jnp.asarray(TRUE_DEPTH), 0.0, 1.5,
+        jnp.asarray(st_e), jnp.asarray(st_n),
+        jnp.asarray([0] * n_st, dtype=jnp.int32))
+    raw = np.asarray(jnp.fft.irfft(spec, n=table.nt, axis=-1))
+    scale = np.abs(raw).max()
+    raw = raw + rng.normal(0, NOISE_REL * scale, raw.shape)
+
+    datasets = [
+        SeismicDataset(station=f"ST{i:02d}", channel="Z", east=st_e[i],
+                       north=st_n[i], ydata=raw[i])
+        for i in range(n_st)
+    ]
+    return WaveformMapping(
+        name="any_P", datasets=datasets, table=table,
+        taper=ArrivalTaper(a=-3.0, b=-1.5, c=15.0, d=18.0),
+        filterer=Filter(lower_corner=0.02, upper_corner=0.5, order=3))
+
+
+@pytest.fixture(scope="module")
+def wavemap(table):
+    return make_wavemap(table)
+
+
+class TestSeismicComposite:
+    def test_truth_beats_perturbed(self, wavemap):
+        comp = SeismicGeometryComposite(
+            [wavemap], [DCSource(depth=TRUE_DEPTH, **TRUE_SDR, magnitude=TRUE_MAG)])
+        point_true = {"strike": jnp.asarray(TRUE_SDR["strike"]),
+                      "dip": jnp.asarray(TRUE_SDR["dip"]),
+                      "rake": jnp.asarray(TRUE_SDR["rake"]),
+                      "magnitude": jnp.asarray(TRUE_MAG),
+                      "depth": jnp.asarray(TRUE_DEPTH)}
+        l_true = float(comp.loglike(point_true))
+        point_off = dict(point_true)
+        point_off["strike"] = jnp.asarray(TRUE_SDR["strike"] + 30.0)
+        assert l_true > float(comp.loglike(point_off))
+
+    def test_variance_reduction_at_truth(self, wavemap):
+        comp = SeismicGeometryComposite(
+            [wavemap], [DCSource(depth=TRUE_DEPTH, **TRUE_SDR, magnitude=TRUE_MAG)])
+        vr = comp.get_variance_reductions(
+            {"strike": TRUE_SDR["strike"], "dip": TRUE_SDR["dip"],
+             "rake": TRUE_SDR["rake"], "magnitude": TRUE_MAG,
+             "depth": TRUE_DEPTH, "duration": 1.5})
+        assert vr["any_P"] > 0.9
+
+    def test_smc_recovers_mechanism(self, wavemap, tmp_path):
+        comp = SeismicGeometryComposite(
+            [wavemap], [DCSource(depth=TRUE_DEPTH, magnitude=TRUE_MAG,
+                                 duration=1.5)])
+        priors = PriorSet()
+        priors.add(Parameter("strike", [0.0], [90.0]))
+        priors.add(Parameter("dip", [30.0], [80.0]))
+        priors.add(Parameter("rake", [-40.0], [60.0]))
+        priors.add(Parameter("magnitude", [5.0], [6.5]))
+        problem = Problem(priors, {"seismic": comp}, outfolder=str(tmp_path / "mt"),
+                          sampler_params=SMCParams(n_chains=80, n_steps=40, seed=4))
+        q_tr, _ = problem.sample()
+        est = problem.ordering.to_point(q_tr[-1].mean(axis=0))
+        assert abs(est["strike"] - TRUE_SDR["strike"]) < 10.0
+        assert abs(est["dip"] - TRUE_SDR["dip"]) < 10.0
+        assert abs(est["rake"] - TRUE_SDR["rake"]) < 15.0
+        assert abs(est["magnitude"] - TRUE_MAG) < 0.1
+
+
+class TestSourceM6:
+    def test_mt_source_m6_norm(self):
+        src = MTSource(magnitude=6.0)
+        point = {"mnn": jnp.asarray(1.0), "mee": jnp.asarray(-0.3),
+                 "mdd": jnp.asarray(0.1), "mne": jnp.asarray(0.5),
+                 "mnd": jnp.asarray(0.0), "med": jnp.asarray(0.0),
+                 "magnitude": jnp.asarray(6.0)}
+        m6 = np.asarray(source_m6(src, point, 0, 1))
+        # scalar moment of normalized MT = M0(6.0)
+        m0 = np.sqrt((m6[:3] ** 2).sum() + 2 * (m6[3:] ** 2).sum()) / np.sqrt(2)
+        np.testing.assert_allclose(m0, 10 ** (1.5 * 6.0 + 9.05), rtol=1e-4)
