@@ -290,7 +290,8 @@ def seis_construct_gf_linear(table, wavemap, fault, component="uparr",
     """
     import jax
 
-    from beat_tpu.heart.taper import stf_spectrum
+    from beat_tpu.heart.taper import stf_spectrum_pair
+    from beat_tpu.ops.cplx import cexp, cmul, from_np_complex
     from beat_tpu.sources import sdr_to_m6, tensile_m6
 
     durations = np.arange(duration_bounds[0],
@@ -306,14 +307,14 @@ def seis_construct_gf_linear(table, wavemap, fault, component="uparr",
 
     freqs = jnp.asarray(table.freqs)
     w = 2.0 * jnp.pi * freqs
-    stf_grid = jnp.stack([stf_spectrum(freqs, float(d), stf_type)
-                          for d in durations])                     # (nd, nf)
-    phasor_grid = jnp.exp(-1j * w[None, :] * jnp.asarray(starttimes)[:, None])  # (ns, nf)
+    stf_grid = jnp.stack([stf_spectrum_pair(freqs, float(d), stf_type)
+                          for d in durations])                  # (nd, nf, 2)
+    phasor_grid = cexp(-w[None, :] * jnp.asarray(starttimes)[:, None])  # (ns, nf, 2)
 
     station_e = jnp.asarray(wavemap.station_east, dtype=jnp.float32)
     station_n = jnp.asarray(wavemap.station_north, dtype=jnp.float32)
     comp_idx = jnp.asarray(wavemap.comp_idx)
-    filt = jnp.asarray(wavemap.filter_response)
+    filt = jnp.asarray(from_np_complex(wavemap.filter_response))
     win_starts = jnp.asarray(wavemap.window_starts)
     taper_win = jnp.asarray(wavemap.taper_window, dtype=jnp.float32)
 
@@ -338,11 +339,11 @@ def seis_construct_gf_linear(table, wavemap, fault, component="uparr",
     @jax.jit
     def patch_block(m6, center):
         spec = table.point_spectra(m6, center[0], center[1], center[2],
-                                   station_e, station_n, comp_idx, filt)  # (nt, nf)
-        # (nt, nd, ns, nf)
-        full = spec[:, None, None, :] * stf_grid[None, :, None, :] \
-            * phasor_grid[None, None, :, :]
-        traces = jnp.fft.irfft(full, n=table.nt, axis=-1)
+                                   station_e, station_n, comp_idx, filt)  # (nt, nf, 2)
+        # (nt, nd, ns, nf, 2)
+        full = cmul(cmul(spec[:, None, None], stf_grid[None, :, None]),
+                    phasor_grid[None, None, :])
+        traces = table.to_time_domain(full)
 
         def cut(tr_t, start):
             return jax.lax.dynamic_slice(

@@ -9,15 +9,20 @@ This replaces the reference's per-draw calls into pyrocko's
     table gather (bilinear in distance × depth, frequency domain)
     → moment-tensor weighting (einsum, azimuth-rotated m6)
     → × STF spectrum × time-shift phasor × bandpass response
-    → irfft → per-target window gather → cosine taper
+    → inverse DFT (matmul basis) → per-target window gather → taper
 
 Design notes (TPU-first):
 
 * The table stores the response to the **six elementary moment tensors**
   for a receiver at azimuth 0, in (Z, R, T) components, on a regular
-  (distance, depth) grid, as **rfft spectra**.  A 1-D (layered) medium is
+  (distance, depth) grid, as rfft spectra.  A 1-D (layered) medium is
   rotationally symmetric, so any source-receiver azimuth reduces to
   rotating the MT into the ray frame — no azimuth axis in the table.
+* **All device arrays are real float32**: spectra carry a trailing
+  (re, im) axis and the inverse rFFT is a matmul against a precomputed
+  cos/sin basis (:mod:`beat_tpu.ops.cplx`) — the deployed TPU backend has
+  no complex dtypes, and at waveform sizes the MXU matmul beats a
+  generic FFT regardless.
 * Everything the sampler varies (location → distance/azimuth/depth,
   magnitude/MT, origin time, STF duration) enters through gathers and
   phase factors — shapes are chain-invariant, so one compiled program
@@ -42,7 +47,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from beat_tpu.heart.taper import stf_spectrum
+from beat_tpu.heart.taper import stf_spectrum_pair
+from beat_tpu.ops.cplx import cexp, cmul, irfft_basis, irfft_pair
 
 logger = logging.getLogger("beat_tpu.heart.gftable")
 
@@ -76,9 +82,9 @@ class GreensTable:
     """
     Elementary-MT Green's-function spectra on a (distance, depth) grid.
 
-    spectra : (6, 3, ndist, ndepth, nfreq) complex64 — rfft of the
-        response to unit elementary MTs (order mnn, mee, mdd, mne, mnd,
-        med), receiver at azimuth 0, components (Z, R, T).
+    spectra : (6, 3, ndist, ndepth, nfreq, 2) float32 — rfft (re, im)
+        pairs of the response to unit elementary MTs (order mnn, mee,
+        mdd, mne, mnd, med), receiver at azimuth 0, components (Z, R, T).
     distances, depths : grid nodes [m]
     dt : sample interval [s]; nt : time samples; t0 : time of the first
         sample relative to origin time [s].
@@ -93,10 +99,22 @@ class GreensTable:
     #: medium metadata for travel-time computations
     vp: float = 6000.0
     vs: float = 3500.0
+    _ibasis: tuple = field(default=None, repr=False)
+
+    def __post_init__(self):
+        # eager so it is never first materialised inside a jit trace
+        if self._ibasis is None:
+            IC, IS = irfft_basis(self.nt)
+            self._ibasis = (jnp.asarray(IC), jnp.asarray(IS))
 
     @property
     def freqs(self) -> np.ndarray:
         return np.fft.rfftfreq(self.nt, self.dt)
+
+    @property
+    def ibasis(self):
+        """(IC, IS) inverse-rFFT basis matrices (nf, nt), device arrays."""
+        return self._ibasis
 
     def travel_time(self, phase: str, distance, depth):
         """First-arrival time [s].  Homogeneous straight-ray by default;
@@ -111,7 +129,7 @@ class GreensTable:
         """
         Bilinear (distance, depth) interpolation of the table for a batch
         of targets: distance (ntargets,), depth scalar/() traced.
-        Returns (ntargets, 6, 3, nfreq) complex spectra.
+        Returns (ntargets, 6, 3, nfreq, 2) float32.
         """
         d_grid = jnp.asarray(self.distances)
         z_grid = jnp.asarray(self.depths)
@@ -122,20 +140,19 @@ class GreensTable:
                       0.0, z_grid.size - 1.001)
         d0 = jnp.floor(di).astype(jnp.int32)
         z0 = jnp.floor(zi).astype(jnp.int32)
-        fd = (di - d0)[..., None, None, None]
-        fz = (zi - z0)[..., None, None, None]
+        fd = (di - d0)[..., None, None, None, None]
+        fz = (zi - z0)[..., None, None, None, None]
 
-        sp = self.spectra  # (6, 3, nd, nz, nf)
-        g00 = sp[:, :, d0, z0, :]        # (6, 3, nt?, nf) with d0 (ntargets,)
-        g10 = sp[:, :, d0 + 1, z0, :]
-        g01 = sp[:, :, d0, z0 + 1, :]
-        g11 = sp[:, :, d0 + 1, z0 + 1, :]
-        # indexing with (ntargets,) d0 gives (6, 3, ntargets, nf) → move axis
+        sp = self.spectra  # (6, 3, nd, nz, nf, 2)
+        g00 = sp[:, :, d0, z0]      # (6, 3, ntargets, nf, 2)
+        g10 = sp[:, :, d0 + 1, z0]
+        g01 = sp[:, :, d0, z0 + 1]
+        g11 = sp[:, :, d0 + 1, z0 + 1]
         out = ((1 - fd) * (1 - fz) * jnp.moveaxis(g00, 2, 0)
                + fd * (1 - fz) * jnp.moveaxis(g10, 2, 0)
                + (1 - fd) * fz * jnp.moveaxis(g01, 2, 0)
                + fd * fz * jnp.moveaxis(g11, 2, 0))
-        return out  # (ntargets, 6, 3, nf)
+        return out  # (ntargets, 6, 3, nf, 2)
 
     def point_spectra(self, m6, east_shift, north_shift, depth,
                       station_east, station_north, comp_idx,
@@ -143,20 +160,21 @@ class GreensTable:
         """
         Raw (no STF / no time shift) channel spectra of a point MT source:
         gather + azimuth-rotated weighting + optional filter.
-        Returns (ntargets, nfreq) complex.
+        Returns (ntargets, nfreq, 2) float32.
         """
         de = station_east - east_shift
         dn = station_north - north_shift
         distance = jnp.sqrt(de**2 + dn**2)
         azimuth = jnp.arctan2(de, dn)
 
-        g = self.gather_spectra(distance, depth)               # (nt, 6, 3, nf)
+        g = self.gather_spectra(distance, depth)               # (nt, 6, 3, nf, 2)
         m6_ray = rotate_m6_to_ray_frame(m6[None, :], azimuth)  # (nt, 6)
-        spec_zrt = jnp.einsum("tk,tkcf->tcf", m6_ray.astype(g.dtype), g)
+        spec_zrt = jnp.einsum("tk,tkcfr->tcfr", m6_ray.astype(g.dtype), g)
         spec = jnp.take_along_axis(
-            spec_zrt, comp_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0, :]
+            spec_zrt, comp_idx[:, None, None, None].astype(jnp.int32),
+            axis=1)[:, 0]
         if filter_response is not None:
-            spec = spec * filter_response[None, :]
+            spec = cmul(spec, filter_response[None])
         return spec
 
     def synthesize_spectra(self, m6, east_shift, north_shift, depth, time_shift,
@@ -171,30 +189,35 @@ class GreensTable:
             scalars ([m], [s])
         station_east/station_north : (ntargets,) station coordinates [m]
         comp_idx : (ntargets,) int — 0 Z / 1 R / 2 T channel per target
-        filter_response : (nfreq,) complex or None
+        filter_response : (nfreq, 2) float or None
 
-        Returns (ntargets, nfreq) complex spectra of full-length traces
-        whose time axis starts at ``t0`` after origin.
+        Returns (ntargets, nfreq, 2) spectra of full-length traces whose
+        time axis starts at ``t0`` after origin.
         """
         spec = self.point_spectra(m6, east_shift, north_shift, depth,
                                   station_east, station_north, comp_idx,
                                   filter_response)
         freqs = jnp.asarray(self.freqs)
         w = 2.0 * jnp.pi * freqs
-        phasor = jnp.exp(-1j * w * time_shift)
-        stf = stf_spectrum(freqs, duration, stf_type)
-        return spec * (phasor * stf)[None, :]
+        phasor = cexp(-w * time_shift)
+        stf = stf_spectrum_pair(freqs, duration, stf_type)
+        return cmul(spec, cmul(phasor, stf)[None])
+
+    def to_time_domain(self, spec):
+        """Full-length time traces from (…, nf, 2) pair spectra."""
+        IC, IS = self.ibasis
+        return irfft_pair(spec, IC, IS)
 
     def synthesize_windows(self, spec, window_starts, window_taper, nsamples_win):
         """
-        irfft + per-target window extraction + taper.
+        Inverse DFT (matmul) + per-target window extraction + taper.
 
-        spec : (ntargets, nfreq) from :meth:`synthesize_spectra`
+        spec : (ntargets, nfreq, 2) from :meth:`synthesize_spectra`
         window_starts : (ntargets,) static int start samples (precomputed
             from reference arrival times — chain-invariant shapes)
         window_taper : (nsamples_win,) taper amplitudes
         """
-        traces = jnp.fft.irfft(spec, n=self.nt, axis=-1)
+        traces = self.to_time_domain(spec)
 
         def cut(tr, start):
             return jax.lax.dynamic_slice(tr, (start,), (nsamples_win,))
@@ -240,7 +263,7 @@ def build_homogeneous_table(distances, depths, nt, dt, vp=6000.0, vs=3500.0,
     depths = np.asarray(depths, dtype=np.float64)
     freqs = np.fft.rfftfreq(nt, dt)
     nf = freqs.size
-    spectra = np.zeros((6, 3, distances.size, depths.size, nf), dtype=np.complex64)
+    spectra = np.zeros((6, 3, distances.size, depths.size, nf), dtype=np.complex128)
 
     w = 2.0 * np.pi * freqs
     for iz, z in enumerate(depths):
@@ -266,7 +289,8 @@ def build_homogeneous_table(distances, depths, nt, dt, vp=6000.0, vs=3500.0,
                     spectra[k, COMP_R, id_, iz, :] += ur * ph
                     spectra[k, COMP_T, id_, iz, :] += ut * ph
 
+    pairs = np.stack([spectra.real, spectra.imag], axis=-1).astype(np.float32)
     logger.info("Built homogeneous GF table: %i dist x %i depth x %i samples",
                 distances.size, depths.size, nt)
-    return GreensTable(spectra=jnp.asarray(spectra), distances=distances,
+    return GreensTable(spectra=jnp.asarray(pairs), distances=distances,
                        depths=depths, dt=dt, nt=nt, t0=t0, vp=vp, vs=vs)

@@ -80,6 +80,27 @@ class WaveformMapping:
         return self.taper.nsamples(self.table.dt)
 
     @property
+    def nsamples_fit(self) -> int:
+        """Samples entering the likelihood: window length (time domain) or
+        rfft bins (spectrum domain; reference ``domain='spectrum'`` fits
+        amplitude spectra, ``config.py:540`` + ``heart.fft_transforms``)."""
+        if self.domain == "spectrum":
+            return self.nsamples_win // 2 + 1
+        return self.nsamples_win
+
+    def fit_transform_np(self, windows: np.ndarray) -> np.ndarray:
+        """Window → fit space (host): identity or amplitude spectrum."""
+        if self.domain == "spectrum":
+            return np.abs(np.fft.rfft(windows, axis=-1))
+        return windows
+
+    def fit_basis(self):
+        """(C, S) rfft bases for the on-device spectrum transform."""
+        from beat_tpu.ops.cplx import rfft_basis
+
+        return rfft_basis(self.nsamples_win)
+
+    @property
     def hypername(self) -> str:
         return f"h_{self.name}"
 
@@ -123,6 +144,7 @@ class WaveformMapping:
             win = filtered[start:start + n_win] * self.taper_window
             wins.append(win)
         self.data_windows = np.stack(wins).astype(np.float32)
+        self.data_fit = self.fit_transform_np(self.data_windows).astype(np.float32)
 
     def analyse_noise(self, analyser: SeismicNoiseAnalyser | None = None) -> None:
         """Set per-dataset covariances over the fit window
@@ -135,12 +157,16 @@ class WaveformMapping:
             pre_arrival_idx = max(int(round((arr - self.table.t0 - 1.0) / dt)), 2)
             noise = filtered[:pre_arrival_idx]
             var = float(np.var(noise)) if noise.size > 2 else float(np.var(filtered))
-            cov = analyser.get_data_covariance(
-                filtered[:start + self.nsamples_win], dt,
-                arrival_index=pre_arrival_idx)
-            # restrict to window size
-            if cov.shape[0] != self.nsamples_win:
-                cov = np.eye(self.nsamples_win) * max(var, 1e-30)
+            if self.domain == "spectrum":
+                # noise variance of the amplitude spectrum scales with the
+                # window noise level × sqrt(n)
+                cov = np.eye(self.nsamples_fit) * max(var, 1e-30) * self.nsamples_win
+            else:
+                cov = analyser.get_data_covariance(
+                    filtered[:start + self.nsamples_win], dt,
+                    arrival_index=pre_arrival_idx)
+                if cov.shape[0] != self.nsamples_win:
+                    cov = np.eye(self.nsamples_win) * max(var, 1e-30)
             ds.covariance = Covariance(data=cov)
 
     def get_station_names(self) -> list:

@@ -116,6 +116,34 @@ class FrequencyFilter:
         return h.astype(np.complex64)
 
 
+def stf_spectrum_pair(freqs, duration, stf_type: str = "HalfSinusoid"):
+    """
+    :func:`stf_spectrum` as a real (re, im) pair — the device
+    representation (the deployed TPU backend has no complex dtypes).
+    """
+    import jax.numpy as jnp
+
+    w = 2.0 * jnp.pi * freqs
+    d = jnp.maximum(duration, 1e-4)
+
+    if stf_type == "Boxcar":
+        mag = jnp.sinc(freqs * d)
+        phase = -w * d / 2.0
+    elif stf_type == "Triangular":
+        mag = jnp.sinc(freqs * d / 2.0) ** 2
+        phase = -w * d / 2.0
+    elif stf_type == "HalfSinusoid":
+        denom = jnp.pi**2 - (w * d) ** 2
+        safe = jnp.where(jnp.abs(denom) < 1e-6, 1.0, denom)
+        mag = jnp.where(jnp.abs(denom) < 1e-6,
+                        jnp.pi / 4.0,
+                        jnp.pi**2 * jnp.cos(w * d / 2.0) / safe)
+        phase = -w * d / 2.0
+    else:
+        raise ValueError(f"Unknown STF {stf_type}")
+    return jnp.stack([mag * jnp.cos(phase), mag * jnp.sin(phase)], axis=-1)
+
+
 def stf_spectrum(freqs, duration, stf_type: str = "HalfSinusoid"):
     """
     Analytic source-time-function spectra (unit area), differentiable in

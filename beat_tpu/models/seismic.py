@@ -17,6 +17,7 @@ import numpy as np
 
 from beat_tpu.distributions import multivariate_normal_chol_batched
 from beat_tpu.models.base import Composite
+from beat_tpu.ops.cplx import from_np_complex as _pair
 from beat_tpu.sources import DCSource, ExplosionSource, MTQTSource, MTSource, sdr_to_m6
 
 logger = logging.getLogger("beat_tpu.models.seismic")
@@ -88,21 +89,26 @@ class SeismicGeometryComposite(Composite):
                     len(self.wavemaps), n_targets)
 
     def _wavemap_device(self, wmap):
-        return {
-            "data": jnp.asarray(wmap.data_windows),
+        dev = {
+            "data": jnp.asarray(wmap.data_fit),
             "station_east": jnp.asarray(wmap.station_east, dtype=jnp.float32),
             "station_north": jnp.asarray(wmap.station_north, dtype=jnp.float32),
             "comp_idx": jnp.asarray(wmap.comp_idx),
             "window_starts": jnp.asarray(wmap.window_starts),
             "taper": jnp.asarray(wmap.taper_window, dtype=jnp.float32),
-            "filter": jnp.asarray(wmap.filter_response),
+            # device filter response as a real (re, im) pair
+            "filter": jnp.asarray(_pair(wmap.filter_response)),
             "weights": jnp.stack([jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
                                   for ds in wmap.datasets]),
             "slog_pdets": jnp.asarray([ds.covariance.log_pdet for ds in wmap.datasets],
                                       dtype=jnp.float32),
-            "nsamples": jnp.asarray([wmap.nsamples_win] * wmap.ntargets,
+            "nsamples": jnp.asarray([wmap.nsamples_fit] * wmap.ntargets,
                                     dtype=jnp.float32),
         }
+        if wmap.domain == "spectrum":
+            C, S = wmap.fit_basis()
+            dev["fit_basis"] = (jnp.asarray(C), jnp.asarray(S))
+        return dev
 
     # -- hyperparams --------------------------------------------------------
 
@@ -151,13 +157,28 @@ class SeismicGeometryComposite(Composite):
 
         # station-correction time shifts (reference models/seismic.py:1281)
         if wmap.station_corrections:
+            from beat_tpu.ops.cplx import cexp, cmul
+
             freqs = jnp.asarray(wmap.table.freqs)
             shifts = jnp.stack([point[n] for n in wmap.time_shift_names()])
-            spec_total = spec_total * jnp.exp(
-                -1j * 2 * jnp.pi * freqs[None, :] * shifts[:, None])
+            spec_total = cmul(spec_total,
+                              cexp(-2 * jnp.pi * freqs[None, :] * shifts[:, None]))
 
         return wmap.table.synthesize_windows(
             spec_total, dev["window_starts"], dev["taper"], wmap.nsamples_win)
+
+    def synthetics_fit(self, point: dict, wmap_idx: int):
+        """Synthetics in fit space: windows, or amplitude spectra when the
+        wavemap's domain is 'spectrum' (reference ``fft_transforms``
+        ``heart.py:4091``)."""
+        wmap = self.wavemaps[wmap_idx]
+        wins = self.synthetics_windows(point, wmap_idx)
+        if wmap.domain == "spectrum":
+            from beat_tpu.ops.cplx import amplitude_spectrum
+
+            C, S = self._device[wmap_idx]["fit_basis"]
+            return amplitude_spectrum(wins, C, S)
+        return wins
 
     # -- likelihood ---------------------------------------------------------
 
@@ -172,7 +193,7 @@ class SeismicGeometryComposite(Composite):
         total = 0.0
         for w_idx, wmap in enumerate(self.wavemaps):
             dev = self._device[w_idx]
-            synth = self.synthetics_windows(point, w_idx)
+            synth = self.synthetics_fit(point, w_idx)
             res = dev["data"] - synth
             llks = multivariate_normal_chol_batched(
                 res, dev["weights"], dev["slog_pdets"],
@@ -184,7 +205,7 @@ class SeismicGeometryComposite(Composite):
         total = 0.0
         for w_idx, wmap in enumerate(self.wavemaps):
             dev = self._device[w_idx]
-            synth = self.synthetics_windows(fixed_point, w_idx)
+            synth = self.synthetics_fit(fixed_point, w_idx)
             res = dev["data"] - synth
             llks = multivariate_normal_chol_batched(
                 res, dev["weights"], dev["slog_pdets"],

@@ -56,6 +56,9 @@ def direct_synthesis(table, wavemap, fault, slips, durations, starttimes):
     """Sum of per-patch point syntheses with given STFs and onsets."""
     from beat_tpu.sources import sdr_to_m6
 
+    from beat_tpu.ops.cplx import from_np_complex
+
+    filt = jnp.asarray(from_np_complex(wavemap.filter_response))
     total = 0.0
     for i, p in enumerate(fault.get_all_patches()):
         area = p.length * p.width
@@ -65,8 +68,7 @@ def direct_synthesis(table, wavemap, fault, slips, durations, starttimes):
             m6, c[0], c[1], jnp.asarray(c[2]), jnp.asarray(starttimes[i]),
             jnp.asarray(durations[i]),
             jnp.asarray(wavemap.station_east), jnp.asarray(wavemap.station_north),
-            jnp.asarray(wavemap.comp_idx), "HalfSinusoid",
-            jnp.asarray(wavemap.filter_response))
+            jnp.asarray(wavemap.comp_idx), "HalfSinusoid", filt)
         total = total + spec
     wins = table.synthesize_windows(
         total, jnp.asarray(wavemap.window_starts),

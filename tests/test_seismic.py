@@ -103,10 +103,10 @@ class TestHomogeneousTable:
     def test_explosion_has_no_transverse(self, table):
         """Isotropic source: no T (SH) motion in a 1-D medium."""
         iso = np.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0])
-        spec_t = np.einsum("k,kf->f", iso,
-                           np.asarray(table.spectra[:, 2, 5, 2, :]))
-        spec_z = np.einsum("k,kf->f", iso,
-                           np.asarray(table.spectra[:, 0, 5, 2, :]))
+        spec_t = np.einsum("k,kfr->fr", iso,
+                           np.asarray(table.spectra[:, 2, 5, 2]))
+        spec_z = np.einsum("k,kfr->fr", iso,
+                           np.asarray(table.spectra[:, 0, 5, 2]))
         assert np.abs(spec_t).max() < 1e-6 * np.abs(spec_z).max()
 
     def test_p_arrival_time(self, table):
@@ -116,7 +116,7 @@ class TestHomogeneousTable:
             iso, 0.0, 0.0, jnp.asarray(10e3), 0.0, 0.5,
             jnp.asarray([60e3]), jnp.asarray([0.0]),
             jnp.asarray([0], dtype=jnp.int32))
-        trace = np.asarray(jnp.fft.irfft(spec, n=table.nt, axis=-1))[0]
+        trace = np.asarray(table.to_time_domain(spec))[0]
         r = np.sqrt(60e3**2 + 10e3**2)
         tp = r / table.vp
         i_onset = np.argmax(np.abs(trace) > 0.05 * np.abs(trace).max())
@@ -162,7 +162,7 @@ def make_wavemap(table, seed=0):
         m6_true, 0.0, 0.0, jnp.asarray(TRUE_DEPTH), 0.0, 1.5,
         jnp.asarray(st_e), jnp.asarray(st_n),
         jnp.asarray([0] * n_st, dtype=jnp.int32))
-    raw = np.asarray(jnp.fft.irfft(spec, n=table.nt, axis=-1))
+    raw = np.asarray(table.to_time_domain(spec))
     scale = np.abs(raw).max()
     raw = raw + rng.normal(0, NOISE_REL * scale, raw.shape)
 
@@ -222,6 +222,33 @@ class TestSeismicComposite:
         assert abs(est["dip"] - TRUE_SDR["dip"]) < 10.0
         assert abs(est["rake"] - TRUE_SDR["rake"]) < 15.0
         assert abs(est["magnitude"] - TRUE_MAG) < 0.1
+
+
+class TestSpectrumDomain:
+    def test_spectrum_fit_insensitive_to_time_shift(self, table):
+        """Amplitude-spectrum fits ignore pure time shifts (the point of
+        domain='spectrum'); time-domain fits do not."""
+        wm_t = make_wavemap(table, seed=3)
+        wm_s = make_wavemap(table, seed=3)
+        wm_s.domain = "spectrum"
+        wm_s._process_observed()
+
+        assert wm_s.nsamples_fit == wm_s.nsamples_win // 2 + 1
+        assert wm_s.data_fit.shape == (wm_s.ntargets, wm_s.nsamples_fit)
+
+        src = DCSource(depth=TRUE_DEPTH, **TRUE_SDR, magnitude=TRUE_MAG,
+                       duration=1.5)
+        comp_t = SeismicGeometryComposite([wm_t], [src])
+        comp_s = SeismicGeometryComposite([wm_s], [src])
+        base = {"strike": jnp.asarray(TRUE_SDR["strike"]),
+                "dip": jnp.asarray(TRUE_SDR["dip"]),
+                "rake": jnp.asarray(TRUE_SDR["rake"]),
+                "magnitude": jnp.asarray(TRUE_MAG),
+                "time": jnp.asarray(0.0)}
+        shifted = dict(base, time=jnp.asarray(1.2))
+        drop_t = float(comp_t.loglike(base)) - float(comp_t.loglike(shifted))
+        drop_s = float(comp_s.loglike(base)) - float(comp_s.loglike(shifted))
+        assert drop_t > 10.0 * max(abs(drop_s), 1e-3)
 
 
 class TestSourceM6:
