@@ -212,11 +212,10 @@ def register_update(sub):
 
 
 def _cmd_update(args):
-    from beat_tpu.config import dump_config, load_config
+    from beat_tpu.upgrade import upgrade_config_file
 
-    config = load_config(args.project_dir, args.mode)
-    dump_config(config, args.project_dir)  # re-serialise with current schema
-    print("Config re-written with current schema")
+    diff = upgrade_config_file(args.project_dir, args.mode, apply=True)
+    print(diff if diff else "Config already at the current schema")
     return 0
 
 
@@ -244,6 +243,8 @@ def register_summarize(sub):
     p.add_argument("project_dir")
     p.add_argument("--mode", default="geometry")
     p.add_argument("--stage", default="-1")
+    p.add_argument("--calc_derived", action="store_true",
+                   help="append derived variables (nodal planes, magnitude)")
     p.set_defaults(handler=_cmd_summarize)
 
 
@@ -258,6 +259,15 @@ def _cmd_summarize(args):
     handler = SampleStage(problem.outfolder, ordering=problem.ordering)
     trace = handler.load_trace(int(args.stage))
     summary = summarize_trace(trace)
+    if getattr(args, "calc_derived", False):
+        from beat_tpu.backend import hdi
+
+        for name, samples in problem.derived_samples(int(args.stage)).items():
+            lo, hi = hdi(samples)
+            summary[name] = {"mean": float(samples.mean()),
+                             "sd": float(samples.std(ddof=1)),
+                             "hdi_94%_lower": lo, "hdi_94%_upper": hi,
+                             "ess": float("nan"), "r_hat": float("nan")}
     out = os.path.join(problem.outfolder, "summary.txt")
     with open(out, "w") as f:
         json.dump(summary, f, indent=1)

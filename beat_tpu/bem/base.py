@@ -1,0 +1,129 @@
+"""
+BEM engine: traction-driven slip on triangular meshes.
+
+Re-design of ``beat/bem/base.py`` (``BEMEngine`` :114): sources are
+discretized to triangle meshes, the traction interaction matrix couples
+unit slips on source elements to tractions at receiver elements, the
+boundary-condition LSQ solve yields element slips, and the displacement
+matrix maps them to surface observation points.
+
+The triangular-dislocation halfspace kernels (displacement + strain;
+cutde/Nikkhoo-Walter in the reference, ``bem/base.py:14-19``) are staged
+for the next round — ``BEMEngine.process`` raises a descriptive error
+until ``beat_tpu.bem.tde`` provides them.  All surrounding machinery
+(meshing, BCs, solve, response container) is final and tested.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from beat_tpu.bem.sources import TriangleMesh, check_intersection
+
+logger = logging.getLogger("beat_tpu.bem.base")
+
+slip_comp_to_idx = {"strike": 0, "dip": 1, "normal": 2}
+
+
+@dataclass
+class BoundaryCondition:
+    """Traction boundary condition linking source/receiver meshes
+    (reference ``BoundaryCondition`` ``config.py:1155-1199``)."""
+
+    slip_component: str             # 'strike' | 'dip' | 'normal'
+    source_idxs: list = field(default_factory=lambda: [0])
+    receiver_idxs: list = field(default_factory=lambda: [0])
+    traction: float = 0.0           # [MPa] target traction
+
+
+@dataclass
+class BEMResponse:
+    """Result container (reference ``BEMResponse`` ``bem/base.py:26``)."""
+
+    sources: list
+    meshes: list
+    displacements: np.ndarray | None   # (nobs, 3) or None if invalid
+    slips: np.ndarray | None           # per-element slip components
+    is_valid: bool = True
+
+    INVALID = -99.0
+
+    def source_slips(self):
+        return self.slips
+
+    def derived_magnitude(self, shear_modulus: float = 33e9):
+        if self.slips is None:
+            return None
+        from beat_tpu.sources import moment_to_magnitude
+
+        areas = np.concatenate([m.areas for m in self.meshes])
+        total = np.abs(self.slips.reshape(-1, len(areas))).sum(axis=0)
+        m0 = float(np.sum(shear_modulus * areas * total))
+        return float(moment_to_magnitude(max(m0, 1.0)))
+
+
+class BEMEngine:
+    """
+    reference ``BEMEngine`` (``bem/base.py:114``): ``process(sources,
+    coords)`` → discretize, assemble interaction matrix, LSQ-solve slips
+    from traction BCs, predict surface displacements.
+    """
+
+    def __init__(self, boundary_conditions, mesh_size: float = 500.0,
+                 poissons_ratio: float = 0.25, shear_modulus: float = 33e9,
+                 check_mesh_intersection: bool = True):
+        self.boundary_conditions = list(boundary_conditions)
+        self.mesh_size = mesh_size
+        self.nu = poissons_ratio
+        self.mu = shear_modulus
+        self.check_mesh_intersection = check_mesh_intersection
+
+    def discretize(self, sources) -> list:
+        return [src.discretize(self.mesh_size) for src in sources]
+
+    def process(self, sources, coords) -> BEMResponse:
+        meshes = self.discretize(sources)
+        if self.check_mesh_intersection and check_intersection(meshes):
+            # reference returns a -99-filled invalid response (bem/base.py:145)
+            return BEMResponse(sources=sources, meshes=meshes,
+                               displacements=None, slips=None, is_valid=False)
+        try:
+            from beat_tpu.bem import tde  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "Halfspace triangular-dislocation kernels (beat_tpu.bem.tde) "
+                "land in the next round; BEM meshing/BC machinery is ready "
+                "but the elastic kernel is not yet implemented") from e
+
+        G_tractions = self.get_interaction_matrix(meshes)
+        rhs = self._traction_rhs(meshes)
+        slips, *_ = np.linalg.lstsq(G_tractions, rhs, rcond=None)
+        disp = self._surface_displacements(meshes, slips, coords)
+        return BEMResponse(sources=sources, meshes=meshes,
+                           displacements=disp, slips=slips, is_valid=True)
+
+    # -- assembly (kernels injected by beat_tpu.bem.tde) ---------------------
+
+    def get_interaction_matrix(self, meshes) -> np.ndarray:
+        """Traction at receiver-element centroids from unit slips on
+        source elements (reference ``get_interaction_matrix``
+        ``bem/base.py:230`` + strain→traction projection :278)."""
+        from beat_tpu.bem import tde
+
+        return tde.interaction_matrix(meshes, self.boundary_conditions,
+                                      nu=self.nu, mu=self.mu)
+
+    def _traction_rhs(self, meshes) -> np.ndarray:
+        rows = []
+        for bc in self.boundary_conditions:
+            n = sum(meshes[i].ntriangles for i in bc.receiver_idxs)
+            rows.append(np.full(n, bc.traction * 1e6))  # MPa -> Pa
+        return np.concatenate(rows)
+
+    def _surface_displacements(self, meshes, slips, coords) -> np.ndarray:
+        from beat_tpu.bem import tde
+
+        return tde.displacement_matrix(meshes, coords, nu=self.nu) @ slips

@@ -249,6 +249,76 @@ class GeodeticNoiseAnalyser:
 
 
 # ---------------------------------------------------------------------------
+# Model-prediction covariances from forward-model ensembles
+# (reference covariance.py:561-660: seismic/geodetic_cov_velocity_models)
+# ---------------------------------------------------------------------------
+
+
+def prediction_covariance_from_ensemble(predictions: np.ndarray) -> np.ndarray:
+    """
+    Covariance of forward-model predictions over an ensemble of earth
+    models (reference ``seismic_cov_velocity_models`` :561 /
+    ``geodetic_cov_velocity_models`` :625: synthetics are computed for
+    ``crust_ind`` model variations and their sample covariance becomes
+    ``Covariance.pred_v``).
+
+    predictions : (n_models, nsamples) synthetic data per ensemble member.
+    """
+    predictions = np.asarray(predictions, dtype=np.float64)
+    if predictions.shape[0] < 2:
+        raise ValueError("need >= 2 ensemble members for a prediction covariance")
+    return ensure_cov_psd(np.cov(predictions, rowvar=False, bias=False))
+
+
+def seismic_cov_velocity_models(composite, point: dict, ensemble_tables,
+                                wmap_idx: int = 0) -> list:
+    """
+    Per-dataset prediction covariances for one wavemap from an ensemble of
+    Green's-function tables (velocity-model variations; the reference runs
+    a fork pool over crust_inds — here each member is one vmapped forward).
+    Returns a list of (nsamples, nsamples) matrices, one per dataset.
+    """
+    import jax.numpy as jnp
+
+    wmap = composite.wavemaps[wmap_idx]
+    base_table = wmap.table
+    jpoint = {k: jnp.asarray(v) for k, v in point.items()}
+    preds = []
+    try:
+        for table in ensemble_tables:
+            wmap.table = table
+            preds.append(np.asarray(composite.synthetics_fit(jpoint, wmap_idx)))
+    finally:
+        wmap.table = base_table
+    preds = np.stack(preds)  # (n_models, ntargets, nsamples)
+    return [prediction_covariance_from_ensemble(preds[:, i])
+            for i in range(preds.shape[1])]
+
+
+def geodetic_cov_velocity_models(composite, point: dict, nus=(0.2, 0.25, 0.3)) -> list:
+    """
+    Geodetic prediction covariances from elastic-parameter variations
+    (the homogeneous-halfspace analogue of the reference's psgrn
+    crust_ind ensembles).  Returns per-dataset covariance matrices.
+    """
+    import jax.numpy as jnp
+
+    base_nu = composite.nu
+    preds = []
+    try:
+        for nu in nus:
+            composite.nu = float(nu)
+            synth = np.asarray(composite.synthetics_los(
+                {k: jnp.asarray(v) for k, v in point.items()}))
+            preds.append(synth)
+    finally:
+        composite.nu = base_nu
+    preds = np.stack(preds)
+    return [prediction_covariance_from_ensemble(preds[:, slc])
+            for slc in composite.stack.slices]
+
+
+# ---------------------------------------------------------------------------
 # Sampler proposal covariances (reference covariance.py:851-908)
 # ---------------------------------------------------------------------------
 

@@ -172,6 +172,29 @@ class WaveformMapping:
     def get_station_names(self) -> list:
         return [ds.station for ds in self.datasets]
 
+    def station_weeding(self, blacklist=(), distances=None,
+                        event_east: float = 0.0, event_north: float = 0.0) -> int:
+        """
+        Remove blacklisted stations and stations outside the epicentral
+        distance range [m] (reference ``station_weeding``
+        ``heart.py:2952`` + ``WaveformFitConfig.blacklist/distances``).
+        Returns the number of removed datasets; re-prepares the mapping.
+        """
+        kept = []
+        for ds in self.datasets:
+            if ds.station in blacklist or f"{ds.station}.{ds.channel}" in blacklist:
+                continue
+            if distances is not None:
+                dist = np.hypot(ds.east - event_east, ds.north - event_north)
+                if not (distances[0] <= dist <= distances[1]):
+                    continue
+            kept.append(ds)
+        removed = len(self.datasets) - len(kept)
+        if removed:
+            self.datasets = kept
+            self.prepare()
+        return removed
+
     def time_shift_names(self) -> list:
         """Hierarchical station-correction names
         (reference ``init_hierarchicals`` ``models/seismic.py:198``)."""

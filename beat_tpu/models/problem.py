@@ -172,6 +172,63 @@ class Problem:
         handler = SampleStage(self.outfolder, ordering=self.ordering)
         return summarize_trace(handler.load_trace(stage))
 
+    def derived_samples(self, stage: int = -1, max_samples: int = 2000) -> dict:
+        """
+        Derived-variable posterior samples (reference ``summarize
+        --calc_derived``, ``derived_variables_mapping`` ``config.py:114``):
+        nodal planes + normalised MT components for MT-family sources,
+        moment magnitude for slip-parameterised sources.
+        """
+        import jax.numpy as jnp
+
+        from beat_tpu import mt_utils
+        from beat_tpu.sources import (DCSource, ExplosionSource, MTQTSource,
+                                      MTSource, RectangularSource,
+                                      moment_to_magnitude)
+
+        handler = SampleStage(self.outfolder, ordering=self.ordering)
+        trace = handler.load_trace(stage)
+        flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
+        idx = np.linspace(0, flat.shape[0] - 1,
+                          min(max_samples, flat.shape[0])).astype(int)
+
+        template = None
+        fault = None
+        for comp in self.composites.values():
+            if hasattr(comp, "sources") and comp.sources:
+                template = comp.sources[0]
+            if hasattr(comp, "fault"):
+                fault = comp.fault
+        out: dict[str, list] = {}
+
+        def add(name, val):
+            out.setdefault(name, []).append(float(val))
+
+        for q in flat[idx]:
+            point = self.ordering.to_point(q)
+            if isinstance(template, (MTSource, MTQTSource)):
+                from beat_tpu.models.seismic import source_m6
+
+                jpoint = {k: jnp.asarray(v) for k, v in point.items()}
+                m6 = np.asarray(source_m6(template, jpoint, 0, 1))
+                m6n = m6 / max(mt_utils.scalar_moment(m6), 1e-30)
+                for comp_name, v in zip(("mnn", "mee", "mdd", "mne", "mnd", "med"), m6n):
+                    add(f"{comp_name}_derived", v)
+                (s1, d1, r1), (s2, d2, r2) = mt_utils.both_strike_dip_rake(m6)
+                for n_, v in (("strike1", s1), ("dip1", d1), ("rake1", r1),
+                              ("strike2", s2), ("dip2", d2), ("rake2", r2)):
+                    add(n_, v)
+            if isinstance(template, RectangularSource) and "slip" in point:
+                area = (point.get("length", template.length)
+                        * point.get("width", template.width))
+                m0 = 33e9 * area * abs(float(np.atleast_1d(point["slip"])[0]))
+                add("magnitude", float(moment_to_magnitude(m0)))
+            if fault is not None and "uparr" in point:
+                slips = np.sqrt(np.asarray(point["uparr"]) ** 2
+                                + np.asarray(point.get("uperp", 0.0)) ** 2)
+                add("magnitude", fault.magnitude(slips))
+        return {k: np.asarray(v) for k, v in out.items()}
+
 
 def load_model(project_dir: str, mode: str = "geometry", build: bool = True) -> Problem:
     """

@@ -66,12 +66,12 @@ def both_strike_dip_rake(m6):
         # ensure normal points up (z down in NED: up = negative z comp)
         if n[2] > 0:
             n, u = -n, -u
-        dip = np.degrees(np.arccos(-n[2]))
+        dip = np.degrees(np.arccos(np.clip(-n[2], -1.0, 1.0)))
         strike = np.degrees(np.arctan2(-n[0], n[1]))
         s_vec = np.array([np.cos(np.radians(strike)),
                           np.sin(np.radians(strike)), 0.0])
-        d_vec = np.cross(n, s_vec)
-        rake = np.degrees(np.arctan2(np.dot(u, -d_vec), np.dot(u, s_vec)))
+        updip = np.cross(n, s_vec)  # n × ŝ = up-dip unit vector
+        rake = np.degrees(np.arctan2(np.dot(u, updip), np.dot(u, s_vec)))
         return strike % 360.0, dip, rake
 
     return plane_sdr(n1, u1), plane_sdr(u1, n1)

@@ -1,0 +1,99 @@
+"""BEM meshing/engine scaffolding tests (kernel lands next round;
+reference ``test/test_bem.py`` covers source geometries + intersection
+guard, which are final here)."""
+
+import numpy as np
+import pytest
+
+from beat_tpu.bem import (
+    BEMEngine,
+    BEMResponse,
+    BoundaryCondition,
+    CurvedBEMSource,
+    DiskBEMSource,
+    EllipseBEMSource,
+    RectangularBEMSource,
+    RingfaultBEMSource,
+    TriangleBEMSource,
+    check_intersection,
+)
+
+
+class TestMeshes:
+    def test_triangle(self):
+        mesh = TriangleBEMSource(depth=1e3).discretize()
+        assert mesh.ntriangles == 1
+        np.testing.assert_allclose(mesh.centroids[0, 2], 1e3)
+
+    def test_rectangle_area_and_normals(self):
+        src = RectangularBEMSource(depth=2e3, strike=30.0, dip=60.0,
+                                   length=4e3, width=2e3)
+        mesh = src.discretize(500.0)
+        np.testing.assert_allclose(mesh.areas.sum(), 4e3 * 2e3, rtol=1e-10)
+        # all normals unit and consistent with dip
+        norms = np.linalg.norm(mesh.normals, axis=1)
+        np.testing.assert_allclose(norms, 1.0)
+        dips = np.degrees(np.arccos(np.abs(mesh.normals[:, 2])))
+        np.testing.assert_allclose(dips, 60.0, atol=1e-6)  # arccos|n_z| = dip
+
+    def test_disk_area(self):
+        src = DiskBEMSource(depth=3e3, a_half_axis=1500.0)
+        mesh = src.discretize(200.0)
+        np.testing.assert_allclose(mesh.areas.sum(), np.pi * 1500.0**2, rtol=0.02)
+
+    def test_ellipse_area(self):
+        src = EllipseBEMSource(depth=3e3, a_half_axis=2000.0, b_half_axis=800.0)
+        mesh = src.discretize(200.0)
+        np.testing.assert_allclose(mesh.areas.sum(), np.pi * 2000 * 800, rtol=0.02)
+
+    def test_ringfault_area(self):
+        src = RingfaultBEMSource(depth=1e3, diameter=2e3, height=1e3)
+        mesh = src.discretize(150.0)
+        np.testing.assert_allclose(mesh.areas.sum(), np.pi * 2e3 * 1e3, rtol=0.02)
+
+    def test_curved_bend_moves_vertices(self):
+        flat = RectangularBEMSource(depth=2e3, length=4e3, width=2e3).discretize(500.0)
+        bent = CurvedBEMSource(depth=2e3, length=4e3, width=2e3,
+                               bend_amplitude=0.2).discretize(500.0)
+        assert np.abs(bent.vertices - flat.vertices).max() > 10.0
+
+    def test_strike_dip_vectors_orthonormal(self):
+        mesh = RectangularBEMSource(depth=2e3, strike=75.0, dip=40.0).discretize(500.0)
+        s, d, n = mesh.unit_strike_vectors, mesh.unit_dip_vectors, mesh.normals
+        np.testing.assert_allclose((s * n).sum(1), 0.0, atol=1e-12)
+        np.testing.assert_allclose((s * d).sum(1), 0.0, atol=1e-12)
+        np.testing.assert_allclose(np.linalg.norm(d, axis=1), 1.0)
+        assert np.all(np.abs(s[:, 2]) < 1e-12)  # strike vectors horizontal
+
+
+class TestIntersection:
+    def test_separate_meshes_ok(self):
+        m1 = DiskBEMSource(depth=2e3, a_half_axis=500.0).discretize(200.0)
+        m2 = DiskBEMSource(depth=6e3, a_half_axis=500.0).discretize(200.0)
+        assert not check_intersection([m1, m2])
+
+    def test_overlapping_flagged(self):
+        m1 = DiskBEMSource(depth=2e3, a_half_axis=800.0).discretize(200.0)
+        m2 = DiskBEMSource(depth=2.05e3, a_half_axis=800.0).discretize(200.0)
+        assert check_intersection([m1, m2])
+
+    def test_surface_breach_flagged(self):
+        m = RingfaultBEMSource(depth=-100.0, diameter=1e3, height=500.0).discretize(100.0)
+        assert check_intersection([m])
+
+
+class TestEngine:
+    def test_invalid_response_on_intersection(self):
+        engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=10.0)],
+                           mesh_size=200.0)
+        srcs = [DiskBEMSource(depth=2e3, a_half_axis=800.0),
+                DiskBEMSource(depth=2.05e3, a_half_axis=800.0)]
+        resp = engine.process(srcs, np.zeros((4, 2)))
+        assert not resp.is_valid and resp.displacements is None
+
+    def test_kernel_pending_error(self):
+        engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=10.0)],
+                           mesh_size=400.0, check_mesh_intersection=False)
+        with pytest.raises(NotImplementedError, match="next round"):
+            engine.process([DiskBEMSource(depth=3e3, a_half_axis=1e3)],
+                           np.zeros((4, 2)))
