@@ -130,15 +130,19 @@ class SeismicDistributerComposite(Composite):
     name = "seismic"
 
     def __init__(self, wavemaps_libs, fault, slip_varnames=("uparr",),
-                 interpolation="multilinear", hp_specific=False):
+                 interpolation="multilinear", hp_specific=False,
+                 use_pallas: bool | None = None):
         """
         wavemaps_libs : list of (WaveformMapping, {component: SeismicGFLibrary})
+        use_pallas : force/disable the fused Pallas stacking kernel
+            (default: auto — on TPU for nearest-neighbour interpolation).
         """
         self.wavemaps_libs = list(wavemaps_libs)
         self.fault = fault
         self.slip_varnames = list(slip_varnames)
         self.interpolation = interpolation
         self.hp_specific = hp_specific
+        self.use_pallas = use_pallas
         self._device = []
         for wmap, libs in self.wavemaps_libs:
             self._device.append({
@@ -190,11 +194,14 @@ class SeismicDistributerComposite(Composite):
             shifts = jnp.stack([point[n] for n in ts_names])
             st = st - shifts[:, None]
 
+        from beat_tpu.ops.gfstack import stack_all_auto
+
         synth = 0.0
         for comp in self.slip_varnames:
             lib = libs[comp]
-            synth = synth + lib.stack_all(durations, st, point[comp],
-                                          self.interpolation)
+            synth = synth + stack_all_auto(lib, durations, st, point[comp],
+                                           self.interpolation,
+                                           use_pallas=self.use_pallas)
         return synth
 
     def loglike(self, point: dict):
