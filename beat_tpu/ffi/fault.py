@@ -179,6 +179,52 @@ class FaultGeometry:
                 slip=float(total), opening_fraction=float(of), anchor=patch.anchor))
         return sources
 
+    # -- interseismic coupling ------------------------------------------------
+
+    def euler_pole2slips(self, pole_lat, pole_lon, omega, event_lat=0.0,
+                         event_lon=0.0, index: int = 0):
+        """
+        Long-term back-slip rates [m/yr] on subfault patches from rigid
+        plate rotation around an Euler pole (reference ``euler_pole2slips``
+        ``ffi/fault.py:1436``): the pole velocity at each patch center is
+        projected onto the patch rake direction.
+        """
+        import jax.numpy as jnp
+
+        from beat_tpu.heart.corrections import velocities_from_pole
+
+        sf = self.subfaults[index]
+        centers = sf.patch_centers_enz()
+        # local meters -> geographic (small-angle)
+        d2r = np.pi / 180.0
+        r_earth = 6371e3
+        lats = event_lat + centers[:, 1] / (d2r * r_earth)
+        lons = event_lon + centers[:, 0] / (d2r * r_earth * np.cos(event_lat * d2r))
+        v_neu = velocities_from_pole(jnp.asarray(lats), jnp.asarray(lons),
+                                     pole_lat, pole_lon, omega)
+        # project horizontal velocity onto the patch slip (rake) direction
+        st = np.deg2rad(sf.plane.strike)
+        ra = np.deg2rad(sf.plane.rake)
+        s_vec = np.array([np.sin(st), np.cos(st)])       # E,N strike
+        d_vec = np.array([np.cos(st), -np.sin(st)]) * np.cos(np.deg2rad(sf.plane.dip))
+        rake_dir = np.cos(ra) * s_vec + np.sin(ra) * d_vec
+        rake_dir = rake_dir / max(np.linalg.norm(rake_dir), 1e-12)
+        v_en = jnp.stack([v_neu[:, 1], v_neu[:, 0]], axis=-1)
+        return v_en @ jnp.asarray(rake_dir)
+
+    @staticmethod
+    def backslip2coupling(backslip_rates, interseismic_slips):
+        """
+        Coupling [%] = interseismic slip-deficit rate / long-term plate
+        rate per patch (reference ``backslip2coupling`` ``ffi/fault.py:1500``,
+        derived variable ``coupling``).
+        """
+        import jax.numpy as jnp
+
+        denom = jnp.where(jnp.abs(backslip_rates) < 1e-12, 1e-12,
+                          jnp.abs(backslip_rates))
+        return jnp.clip(jnp.abs(interseismic_slips) / denom, 0.0, 1.0) * 100.0
+
     # -- regularisation -----------------------------------------------------
 
     def get_smoothing_operator(self, correlation_function="nearest_neighbor") -> np.ndarray:

@@ -9,7 +9,7 @@ Problem + stage trace and writes a PNG/PDF into
 """
 
 from beat_tpu.plotting.marginals import plot_correlation_hist, plot_stage_posteriors
-from beat_tpu.plotting.geodetic import plot_scene_fits
+from beat_tpu.plotting.geodetic import plot_gnss_fits, plot_scene_fits, plot_station_map
 from beat_tpu.plotting.seismic import plot_station_variance_reductions, plot_waveform_fits
 from beat_tpu.plotting.ffi import plot_moment_rate, plot_slip_distribution
 from beat_tpu.plotting.mt import plot_fuzzy_beachball, plot_hudson, plot_lune
@@ -19,6 +19,8 @@ plots_catalog = {
     "stage_posteriors": plot_stage_posteriors,
     "correlation_hist": plot_correlation_hist,
     "scene_fits": plot_scene_fits,
+    "gnss_fits": plot_gnss_fits,
+    "station_map": plot_station_map,
     "waveform_fits": plot_waveform_fits,
     "station_variance_reductions": plot_station_variance_reductions,
     "slip_distribution": plot_slip_distribution,

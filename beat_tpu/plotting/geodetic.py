@@ -47,3 +47,89 @@ def plot_scene_fits(problem, po: PlotOptions | None = None, point=None):
                 fig.colorbar(sc, ax=ax, shrink=0.8, label="LOS disp [m]")
     fig.tight_layout()
     return save_figure(fig, problem.outfolder, "scene_fits", po)
+
+
+def plot_gnss_fits(problem, po: PlotOptions | None = None, point=None):
+    """
+    GNSS horizontal-vector fits: observed vs synthetic arrows per station
+    (reference ``gnss_fits``).  Uses the east/north component datasets of
+    the geodetic composite.
+    """
+    import matplotlib.pyplot as plt
+
+    from beat_tpu.backend import SampleStage
+
+    po = po or PlotOptions()
+    comp = problem.composites.get("geodetic")
+    if comp is None:
+        raise ValueError("Problem has no geodetic composite")
+    gnss = {ds.name: ds for ds in comp.datasets if ds.typ == "GNSS"}
+    if not gnss:
+        raise ValueError("No GNSS datasets in the problem")
+
+    if point is None:
+        handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+        trace = handler.load_trace(po.load_stage)
+        pop, llks = trace.end_points()
+        point = problem.ordering.to_point(pop[int(np.argmax(llks))])
+    synths = comp.get_synthetics(point)
+
+    east = next((d for n, d in gnss.items() if "east" in n.lower()), None)
+    north = next((d for n, d in gnss.items() if "north" in n.lower()), None)
+    fig, ax = plt.subplots(figsize=(7, 7))
+    if east is not None and north is not None:
+        coords = east.coords / 1e3
+        ax.quiver(coords[:, 0], coords[:, 1],
+                  east.displacement, north.displacement,
+                  color="k", label="observed", scale_units="xy")
+        ax.quiver(coords[:, 0], coords[:, 1],
+                  synths[east.name], synths[north.name],
+                  color="crimson", label="synthetic", scale_units="xy")
+    else:  # single-component fallback: scatter fits
+        for name, ds in gnss.items():
+            ax.scatter(ds.coords[:, 0] / 1e3, ds.displacement, s=12,
+                       label=f"{name} obs")
+            ax.scatter(ds.coords[:, 0] / 1e3, synths[name], s=12, marker="x",
+                       label=f"{name} synth")
+    ax.set_xlabel("east [km]")
+    ax.set_ylabel("north [km]")
+    ax.legend(fontsize=8)
+    ax.set_aspect("equal")
+    return save_figure(fig, problem.outfolder, "gnss_fits", po)
+
+
+def plot_station_map(problem, po: PlotOptions | None = None):
+    """
+    Station/data geometry overview (matplotlib replacement of the
+    GMT-based reference ``station_map``): seismic stations, geodetic
+    data footprints and source locations in local coordinates.
+    """
+    import matplotlib.pyplot as plt
+
+    po = po or PlotOptions()
+    fig, ax = plt.subplots(figsize=(7, 7))
+    geo = problem.composites.get("geodetic")
+    if geo is not None:
+        for ds in geo.datasets:
+            ax.scatter(ds.coords[:, 0] / 1e3, ds.coords[:, 1] / 1e3, s=4,
+                       alpha=0.3, label=ds.name)
+    seis = problem.composites.get("seismic")
+    if seis is not None and hasattr(seis, "wavemaps"):
+        for wmap in seis.wavemaps:
+            ax.scatter(wmap.station_east / 1e3, wmap.station_north / 1e3,
+                       marker="^", s=60, color="k", zorder=3)
+            for ds, e, n in zip(wmap.datasets, wmap.station_east, wmap.station_north):
+                ax.annotate(ds.station, (e / 1e3, n / 1e3), fontsize=6,
+                            xytext=(2, 2), textcoords="offset points")
+        sources = getattr(seis, "sources", None) or []
+    else:
+        sources = getattr(geo, "sources", None) or [] if geo else []
+    for src in sources:
+        ax.scatter([src.east_shift / 1e3], [src.north_shift / 1e3],
+                   marker="*", s=200, color="gold", edgecolor="k", zorder=4)
+    ax.set_xlabel("east [km]")
+    ax.set_ylabel("north [km]")
+    ax.set_aspect("equal")
+    if geo is not None:
+        ax.legend(fontsize=7, loc="upper right")
+    return save_figure(fig, problem.outfolder, "station_map", po)

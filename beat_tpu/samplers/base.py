@@ -58,10 +58,32 @@ def mv_student_t_proposal(key, n, cov_chol, df: float = 5.0):
     return z / jnp.sqrt(jnp.maximum(g, 1e-12))
 
 
+def poisson_proposal(key, n, cov_chol):
+    """Symmetric discrete perturbations (reference ``Poisson`` proposal):
+    difference of two Poisson draws scaled by the proposal stds."""
+    dim = cov_chol.shape[0]
+    k1, k2 = jax.random.split(key)
+    lam = jnp.maximum(_std_from_chol(cov_chol), 1e-6)
+    d = (jax.random.poisson(k1, lam, (n, dim))
+         - jax.random.poisson(k2, lam, (n, dim))).astype(jnp.float32)
+    return d
+
+
+def discrete_bounded_uniform_proposal(key, n, cov_chol):
+    """Integer steps uniform in ±3σ (reference ``DiscreteBoundedUniform``,
+    used for trans-dimensional index variables)."""
+    dim = cov_chol.shape[0]
+    width = jnp.maximum(jnp.round(3.0 * _std_from_chol(cov_chol)), 1.0)
+    u = jax.random.uniform(key, (n, dim), minval=-width, maxval=width + 1.0)
+    return jnp.floor(u)
+
+
 proposal_catalog = {
     "Normal": normal_proposal,
     "Cauchy": cauchy_proposal,
     "Laplace": laplace_proposal,
+    "Poisson": poisson_proposal,
+    "DiscreteBoundedUniform": discrete_bounded_uniform_proposal,
     "MultivariateNormal": mv_normal_proposal,
     "MultivariateCauchy": mv_cauchy_proposal,
     "MultivariateStudentT": mv_student_t_proposal,

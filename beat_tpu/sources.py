@@ -369,12 +369,71 @@ class ExplosionSource(BaseSource):
         return jnp.stack([m0, m0, m0, 0.0 * m0, 0.0 * m0, 0.0 * m0])
 
 
+@dataclass
+class CLVDSource(BaseSource):
+    """Compensated linear vector dipole (reference catalog includes
+    pyrocko's CLVDSource): symmetry axis from azimuth/dip."""
+
+    azimuth: float = 0.0   # [deg] of the symmetry axis
+    dip: float = 90.0      # [deg]
+    magnitude: float = 6.0
+
+    parameter_names = ("east_shift", "north_shift", "depth", "time",
+                       "azimuth", "dip", "magnitude")
+
+    def m6(self):
+        az = jnp.deg2rad(self.azimuth)
+        di = jnp.deg2rad(self.dip)
+        # unit symmetry axis in NED
+        a = jnp.stack([jnp.cos(az) * jnp.cos(di), jnp.sin(az) * jnp.cos(di),
+                       jnp.sin(di)])
+        m = jnp.outer(a, a) - jnp.eye(3) / 3.0
+        m = m / jnp.sqrt(jnp.sum(m * m) / 2.0) * magnitude_to_moment(self.magnitude)
+        return matrix_to_m6(m)
+
+
+@dataclass
+class DoubleDCSource(BaseSource):
+    """Two double couples separated in space/time (reference catalog's
+    pyrocko DoubleDCSource): mixing factor splits the moment."""
+
+    strike1: float = 0.0
+    dip1: float = 90.0
+    rake1: float = 0.0
+    strike2: float = 0.0
+    dip2: float = 90.0
+    rake2: float = 0.0
+    mix: float = 0.5
+    delta_time: float = 0.0
+    delta_depth: float = 0.0
+    distance: float = 0.0
+    azimuth: float = 0.0
+    magnitude: float = 6.0
+
+    parameter_names = ("east_shift", "north_shift", "depth", "time",
+                       "strike1", "dip1", "rake1", "strike2", "dip2", "rake2",
+                       "mix", "delta_time", "delta_depth", "distance",
+                       "azimuth", "magnitude")
+
+    def m6_pair(self):
+        m0 = magnitude_to_moment(self.magnitude)
+        m1 = sdr_to_m6(self.strike1, self.dip1, self.rake1, (1.0 - self.mix) * m0)
+        m2 = sdr_to_m6(self.strike2, self.dip2, self.rake2, self.mix * m0)
+        return m1, m2
+
+    def m6(self):
+        m1, m2 = self.m6_pair()
+        return m1 + m2  # co-located approximation (delta offsets small)
+
+
 source_catalog = {
     "RectangularSource": RectangularSource,
     "MTSource": MTSource,
     "MTQTSource": MTQTSource,
     "DCSource": DCSource,
     "ExplosionSource": ExplosionSource,
+    "CLVDSource": CLVDSource,
+    "DoubleDCSource": DoubleDCSource,
 }
 
 
