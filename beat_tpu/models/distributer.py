@@ -145,6 +145,8 @@ class SeismicDistributerComposite(Composite):
         self.use_pallas = use_pallas
         self._device = []
         for wmap, libs in self.wavemaps_libs:
+            if wmap.datasets[0].covariance is None:
+                wmap.analyse_noise()
             self._device.append({
                 "data": jnp.asarray(wmap.data_windows),
                 "weights": jnp.stack([
@@ -166,17 +168,29 @@ class SeismicDistributerComposite(Composite):
         return names
 
     def point2starttimes(self, point: dict):
-        """Eikonal onset times for all patches, SI units (m, m/s) —
-        single subfault for now; multi-subfault loops over planes."""
-        sf = self.fault.get_subfault(0)
+        """Eikonal onset times for all patches, SI units (m, m/s).
+        Multi-subfault: per-subfault nucleation coordinates/times are
+        vector-valued (reference ``hypo_vars`` per subfault,
+        ``ffi/fault.py:614``)."""
         velocities = point["velocities"]
-        nuc_strike = jnp.reshape(point["nucleation_strike"], ()) \
-            if "nucleation_strike" in point else sf.plane.length / 2.0
-        nuc_dip = jnp.reshape(point["nucleation_dip"], ()) \
-            if "nucleation_dip" in point else sf.plane.width / 2.0
-        time = point.get("time", 0.0)
-        return self.fault.point2starttimes(0, velocities, nuc_strike,
-                                           nuc_dip, time)
+        ordering = self.fault.ordering
+        times = []
+        for i in range(self.fault.nsubfaults):
+            sf = self.fault.get_subfault(i)
+
+            def comp(name, default):
+                if name not in point:
+                    return jnp.asarray(default)
+                val = jnp.atleast_1d(jnp.asarray(point[name]))
+                return val[i] if val.shape[0] > 1 else val[0]
+
+            nuc_strike = comp("nucleation_strike", sf.plane.length / 2.0)
+            nuc_dip = comp("nucleation_dip", sf.plane.width / 2.0)
+            time = comp("time", 0.0)
+            vel_i = ordering.vector2subfault(i, velocities)
+            times.append(self.fault.point2starttimes(i, vel_i, nuc_strike,
+                                                     nuc_dip, time))
+        return jnp.concatenate(times)
 
     def synthetics_windows(self, point: dict, w_idx: int):
         wmap, libs = self.wavemaps_libs[w_idx]

@@ -9,10 +9,12 @@ Problem + stage trace and writes a PNG/PDF into
 """
 
 from beat_tpu.plotting.marginals import plot_correlation_hist, plot_stage_posteriors
-from beat_tpu.plotting.geodetic import plot_gnss_fits, plot_scene_fits, plot_station_map
+from beat_tpu.plotting.geodetic import (plot_geodetic_covariances, plot_gnss_fits,
+    plot_scene_fits, plot_station_map)
 from beat_tpu.plotting.seismic import plot_station_variance_reductions, plot_waveform_fits
 from beat_tpu.plotting.ffi import plot_moment_rate, plot_slip_distribution
-from beat_tpu.plotting.mt import plot_fuzzy_beachball, plot_hudson, plot_lune
+from beat_tpu.plotting.mt import (plot_fuzzy_beachball, plot_fuzzy_mt_decomp,
+    plot_hudson, plot_lune)
 
 #: name -> (function, modes, datatypes) — reference plots_catalog parity
 plots_catalog = {
@@ -21,6 +23,7 @@ plots_catalog = {
     "scene_fits": plot_scene_fits,
     "gnss_fits": plot_gnss_fits,
     "station_map": plot_station_map,
+    "geodetic_covariances": plot_geodetic_covariances,
     "waveform_fits": plot_waveform_fits,
     "station_variance_reductions": plot_station_variance_reductions,
     "slip_distribution": plot_slip_distribution,
@@ -28,4 +31,5 @@ plots_catalog = {
     "hudson": plot_hudson,
     "lune": plot_lune,
     "fuzzy_beachball": plot_fuzzy_beachball,
+    "fuzzy_mt_decomp": plot_fuzzy_mt_decomp,
 }

@@ -98,6 +98,26 @@ def plot_gnss_fits(problem, po: PlotOptions | None = None, point=None):
     return save_figure(fig, problem.outfolder, "gnss_fits", po)
 
 
+def plot_geodetic_covariances(problem, po: PlotOptions | None = None):
+    """Per-dataset data-covariance matrices (reference
+    ``geodetic_covariances``)."""
+    import matplotlib.pyplot as plt
+
+    po = po or PlotOptions()
+    comp = problem.composites.get("geodetic")
+    if comp is None:
+        raise ValueError("Problem has no geodetic composite")
+    n = len(comp.datasets)
+    fig, axes = plt.subplots(1, n, figsize=(4.5 * n, 4), squeeze=False)
+    for i, ds in enumerate(comp.datasets):
+        ax = axes[0][i]
+        im = ax.matshow(ds.covariance.p_total, cmap="viridis")
+        ax.set_title(ds.name, fontsize=9)
+        fig.colorbar(im, ax=ax, shrink=0.8)
+    fig.tight_layout()
+    return save_figure(fig, problem.outfolder, "geodetic_covariances", po)
+
+
 def plot_station_map(problem, po: PlotOptions | None = None):
     """
     Station/data geometry overview (matplotlib replacement of the

@@ -77,6 +77,30 @@ def plot_lune(problem, po: PlotOptions | None = None, n_samples=500):
     return save_figure(fig, problem.outfolder, "lune", po)
 
 
+def plot_fuzzy_mt_decomp(problem, po: PlotOptions | None = None, n_samples=500):
+    """Posterior distributions of the ISO/DC/CLVD decomposition
+    (reference ``fuzzy_mt_decomp``)."""
+    import matplotlib.pyplot as plt
+
+    from beat_tpu.mt_utils import decompose
+
+    po = po or PlotOptions()
+    m6s = _posterior_m6s(problem, po, n_samples)
+    parts = {"iso": [], "dc": [], "clvd": []}
+    for m6 in m6s:
+        d = decompose(m6)
+        for k in parts:
+            parts[k].append(d[k])
+
+    fig, axes = plt.subplots(1, 3, figsize=(10, 3))
+    for ax, (name, vals) in zip(axes, parts.items()):
+        ax.hist(vals, bins=40, color="#2c7fb8", alpha=0.85)
+        ax.set_xlabel(f"{name} [%]")
+        format_axes(ax)
+    fig.tight_layout()
+    return save_figure(fig, problem.outfolder, "fuzzy_mt_decomp", po)
+
+
 def plot_fuzzy_beachball(problem, po: PlotOptions | None = None, n_samples=200,
                          grid_n: int = 151):
     """

@@ -171,8 +171,12 @@ def pt_sample(
 
     betas_dev = jnp.asarray(betas, dtype=jnp.float32)
 
+    # random segment lengths decorrelate swap timing (reference draws
+    # uniform in swap_interval); quantized to 3 values so the jitted
+    # segment compiles at most 3 variants
+    seg_choices = sorted({int(seg_lo), int((seg_lo + seg_hi) // 2), int(seg_hi)})
     for seg in range(n_segments):
-        seg_len = int(rng.integers(seg_lo, seg_hi + 1))
+        seg_len = int(rng.choice(seg_choices))
         # Per-replica tempered Metropolis segment: run_metropolis_stage
         # supports per-chain beta via broadcasting in the accept ratio.
         state, _ = run_metropolis_stage(

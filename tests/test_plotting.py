@@ -1,0 +1,122 @@
+"""Plot-catalog smoke tests: every plot renders a file for a suitable
+problem (marginals/scene/map/covariances on the geodetic problem, MT
+plots on an MT problem, slip/moment-rate on an FFI problem)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from beat_tpu.backend import SampleStage
+from beat_tpu.covariance import Covariance
+from beat_tpu.heart.geodesy import GeodeticDataset
+from beat_tpu.models.geodetic import GeodeticGeometryComposite
+from beat_tpu.models.problem import Problem
+from beat_tpu.parameter import Parameter, PriorSet
+from beat_tpu.plotting import plots_catalog
+from beat_tpu.plotting.common import PlotOptions
+from beat_tpu.sources import MTSource, RectangularSource
+
+
+def fake_trace(problem, n_rec=20, n_chains=8, seed=0):
+    """Write a plausible final-stage trace without sampling."""
+    rng = np.random.default_rng(seed)
+    lo, hi = problem.priors.bounds_arrays()
+    q = rng.uniform(lo, hi, size=(n_rec, n_chains, lo.size)).astype(np.float32)
+    llk = rng.normal(size=(n_rec, n_chains)).astype(np.float32)
+    handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+    handler.save_stage(-1, {"q": q, "llk": llk}, {"beta": 1.0})
+
+
+@pytest.fixture
+def geodetic_problem(tmp_path):
+    rng = np.random.default_rng(0)
+    coords = rng.uniform(-1e4, 1e4, (40, 2))
+    los = np.tile([0.4, -0.1, 0.91], (40, 1))
+    los /= np.linalg.norm(los, axis=1, keepdims=True)
+    ds = GeodeticDataset(name="ifg", typ="SAR", coords=coords,
+                         displacement=rng.normal(0, 0.01, 40), los_vector=los,
+                         covariance=Covariance(data=np.eye(40) * 1e-4))
+    comp = GeodeticGeometryComposite([ds], [RectangularSource(depth=2e3)])
+    priors = (PriorSet()
+              .add(Parameter("east_shift", [-5e3], [5e3]))
+              .add(Parameter("slip", [0.1], [2.0])))
+    problem = Problem(priors, {"geodetic": comp}, outfolder=str(tmp_path / "geo"))
+    fake_trace(problem)
+    return problem
+
+
+@pytest.fixture
+def mt_problem(tmp_path):
+    from beat_tpu.heart.gftable import build_homogeneous_table
+    from beat_tpu.heart.seismic import SeismicDataset, WaveformMapping
+    from beat_tpu.heart.taper import ArrivalTaper, Filter
+    from beat_tpu.models.seismic import SeismicGeometryComposite
+
+    table = build_homogeneous_table(np.linspace(20e3, 60e3, 4),
+                                    np.linspace(2e3, 10e3, 3), nt=128, dt=0.5)
+    rng = np.random.default_rng(1)
+    datasets = [SeismicDataset(station=f"S{i}", channel="Z",
+                               east=float(3e4 * np.sin(i)), north=float(3e4 * np.cos(i)),
+                               ydata=rng.normal(0, 1e-7, 128))
+                for i in range(3)]
+    wavemap = WaveformMapping(name="any_P", datasets=datasets, table=table,
+                              taper=ArrivalTaper(-2, -1, 8, 10),
+                              filterer=Filter(0.02, 0.5, 3))
+    comp = SeismicGeometryComposite([wavemap], [MTSource(depth=5e3, magnitude=5.0)])
+    priors = PriorSet()
+    for n in ("mnn", "mee", "mdd", "mne", "mnd", "med"):
+        priors.add(Parameter.from_defaults(n))
+    priors.add(Parameter("magnitude", [4.5], [5.5]))
+    problem = Problem(priors, {"seismic": comp}, outfolder=str(tmp_path / "mt"))
+    fake_trace(problem)
+    return problem
+
+
+@pytest.fixture
+def ffi_problem(tmp_path):
+    from beat_tpu.ffi import discretize_sources, geo_construct_gf_linear
+    from beat_tpu.models.distributer import GeodeticDistributerComposite
+
+    rng = np.random.default_rng(2)
+    ref = RectangularSource(depth=1e3, dip=60.0, length=6e3, width=4e3)
+    fault = discretize_sources([ref], patch_length=2e3, patch_width=2e3)
+    coords = rng.uniform(-1e4, 1e4, (20, 2))
+    los = np.tile([0.0, 0.0, 1.0], (20, 1))
+    lib = geo_construct_gf_linear(fault, coords, los, components=("uparr",))
+    ds = GeodeticDataset(name="ifg", typ="SAR", coords=coords,
+                         displacement=rng.normal(0, 0.01, 20), los_vector=los,
+                         covariance=Covariance(data=np.eye(20) * 1e-4))
+    comp = GeodeticDistributerComposite([ds], lib, fault)
+    priors = PriorSet().add(Parameter("uparr", np.zeros(fault.npatches),
+                                      np.full(fault.npatches, 3.0)))
+    problem = Problem(priors, {"geodetic": comp}, outfolder=str(tmp_path / "ffi"))
+    fake_trace(problem)
+    return problem
+
+
+GEO_PLOTS = ["stage_posteriors", "correlation_hist", "scene_fits",
+             "station_map", "geodetic_covariances"]
+MT_PLOTS = ["hudson", "lune", "fuzzy_beachball", "fuzzy_mt_decomp",
+            "waveform_fits", "station_variance_reductions"]
+FFI_PLOTS = ["slip_distribution", "moment_rate"]
+
+
+@pytest.mark.parametrize("name", GEO_PLOTS)
+def test_geodetic_plots(geodetic_problem, name):
+    path = plots_catalog[name](geodetic_problem, PlotOptions())
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+@pytest.mark.parametrize("name", MT_PLOTS)
+def test_mt_plots(mt_problem, name):
+    path = plots_catalog[name](mt_problem, PlotOptions())
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+@pytest.mark.parametrize("name", FFI_PLOTS)
+def test_ffi_plots(ffi_problem, name):
+    path = plots_catalog[name](ffi_problem, PlotOptions())
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
