@@ -47,7 +47,11 @@ def main(argv=None) -> int:
     if handler is None:
         parser.error(f"subcommand {args.command} not yet implemented")
     logging.basicConfig(level=logging.INFO)
-    return handler(args) or 0
+    try:
+        return handler(args) or 0
+    except (FileNotFoundError, ValueError, NotImplementedError) as e:
+        print(f"beat-tpu {args.command}: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":

@@ -287,11 +287,61 @@ def register_check(sub):
 
 
 def _cmd_check(args):
+    import os
+
+    import numpy as np
+
     from beat_tpu.models import load_model
 
-    problem = load_model(args.project_dir, args.mode, build=False)
+    if args.what == "traces":
+        from beat_tpu.backend import SampleStage
+        from beat_tpu.config import load_config
+
+        config = load_config(args.project_dir, args.mode)
+        outfolder = os.path.join(args.project_dir, args.mode)
+        handler = SampleStage(outfolder)
+        top = handler.highest_sampled_stage()
+        if top == -2:
+            print("No sampled stages found")
+        else:
+            stages = [s for s in ([-1] if top == -1 else range(top + 1))]
+            for s in stages:
+                ok = handler.check_stage(s)
+                print(f"stage_{s}: {'OK' if ok else 'CORRUPT'}")
+        return 0
+
+    if args.what == "library":
+        from beat_tpu.ffi import GeodeticGFLibrary
+
+        path = os.path.join(args.project_dir, "ffi", "linear_gfs",
+                            "geodetic_gfs.npz")
+        if not os.path.exists(path):
+            print(f"No GF library at {path} — run build_gfs")
+            return 1
+        lib = GeodeticGFLibrary.load(path)
+        print(f"Geodetic GF library: {lib.npatches} patches x {lib.nsamples} "
+              f"samples, components {lib.component_names}")
+        return 0
+
+    if args.what == "discretization":
+        import pickle
+
+        path = os.path.join(args.project_dir, "ffi", "linear_gfs",
+                            "fault_geometry.pkl")
+        if not os.path.exists(path):
+            print(f"No fault geometry at {path} — run build_gfs")
+            return 1
+        with open(path, "rb") as f:
+            fault = pickle.load(f)
+        for i in range(fault.nsubfaults):
+            sf = fault.get_subfault(i)
+            print(f"subfault {i}: {sf.npatches} patches")
+        return 0
+
+    # default: forward model at the test point (reference --what geometry)
+    problem = load_model(args.project_dir, args.mode, build=True)
     point = problem.priors.test_point()
     synths = problem.get_synthetics(point)
     print(f"Forward model OK at test point; outputs: "
-          f"{ {k: getattr(v, 'shape', v) for k, v in synths.items()} }")
+          f"{ {k: {n: getattr(v, 'shape', v) for n, v in d.items()} for k, d in synths.items()} }")
     return 0

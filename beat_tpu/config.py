@@ -276,6 +276,7 @@ class BEATconfig:
 
     name: str = "project"
     date: str = ""
+    version: str = ""   # stamped by beat_tpu.upgrade migrations
     event: EventConfig = field(default_factory=EventConfig)
     project_dir: str = "./"
     problem_config: ProblemConfig = field(default_factory=ProblemConfig)

@@ -158,6 +158,28 @@ def _okada_finite(x, y, d, dip, L, W, U1, U2, U3, a=0.5):
     return ux, uy, uz
 
 
+def mogi_surface_displacement(coords, east_shift=0.0, north_shift=0.0,
+                              depth=3000.0, volume_change=1e6, nu=POISSON_DEFAULT):
+    """
+    Mogi (1958) point pressure source in a halfspace: surface
+    displacements of a volume change ΔV at depth d,
+
+        u_h = (1-ν)·ΔV/π · Δx / R³ ,   u_z = (1-ν)·ΔV/π · d / R³ .
+
+    The geodetic forward for ExplosionSource geometry problems (the
+    reference reaches volcano statics through psgrn/pscmp stores; this is
+    the analytic halfspace equivalent).  Returns (N, 3) (E, N, Up) [m].
+    """
+    coords = jnp.asarray(coords)
+    dx = coords[:, 0] - east_shift
+    dy = coords[:, 1] - north_shift
+    R = jnp.sqrt(dx**2 + dy**2 + depth**2)
+    c = (1.0 - nu) * volume_change / jnp.pi
+    inv_r3 = 1.0 / jnp.maximum(R, 1.0) ** 3
+    return jnp.stack([c * dx * inv_r3, c * dy * inv_r3, c * depth * inv_r3],
+                     axis=-1)
+
+
 def okada_surface_displacement(
     coords,
     east_shift=0.0,

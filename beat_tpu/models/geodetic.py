@@ -172,14 +172,17 @@ class GeodeticGeometryComposite(GeodeticComposite):
     """
 
     def __init__(self, datasets, sources, nu=0.25, **kwargs):
+        from beat_tpu.sources import ExplosionSource
+
         super().__init__(datasets, **kwargs)
         self.sources = list(sources)
         for src in self.sources:
-            if not isinstance(src, RectangularSource):
+            if not isinstance(src, (RectangularSource, ExplosionSource)):
                 raise NotImplementedError(
                     f"Geodetic geometry forward for {type(src).__name__} requires "
                     "a layered GF table or point-source halfspace kernel "
-                    "(planned); RectangularSource is supported analytically.")
+                    "(planned); RectangularSource (Okada) and ExplosionSource "
+                    "(Mogi) are supported analytically.")
         self.nu = nu
 
     def _source_kwargs(self, point: dict, i: int) -> dict:
@@ -199,16 +202,32 @@ class GeodeticGeometryComposite(GeodeticComposite):
 
     def synthetics_los(self, point: dict):
         """LOS-projected synthetic displacement, pure JAX (Ntot,)."""
+        from beat_tpu.heart.okada import mogi_surface_displacement
+        from beat_tpu.sources import ExplosionSource
+
         coords = self._device["coords"]
         disp = jnp.zeros((coords.shape[0], 3))
-        for i in range(len(self.sources)):
+        for i, src in enumerate(self.sources):
+            if isinstance(src, ExplosionSource):
+                def get(name):
+                    if name in point:
+                        val = point[name]
+                        return val[i] if getattr(val, "ndim", 0) > 0 and len(self.sources) > 1 \
+                            else jnp.reshape(val, ())
+                    return jnp.asarray(getattr(src, name))
+
+                disp = disp + mogi_surface_displacement(
+                    coords, east_shift=get("east_shift"),
+                    north_shift=get("north_shift"), depth=get("depth"),
+                    volume_change=get("volume_change"), nu=self.nu)
+                continue
             kw = self._source_kwargs(point, i)
             opening_frac = kw.pop("opening_fraction")
             slip_total = kw.pop("slip")
             disp = disp + okada_surface_displacement(
                 coords, slip=slip_total * (1.0 - jnp.abs(opening_frac)),
                 opening=slip_total * opening_frac, nu=self.nu,
-                anchor=self.sources[i].anchor, **kw)
+                anchor=src.anchor, **kw)
         return jnp.sum(disp * self._device["los"], axis=-1)
 
     def synthetics_los_np(self, point: dict):

@@ -122,6 +122,59 @@ class TestCorrections:
         assert np.isfinite(float(logp(jnp.asarray(q))))
 
 
+class TestMogi:
+    def test_peak_uplift_and_ratio(self):
+        from beat_tpu.heart.okada import mogi_surface_displacement
+
+        d, dv, nu = 3e3, 2e6, 0.25
+        coords = jnp.asarray([[0.0, 0.0], [3e3, 0.0]])
+        disp = np.asarray(mogi_surface_displacement(
+            coords, depth=d, volume_change=dv, nu=nu))
+        # peak uplift (1-nu) dV / (pi d^2)
+        np.testing.assert_allclose(disp[0, 2], (1 - nu) * dv / (np.pi * d**2),
+                                   rtol=1e-6)
+        # at r = d: u_r / u_z = r / d = 1
+        np.testing.assert_allclose(disp[1, 0], disp[1, 2], rtol=1e-6)
+        assert disp[0, 0] == 0.0 and disp[0, 1] == 0.0
+
+    def test_volcano_inversion(self, tmp_path):
+        """Fernandina-style: recover depth + volume change of an inflating
+        point source from an InSAR scene."""
+        from beat_tpu.sources import ExplosionSource
+
+        rng = np.random.default_rng(3)
+        g = 12
+        e = np.linspace(-8e3, 8e3, g)
+        coords = np.stack(np.meshgrid(e, e), -1).reshape(-1, 2)
+        los = np.tile([-0.38, 0.08, 0.92], (coords.shape[0], 1))
+        los /= np.linalg.norm(los, axis=1, keepdims=True)
+        from beat_tpu.heart.okada import mogi_surface_displacement
+
+        true_d, true_dv = 2.5e3, 3e6
+        disp = np.asarray(mogi_surface_displacement(
+            jnp.asarray(coords), depth=true_d, volume_change=true_dv))
+        obs = (disp * los).sum(1)
+        sd = 0.01 * np.abs(obs).max()
+        from beat_tpu.heart.geodesy import GeodeticDataset
+
+        ds = GeodeticDataset(
+            name="volcano", typ="SAR", coords=coords,
+            displacement=obs + rng.normal(0, sd, obs.shape), los_vector=los,
+            covariance=Covariance(data=np.eye(obs.size) * sd**2))
+        comp = GeodeticGeometryComposite([ds], [ExplosionSource()])
+        priors = (PriorSet()
+                  .add(Parameter("depth", [1e3], [6e3], testvalue=[true_d]))
+                  .add(Parameter("volume_change", [1e5], [1e7],
+                                 testvalue=[true_dv])))
+        problem = Problem(priors, {"geodetic": comp},
+                          outfolder=str(tmp_path / "volcano"),
+                          sampler_params=SMCParams(n_chains=64, n_steps=40, seed=6))
+        q_tr, _ = problem.sample()
+        est = problem.ordering.to_point(q_tr[-1].mean(axis=0))
+        assert abs(est["depth"] - true_d) / true_d < 0.1
+        assert abs(est["volume_change"] - true_dv) / true_dv < 0.15
+
+
 def test_dataset_stack_slices():
     ds1 = make_scene(n=16)
     g = gnss_compound("gnss_e", np.zeros((5, 2)), np.zeros(5), "east")
