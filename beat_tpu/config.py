@@ -25,7 +25,7 @@ import yaml
 
 from beat_tpu import defaults
 from beat_tpu.parameter import Parameter, PriorSet
-from beat_tpu.samplers import PTParams, SMCParams
+from beat_tpu.samplers import MetropolisParams, PTParams, SMCParams
 
 logger = logging.getLogger("beat_tpu.config")
 
@@ -267,6 +267,8 @@ class SamplerConfig:
             return SMCParams(**self.parameters)
         elif self.name == "PT":
             return PTParams(**self.parameters)
+        elif self.name == "Metropolis":
+            return MetropolisParams(**self.parameters)
         raise ValueError(f"Unknown sampler {self.name}")
 
 

@@ -208,6 +208,23 @@ class GreensTable:
         IC, IS = self.ibasis
         return irfft_pair(spec, IC, IS)
 
+    # -- persistence ----------------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, spectra=np.asarray(self.spectra, dtype=np.float32),
+            distances=self.distances, depths=self.depths,
+            meta=np.array([self.dt, float(self.nt), self.t0, self.vp, self.vs]))
+
+    @classmethod
+    def load(cls, path: str) -> "GreensTable":
+        with np.load(path) as z:
+            meta = z["meta"]
+            return cls(spectra=jnp.asarray(z["spectra"]),
+                       distances=z["distances"], depths=z["depths"],
+                       dt=float(meta[0]), nt=int(meta[1]), t0=float(meta[2]),
+                       vp=float(meta[3]), vs=float(meta[4]))
+
     def synthesize_windows(self, spec, window_starts, window_taper, nsamples_win):
         """
         Inverse DFT (matmul) + per-target window extraction + taper.

@@ -115,6 +115,12 @@ class WaveformMapping:
         import jax.numpy as jnp
 
         dt = self.table.dt
+        if self.nsamples_win > self.table.nt:
+            raise ValueError(
+                f"Arrival taper window ({self.taper.duration:.1f} s = "
+                f"{self.nsamples_win} samples) exceeds the GF table length "
+                f"({self.table.nt} samples at dt={dt}) — shorten the taper "
+                "or build a longer table")
         self.station_east = np.array([ds.east for ds in self.datasets])
         self.station_north = np.array([ds.north for ds in self.datasets])
         self.comp_idx = np.array([component_index[ds.channel] for ds in self.datasets],

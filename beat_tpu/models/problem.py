@@ -19,7 +19,8 @@ import numpy as np
 
 from beat_tpu.backend import SampleStage, summarize_trace
 from beat_tpu.parameter import Parameter, PriorSet
-from beat_tpu.samplers import PTParams, SMCParams, metropolis_sample, pt_sample, smc_sample
+from beat_tpu.samplers import (MetropolisParams, PTParams, SMCParams,
+                               metropolis_sample, pt_sample, smc_sample)
 
 logger = logging.getLogger("beat_tpu.models.problem")
 
@@ -118,6 +119,16 @@ class Problem:
         elif isinstance(params, PTParams):
             return pt_sample(logp_fn, lower, upper, params,
                              homepath=self.outfolder, ordering=self.ordering)
+        elif isinstance(params, MetropolisParams):
+            from beat_tpu.backend import SampleStage
+
+            handler = SampleStage(self.outfolder, ordering=self.ordering)
+            return metropolis_sample(
+                logp_fn, lower, upper, n_chains=params.n_chains,
+                n_steps=params.n_steps, burn=params.burn, thin=params.thin,
+                proposal_name=params.proposal_name,
+                tune_interval=params.tune_interval, seed=params.seed,
+                stage_handler=handler)
         raise TypeError(f"Unknown sampler params {type(params)}")
 
     def estimate_hypers(self, n_steps: int = 5000, n_chains: int = 20):

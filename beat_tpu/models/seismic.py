@@ -258,9 +258,78 @@ class SeismicGeometryComposite(Composite):
         return out
 
 
-def build_seismic_composite(seismic_config, project_dir, sources):
-    """Construct the composite from config + project data
-    (CLI path; reference ``SeismicComposite.__init__``)."""
-    raise NotImplementedError(
-        "Config-driven seismic data loading lands with the importers; "
-        "construct SeismicGeometryComposite directly from WaveformMappings.")
+def build_seismic_composite(seismic_config, project_dir, sources,
+                            event=None):
+    """
+    Construct the composite from config + project data (CLI path;
+    reference ``SeismicComposite.__init__`` + ``init_datahandler``/
+    ``init_wavemap`` ``heart.py:3387-3465``).
+
+    Data: ``<project_dir>/seismic_data.npz`` (native format, see
+    :mod:`beat_tpu.inputf`).  Green's functions: ``gf_table.npz`` in the
+    project dir if present (e.g. converted from a pyrocko store),
+    otherwise a homogeneous analytic table from ``gf_config``
+    (vp/vs/rho/distance & depth grids/nt/dt).
+    """
+    import os
+
+    from beat_tpu.heart.gftable import GreensTable, build_homogeneous_table
+    from beat_tpu.heart.seismic import WaveformMapping
+    from beat_tpu.heart.taper import ArrivalTaper, Filter
+    from beat_tpu.inputf import load_seismic_datasets
+
+    datadir = getattr(seismic_config, "datadir", "./")
+    datasets = load_seismic_datasets(project_dir, datadir)
+
+    table_path = os.path.join(project_dir, "gf_table.npz")
+    if os.path.exists(table_path):
+        table = GreensTable.load(table_path)
+    else:
+        gfc = dict(seismic_config.gf_config or {})
+        table = build_homogeneous_table(
+            distances=np.linspace(gfc.get("distance_min", 10e3),
+                                  gfc.get("distance_max", 150e3),
+                                  int(gfc.get("n_distances", 24))),
+            depths=np.linspace(gfc.get("depth_min", 1e3),
+                               gfc.get("depth_max", 30e3),
+                               int(gfc.get("n_depths", 12))),
+            nt=int(gfc.get("nt", 512)), dt=float(gfc.get("dt", 0.5)),
+            vp=float(gfc.get("vp", 6000.0)), vs=float(gfc.get("vs", 3500.0)),
+            rho=float(gfc.get("rho", 2700.0)))
+
+    wavemaps = []
+    for wfc in seismic_config.waveforms:
+        if not getattr(wfc, "include", True):
+            continue
+        selected = [ds for ds in datasets if ds.channel in wfc.channels]
+        if not selected:
+            logger.warning("Wavemap %s: no datasets for channels %s",
+                           wfc.name, wfc.channels)
+            continue
+        wmap = WaveformMapping(
+            name=wfc.name, datasets=selected, table=table,
+            taper=ArrivalTaper(wfc.arrival_taper.a, wfc.arrival_taper.b,
+                               wfc.arrival_taper.c, wfc.arrival_taper.d),
+            filterer=Filter(wfc.filterer.lower_corner,
+                            wfc.filterer.upper_corner, wfc.filterer.order),
+            domain=wfc.domain,
+            station_corrections=getattr(seismic_config, "station_corrections",
+                                        False))
+        if wfc.blacklist:
+            wmap.station_weeding(blacklist=wfc.blacklist)
+        wavemaps.append(wmap)
+    if not wavemaps:
+        raise ValueError("No wavemaps configured — check waveforms config")
+
+    from beat_tpu.covariance import SeismicNoiseAnalyser
+
+    analyser = None
+    ne = getattr(seismic_config, "noise_estimator", None)
+    if ne is not None:
+        analyser = SeismicNoiseAnalyser(structure=ne.structure,
+                                        pre_arrival_time=ne.pre_arrival_time)
+    return SeismicGeometryComposite(
+        wavemaps, sources,
+        hp_specific=getattr(seismic_config,
+                            "dataset_specific_residual_noise_estimation", False),
+        noise_analyser=analyser)

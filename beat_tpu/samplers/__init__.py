@@ -6,6 +6,7 @@ parallel tempering — all chains advance in lockstep on device
 
 from beat_tpu.samplers.base import choose_proposal  # noqa: F401
 from beat_tpu.samplers.metropolis import (  # noqa: F401
+    MetropolisParams,
     MetropolisState,
     init_metropolis_state,
     metropolis_sample,

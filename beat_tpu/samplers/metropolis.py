@@ -49,6 +49,23 @@ def tune_scale(scale, acc_rate):
     return scale * factors
 
 
+from dataclasses import dataclass
+
+
+@dataclass
+class MetropolisParams:
+    """Single-stage adaptive-Metropolis configuration
+    (reference ``MetropolisConfig`` ``config.py:1771``)."""
+
+    n_chains: int = 20
+    n_steps: int = 25000
+    burn: float = 0.1
+    thin: int = 2
+    tune_interval: int = 100
+    proposal_name: str = "MultivariateNormal"
+    seed: int = 0
+
+
 class MetropolisState(NamedTuple):
     """Carried state of all chains (leading axis = chains)."""
 

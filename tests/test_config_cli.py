@@ -87,6 +87,79 @@ def run_cli(*argv):
     return main(list(argv))
 
 
+class TestSeismicCLILifecycle:
+    def test_seismic_project(self, tmp_path):
+        """init → synthetic waveform data → sample → summarize for a
+        DC-source seismic project (FullMT-style via CLI)."""
+        import jax.numpy as jnp
+
+        from beat_tpu.heart.gftable import build_homogeneous_table
+        from beat_tpu.inputf import save_seismic_datasets
+        from beat_tpu.heart.seismic import SeismicDataset
+        from beat_tpu.sources import sdr_to_m6
+
+        pdir = str(tmp_path / "seisproj")
+        assert run_cli("init", "seisproj", pdir, "--datatypes", "seismic",
+                       "--source_types", "DCSource") == 0
+
+        config = load_config(pdir)
+        gfc = dict(distance_min=20e3, distance_max=100e3, n_distances=6,
+                   depth_min=2e3, depth_max=15e3, n_depths=4, nt=256, dt=0.25)
+        config.seismic_config.gf_config = gfc
+        wfc = config.seismic_config.waveforms[0]
+        wfc.arrival_taper.a, wfc.arrival_taper.b = -3.0, -1.5
+        wfc.arrival_taper.c, wfc.arrival_taper.d = 15.0, 18.0
+        wfc.filterer.lower_corner, wfc.filterer.upper_corner = 0.02, 0.5
+        config.sampler_config.parameters = {"n_chains": 48, "n_steps": 30,
+                                            "seed": 2}
+        for name in list(config.problem_config.priors):
+            if name not in ("strike", "dip", "rake", "magnitude"):
+                del config.problem_config.priors[name]
+        config.problem_config.priors["strike"].update(
+            lower=[0.0], upper=[90.0], testvalue=[40.0])
+        config.problem_config.priors["dip"].update(
+            lower=[30.0], upper=[80.0], testvalue=[55.0])
+        config.problem_config.priors["rake"].update(
+            lower=[-40.0], upper=[60.0], testvalue=[20.0])
+        config.problem_config.priors["magnitude"].update(
+            lower=[5.0], upper=[6.5], testvalue=[5.8])
+        dump_config(config, pdir)
+
+        # synthetic data from the same table the CLI will build
+        table = build_homogeneous_table(
+            distances=np.linspace(20e3, 100e3, 6),
+            depths=np.linspace(2e3, 15e3, 4), nt=256, dt=0.25)
+        rng = np.random.default_rng(0)
+        n_st = 5
+        az = np.linspace(0, 2 * np.pi, n_st, endpoint=False) + 0.2
+        dist = rng.uniform(40e3, 90e3, n_st)
+        st_e, st_n = dist * np.sin(az), dist * np.cos(az)
+        m6 = jnp.asarray(sdr_to_m6(40.0, 55.0, 20.0, 10 ** (1.5 * 5.8 + 9.05)))
+        spec = table.synthesize_spectra(
+            m6, 0.0, 0.0, jnp.asarray(10000.0), 0.0, 1.0,
+            jnp.asarray(st_e), jnp.asarray(st_n),
+            jnp.asarray([0] * n_st, dtype=jnp.int32))
+        raw = np.asarray(table.to_time_domain(spec))
+        raw = raw + rng.normal(0, 0.02 * np.abs(raw).max(), raw.shape)
+        save_seismic_datasets(
+            [SeismicDataset(station=f"S{i}", channel="Z", east=st_e[i],
+                            north=st_n[i], ydata=raw[i]) for i in range(n_st)],
+            pdir)
+
+        assert run_cli("check", pdir) == 0
+        assert run_cli("sample", pdir) == 0
+        assert run_cli("summarize", pdir) == 0
+        summary_path = os.path.join(pdir, "geometry", "summary.txt")
+        assert os.path.exists(summary_path)
+        import json
+
+        with open(summary_path) as f:
+            summary = json.load(f)
+        # mechanism recovered within loose CLI-scale tolerances
+        assert abs(summary["strike"]["mean"] - 40.0) < 12.0
+        assert abs(summary["magnitude"]["mean"] - 5.8) < 0.15
+
+
 class TestCLILifecycle:
     def test_full_lifecycle(self, tmp_path, capsys):
         pdir = str(tmp_path / "cliproj")
