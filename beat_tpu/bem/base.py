@@ -74,12 +74,18 @@ class BEMEngine:
 
     def __init__(self, boundary_conditions, mesh_size: float = 500.0,
                  poissons_ratio: float = 0.25, shear_modulus: float = 33e9,
-                 check_mesh_intersection: bool = True):
+                 check_mesh_intersection: bool = True, medium: str = "fullspace"):
         self.boundary_conditions = list(boundary_conditions)
         self.mesh_size = mesh_size
         self.nu = poissons_ratio
         self.mu = shear_modulus
         self.check_mesh_intersection = check_mesh_intersection
+        if medium not in ("fullspace",):
+            raise NotImplementedError(
+                "halfspace BEM (free-surface image + harmonic corrections) "
+                "lands in the next round; medium='fullspace' is available "
+                "— adequate for deep sources, approximate near the surface")
+        self.medium = medium
 
     def discretize(self, sources) -> list:
         return [src.discretize(self.mesh_size) for src in sources]
@@ -90,14 +96,6 @@ class BEMEngine:
             # reference returns a -99-filled invalid response (bem/base.py:145)
             return BEMResponse(sources=sources, meshes=meshes,
                                displacements=None, slips=None, is_valid=False)
-        try:
-            from beat_tpu.bem import tde  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "Halfspace triangular-dislocation kernels (beat_tpu.bem.tde) "
-                "land in the next round; BEM meshing/BC machinery is ready "
-                "but the elastic kernel is not yet implemented") from e
-
         G_tractions = self.get_interaction_matrix(meshes)
         rhs = self._traction_rhs(meshes)
         slips, *_ = np.linalg.lstsq(G_tractions, rhs, rcond=None)
@@ -126,4 +124,6 @@ class BEMEngine:
     def _surface_displacements(self, meshes, slips, coords) -> np.ndarray:
         from beat_tpu.bem import tde
 
-        return tde.displacement_matrix(meshes, coords, nu=self.nu) @ slips
+        D = tde.displacement_matrix(meshes, coords, nu=self.nu, mu=self.mu,
+                                    boundary_conditions=self.boundary_conditions)
+        return (D @ slips).reshape(-1, 3)

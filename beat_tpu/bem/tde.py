@@ -1,0 +1,236 @@
+"""
+Triangular-dislocation elastic kernels (full space).
+
+The reference reaches these through the cutde CUDA library
+(Nikkhoo & Walter halfspace TDEs, ``beat/bem/base.py:14-19``).  Here the
+kernels are built from first principles in JAX:
+
+* the Kelvin point-force solution
+  ``U_ki = [ (3-4ν) δ_ki + r̂_k r̂_i ] / (16 π µ (1-ν) r)``
+  is the only hand-written formula;
+* a dislocation element is its moment-density surface distribution
+  (representation theorem): ``u_k(x) = ∫_S m_pq ∂U_kp/∂ξ_q dS`` with
+  ``m = λ (b·n) I + µ (b nᵀ + n bᵀ)``;
+* ALL derivatives (source gradients for displacements, receiver
+  gradients for strains/tractions) come from ``jax.jacfwd`` — no
+  error-prone hand-derived kernels;
+* surface integrals use fixed-depth triangle subdivision quadrature
+  (4^L congruent subtriangles, centroid rule) — exact enough at BEM
+  evaluation distances (≥ ~1 element size), verified against the Burgers
+  discontinuity and the analytic penny-shaped-crack solution.
+
+**Full space only**: the free-surface (halfspace) image + harmonic
+corrections land in the next round; :class:`beat_tpu.bem.base.BEMEngine`
+exposes this as ``medium='fullspace'`` (validated against the analytic
+penny-shaped-crack solution) and refuses halfspace requests.
+Self-interaction tractions are evaluated at a small normal offset from
+the element centroid (standard collocation regularisation).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger("beat_tpu.bem.tde")
+
+
+def kelvin_displacement(x, xi, mu=33e9, nu=0.25):
+    """Kelvin solution U (3, 3): displacement component k at ``x`` per
+    unit point force in direction i at ``xi`` (full space)."""
+    r_vec = x - xi
+    r = jnp.sqrt(jnp.sum(r_vec**2) + 1e-12)
+    rhat = r_vec / r
+    return ((3.0 - 4.0 * nu) * jnp.eye(3) + jnp.outer(rhat, rhat)) / \
+        (16.0 * jnp.pi * mu * (1.0 - nu) * r)
+
+
+def moment_density(b, n, mu=33e9, lam=33e9):
+    """m_pq = λ(b·n)δ_pq + µ(b_p n_q + b_q n_p) per unit area."""
+    return lam * jnp.dot(b, n) * jnp.eye(3) + mu * (jnp.outer(b, n) + jnp.outer(n, b))
+
+
+def point_dislocation_displacement(x, xi, m_pq, mu=33e9, nu=0.25):
+    """u_k(x) of a point moment m_pq at ξ: m_pq ∂U_kp/∂ξ_q (autodiff)."""
+    dU = jax.jacfwd(lambda s: kelvin_displacement(x, s, mu, nu))(xi)  # (k,p,q)
+    return jnp.einsum("pq,kpq->k", m_pq, dU)
+
+
+def _subdivide(tri, level: int):
+    """Centroids + equal areas of 4^level congruent subtriangles."""
+    tris = [np.asarray(tri, dtype=np.float64)]
+    for _ in range(level):
+        new = []
+        for t in tris:
+            m01 = (t[0] + t[1]) / 2
+            m12 = (t[1] + t[2]) / 2
+            m20 = (t[2] + t[0]) / 2
+            new += [np.array([t[0], m01, m20]), np.array([m01, t[1], m12]),
+                    np.array([m20, m12, t[2]]), np.array([m01, m12, m20])]
+        tris = new
+    cents = np.stack([t.mean(axis=0) for t in tris])
+    t0 = np.asarray(tri)
+    area = 0.5 * np.linalg.norm(np.cross(t0[1] - t0[0], t0[2] - t0[0]))
+    return cents, area / len(tris)
+
+
+def element_displacement(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2):
+    """
+    Displacement at points ``obs`` (N, 3) from a uniform Burgers vector
+    ``b`` on triangle ``tri`` (3, 3), full space, quadrature level
+    ``level`` (4^level points).
+
+    Runs in float64 (``jax.enable_x64`` scope): the quadrature sums cancel
+    to ~1e-7 of their largest terms — float32 noise would dominate the
+    physical field.  BEM assembly is a host-side precompute, so this
+    costs nothing on device.
+    """
+    lam = mu if lam is None else lam
+    tri_np = np.asarray(tri, dtype=np.float64)
+    n_vec = np.cross(tri_np[1] - tri_np[0], tri_np[2] - tri_np[0])
+    n_vec = n_vec / np.linalg.norm(n_vec)
+    cents, dA = _subdivide(tri_np, level)
+
+    with jax.enable_x64(True):
+        m = moment_density(jnp.asarray(b, dtype=jnp.float64),
+                           jnp.asarray(n_vec), mu, lam) * dA
+
+        def disp_at(x):
+            contrib = jax.vmap(lambda c: point_dislocation_displacement(
+                x, c, m, mu, nu))(jnp.asarray(cents))
+            return jnp.sum(contrib, axis=0)
+
+        return np.asarray(jax.vmap(disp_at)(
+            jnp.asarray(obs, dtype=jnp.float64)))
+
+
+def element_stress(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2):
+    """Stress tensors (N, 3, 3) at ``obs`` from the element (autodiff of
+    the displacement field over the receiver coordinate; float64, see
+    :func:`element_displacement`)."""
+    lam = mu if lam is None else lam
+    tri_np = np.asarray(tri, dtype=np.float64)
+    n_vec = np.cross(tri_np[1] - tri_np[0], tri_np[2] - tri_np[0])
+    n_vec = n_vec / np.linalg.norm(n_vec)
+    cents, dA = _subdivide(tri_np, level)
+
+    with jax.enable_x64(True):
+        m = moment_density(jnp.asarray(b, dtype=jnp.float64),
+                           jnp.asarray(n_vec), mu, lam) * dA
+
+        def disp_at(x):
+            contrib = jax.vmap(lambda c: point_dislocation_displacement(
+                x, c, m, mu, nu))(jnp.asarray(cents))
+            return jnp.sum(contrib, axis=0)
+
+        def stress_at(x):
+            grad = jax.jacfwd(disp_at)(x)          # du_k/dx_l
+            eps = 0.5 * (grad + grad.T)
+            return lam * jnp.trace(eps) * jnp.eye(3) + 2.0 * mu * eps
+
+        return np.asarray(jax.vmap(stress_at)(
+            jnp.asarray(obs, dtype=jnp.float64)))
+
+
+# ---------------------------------------------------------------------------
+# BEM assembly (consumed by beat_tpu.bem.base.BEMEngine)
+# ---------------------------------------------------------------------------
+
+
+def _slip_vector(mesh, idx, component):
+    if component == "strike":
+        return mesh.unit_strike_vectors[idx]
+    elif component == "dip":
+        return mesh.unit_dip_vectors[idx]
+    elif component == "normal":
+        return mesh.normals[idx]
+    raise ValueError(f"Unknown slip component {component}")
+
+
+def interaction_matrix(meshes, boundary_conditions, nu=0.25, mu=33e9,
+                       level: int = 2, near_level: int = 6,
+                       self_offset_frac: float = 0.5):
+    """
+    Traction interaction matrix (full space): rows = receiver-element
+    BC tractions (projected on the BC slip direction), columns = unit
+    slips of source elements per BC (reference ``get_interaction_matrix``
+    ``bem/base.py:230`` + traction projections :278).
+
+    Collocation points sit ``self_offset_frac · sqrt(area)`` along the
+    receiver normal (offset collocation regularises the self term);
+    entries whose collocation point lies within two element sizes of the
+    source are recomputed at ``near_level`` subdivision so quadrature
+    point sources never dominate the near field.
+    """
+    col_meta = []
+    for bc in boundary_conditions:
+        for src_i in bc.source_idxs:
+            mesh = meshes[src_i]
+            for e in range(mesh.ntriangles):
+                col_meta.append((bc.slip_component, src_i, e))
+    # receiver collocation points per BC row block
+    rec_points, rec_normals, rec_dirs = [], [], []
+    for bc in boundary_conditions:
+        for rec_i in bc.receiver_idxs:
+            mesh = meshes[rec_i]
+            off = (self_offset_frac * np.sqrt(mesh.areas))[:, None] * mesh.normals
+            rec_points.append(mesh.centroids + off)
+            rec_normals.append(mesh.normals)
+            rec_dirs.append(np.stack([
+                _slip_vector(mesh, e, bc.slip_component)
+                for e in range(mesh.ntriangles)]))
+    rec_points = np.concatenate(rec_points)
+    rec_normals = np.concatenate(rec_normals)
+    rec_dirs = np.concatenate(rec_dirs)
+
+    G = np.zeros((rec_points.shape[0], len(col_meta)))
+    for j, (component, src_i, e) in enumerate(col_meta):
+        mesh = meshes[src_i]
+        tri = mesh.triangles[e]
+        b = _slip_vector(mesh, e, component)
+        sigma = np.asarray(element_stress(rec_points, tri, b, mu=mu, nu=nu,
+                                          lam=mu, level=level))
+        traction = np.einsum("nij,nj->ni", sigma, rec_normals)
+        G[:, j] = np.einsum("ni,ni->n", traction, rec_dirs)
+
+        # near-field rows: recompute at fine subdivision
+        size = np.sqrt(mesh.areas[e])
+        dist = np.linalg.norm(rec_points - tri.mean(axis=0), axis=1)
+        near = np.where(dist < 2.0 * size)[0]
+        if near.size:
+            sigma_n = np.asarray(element_stress(
+                rec_points[near], tri, b, mu=mu, nu=nu, lam=mu,
+                level=near_level))
+            traction_n = np.einsum("nij,nj->ni", sigma_n, rec_normals[near])
+            G[near, j] = np.einsum("ni,ni->n", traction_n, rec_dirs[near])
+    logger.info("Assembled BEM interaction matrix %s", G.shape)
+    return G
+
+
+def displacement_matrix(meshes, coords, nu=0.25, mu=33e9, level: int = 2,
+                        boundary_conditions=None):
+    """
+    Displacements (3·nobs, ncolumns) at observation points (E, N, depth=0
+    assumed if 2-D coords given) per unit element slip — full space.
+    Column order matches :func:`interaction_matrix`.
+    """
+    coords = np.asarray(coords)
+    if coords.shape[1] == 2:
+        obs = np.column_stack([coords, np.zeros(len(coords))])
+    else:
+        obs = coords
+
+    cols = []
+    for bc in (boundary_conditions or []):
+        for src_i in bc.source_idxs:
+            mesh = meshes[src_i]
+            for e in range(mesh.ntriangles):
+                b = _slip_vector(mesh, e, bc.slip_component)
+                disp = np.asarray(element_displacement(
+                    obs, mesh.triangles[e], b, mu=mu, nu=nu, lam=mu,
+                    level=level))
+                cols.append(disp.reshape(-1))
+    return np.stack(cols, axis=1)

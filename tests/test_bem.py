@@ -82,6 +82,34 @@ class TestIntersection:
         assert check_intersection([m])
 
 
+class TestTDEKernel:
+    def test_burgers_jump(self):
+        """u⁺ − u⁻ across the element approaches the Burgers vector."""
+        from beat_tpu.bem.tde import element_displacement
+
+        tri = np.array([[0.0, 0.0, 5e3], [4e3, 0.0, 5e3], [0.0, 4e3, 5e3]])
+        b = np.array([0.3, -0.2, 0.5])
+        pt = tri[0] + 0.25 * (tri[1] - tri[0]) + 0.25 * (tri[2] - tri[0])
+        eps = 50.0
+        d = element_displacement(np.stack([pt + [0, 0, eps], pt - [0, 0, eps]]),
+                                 tri, b, level=6)
+        jump = d[0] - d[1]
+        np.testing.assert_allclose(jump, b, rtol=0.1)
+
+    def test_uniform_sheet_stress_vanishes(self):
+        """A uniform dislocation over a large sheet is a rigid offset:
+        stress above its center must tend to zero (exact kernel identity)."""
+        from beat_tpu.bem.tde import element_stress
+
+        L = 8e3
+        t1 = np.array([[0.0, 0.0, 0.0], [L, 0.0, 0.0], [L, L, 0.0]])
+        t2 = np.array([[0.0, 0.0, 0.0], [L, L, 0.0], [0.0, L, 0.0]])
+        obs = np.array([[L / 2, L / 2, 50.0]])
+        n = np.array([0.0, 0.0, 1.0])
+        sig = sum(element_stress(obs, t, n, level=8)[0] for t in (t1, t2))
+        assert abs(n @ sig @ n) < 5e6  # < 5 MPa for mu=33 GPa, b=1
+
+
 class TestEngine:
     def test_invalid_response_on_intersection(self):
         engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=10.0)],
@@ -91,9 +119,32 @@ class TestEngine:
         resp = engine.process(srcs, np.zeros((4, 2)))
         assert not resp.is_valid and resp.displacements is None
 
-    def test_kernel_pending_error(self):
-        engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=10.0)],
-                           mesh_size=400.0, check_mesh_intersection=False)
+    def test_halfspace_pending(self):
         with pytest.raises(NotImplementedError, match="next round"):
-            engine.process([DiskBEMSource(depth=3e3, a_half_axis=1e3)],
-                           np.zeros((4, 2)))
+            BEMEngine([BoundaryCondition("normal", [0], [0], traction=1.0)],
+                      medium="halfspace")
+
+    def test_penny_crack_analytic(self):
+        """Pressurized penny-shaped crack in full space: the BEM slip
+        solution must match δ(r) = 4(1-ν)p√(a²-r²)/(πµ) — validates the
+        kernel, interaction matrix and solve end-to-end."""
+        mu, nu, p, a = 33e9, 0.25, 10.0, 1000.0
+        engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=p)],
+                           mesh_size=400.0, poissons_ratio=nu, shear_modulus=mu,
+                           check_mesh_intersection=False)
+        src = DiskBEMSource(depth=50e3, a_half_axis=a)
+        resp = engine.process([src], np.array([[0.0, 0.0], [2e3, 0.0]]))
+        assert resp.is_valid
+        mesh = resp.meshes[0]
+        r = np.linalg.norm(mesh.centroids[:, :2], axis=1)
+        s = resp.slips
+        assert np.all(s * s[0] > 0)  # uniform opening sign
+        d0 = 4 * (1 - nu) * p * 1e6 * a / (np.pi * mu)
+        inner = r < 0.4 * a
+        np.testing.assert_allclose(np.abs(s[inner]).mean(), d0, rtol=0.12)
+        # displacement field finite and decaying with distance
+        disp = resp.displacements
+        assert disp.shape == (2, 3)
+        assert np.all(np.isfinite(disp))
+        mag = resp.derived_magnitude()
+        assert 3.0 < mag < 6.0
