@@ -110,6 +110,40 @@ class TestTDEKernel:
         assert abs(n @ sig @ n) < 5e6  # < 5 MPa for mu=33 GPa, b=1
 
 
+class TestHalfspaceSurface:
+    def test_matches_okada_rectangle(self):
+        """Reciprocity halfspace kernel vs the verified Okada rectangular
+        solution: a vertical plane split into two triangles, all three
+        slip modes."""
+        import jax.numpy as jnp
+
+        from beat_tpu.bem.tde import element_surface_displacement_halfspace
+        from beat_tpu.heart.okada import okada_surface_displacement
+
+        L, W, top = 3e3, 2e3, 1.5e3
+        c0 = np.array([0.0, -L / 2, top])
+        c1 = np.array([0.0, L / 2, top])
+        c2 = np.array([0.0, L / 2, top + W])
+        c3 = np.array([0.0, -L / 2, top + W])
+        t1, t2 = np.stack([c0, c1, c2]), np.stack([c0, c2, c3])
+        obs = np.array([[2e3, 1e3], [-3e3, -2e3], [800.0, 300.0]])
+
+        cases = [("strike", np.array([0.0, 1.0, 0.0]), dict(rake=0.0, slip=1.0)),
+                 ("dip", np.array([0.0, 0.0, -1.0]), dict(rake=90.0, slip=1.0)),
+                 ("open", np.array([1.0, 0.0, 0.0]), dict(rake=0.0, slip=0.0,
+                                                          opening=1.0))]
+        for name, b, okada_kw in cases:
+            ok = np.asarray(okada_surface_displacement(
+                jnp.asarray(obs), depth=top, strike=0.0, dip=90.0,
+                length=L, width=W, **okada_kw))
+            got = sum(element_surface_displacement_halfspace(
+                obs, t, b, level=5) for t in (t1, t2))
+            got_enu = np.stack([got[:, 0], got[:, 1], -got[:, 2]], axis=-1)
+            np.testing.assert_allclose(got_enu, ok,
+                                       atol=2e-3 * np.abs(ok).max(),
+                                       err_msg=name)
+
+
 class TestEngine:
     def test_invalid_response_on_intersection(self):
         engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=10.0)],
