@@ -126,7 +126,7 @@ def _cmd_build_gfs(args):
     datasets = load_geodetic_datasets(args.project_dir, gc)
     stack = DatasetStack.from_datasets(datasets)
 
-    ref = RectangularSource(depth=config.event.depth)
+    ref = _reference_source_from_project(args.project_dir, config)
     fault = discretize_sources([ref], patch_length=args.patch_length * 1e3,
                                patch_width=args.patch_width * 1e3)
     lib = geo_construct_gf_linear(fault, stack.coords, stack.los,
@@ -138,6 +138,49 @@ def _cmd_build_gfs(args):
         pickle.dump(fault, f)
     print(f"Built geodetic GF library: {fault.npatches} patches -> {outdir}")
     return 0
+
+
+def _reference_source_from_project(project_dir, config):
+    """
+    FFI reference source from the geometry-mode posterior when available
+    (reference staged workflow: ``beat import --results ...
+    --import_from_mode geometry --mode ffi``, ``apps/beat.py:543-770``);
+    falls back to the geometry config's fixed parameters.
+    """
+    import os
+
+    import numpy as np
+
+    from beat_tpu.config import load_config
+    from beat_tpu.sources import RectangularSource
+
+    kwargs = {}
+    geom_cfg_path = os.path.join(project_dir, "config_geometry.yaml")
+    if os.path.exists(geom_cfg_path):
+        geom_cfg = load_config(project_dir, "geometry")
+        kwargs.update(geom_cfg.problem_config.get_fixed_params(to_si=True))
+        stage_dir = os.path.join(project_dir, "geometry", "stage_-1")
+        if os.path.isdir(stage_dir):
+            from beat_tpu.config import problem_from_config
+
+            problem = problem_from_config(geom_cfg, project_dir)
+            from beat_tpu.backend import SampleStage
+
+            handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+            trace = handler.load_trace(-1)
+            pop, llks = trace.end_points()
+            map_point = problem.ordering.to_point(pop[int(np.argmax(llks))])
+            for name in ("east_shift", "north_shift", "depth", "strike",
+                         "dip", "rake", "length", "width"):
+                if name in map_point:
+                    kwargs[name] = float(np.atleast_1d(map_point[name])[0])
+            print("FFI reference source from geometry MAP: "
+                  + ", ".join(f"{k}={v:.3g}" for k, v in kwargs.items()))
+    allowed = {"east_shift", "north_shift", "depth", "strike", "dip",
+               "rake", "length", "width"}
+    kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+    kwargs.setdefault("depth", config.event.depth)
+    return RectangularSource(**kwargs)
 
 
 def register_plot(sub):

@@ -391,10 +391,15 @@ def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
     pc = ProblemConfig(mode=mode, source_types=list(source_types),
                        n_sources=list(n_sources), datatypes=list(datatypes))
     variables: list[str] = []
-    for st, ns in zip(source_types, n_sources):
-        variables.extend(source_geometry_vars[st])
-    if "seismic" in datatypes:
-        variables.extend(seismic_geometry_vars)
+    if mode == ffi_mode_str:
+        variables.extend(static_dist_vars[:2])  # uparr, uperp
+        if "seismic" in datatypes:
+            variables.extend(partial_kinematic_vars)
+    else:
+        for st, ns in zip(source_types, n_sources):
+            variables.extend(source_geometry_vars[st])
+        if "seismic" in datatypes:
+            variables.extend(seismic_geometry_vars)
     total_sources = int(sum(n_sources))
     pc.set_default_priors(sorted(set(variables)), n_sources=total_sources)
 
@@ -464,12 +469,15 @@ def save_geodetic_datasets(datasets, project_dir: str, datadir: str = "./") -> s
 
 def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True):
     """Instantiate the Problem for a loaded config
-    (reference ``load_model`` + ``GeometryOptimizer.__init__``)."""
+    (reference ``load_model``: ``GeometryOptimizer`` for geometry mode,
+    ``DistributionOptimizer`` for ffi)."""
     from beat_tpu.models.geodetic import GeodeticGeometryComposite
     from beat_tpu.models.problem import Problem
     from beat_tpu.sources import source_catalog
 
     pc = config.problem_config
+    if pc.mode == ffi_mode_str:
+        return _ffi_problem_from_config(config, project_dir)
     priors = pc.get_prior_set(to_si=True, skip_fixed=True)
     fixed = pc.get_fixed_params(to_si=True)
 
@@ -501,6 +509,62 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
 
         composites["seismic"] = build_seismic_composite(
             config.seismic_config, project_dir, sources)
+
+    outfolder = os.path.join(project_dir, pc.mode)
+    return Problem(priors, composites, outfolder=outfolder,
+                   sampler_params=config.sampler_config.get_params())
+
+
+def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
+    """
+    FFI-mode problem: loads the fault geometry + linear GF libraries
+    written by ``beat-tpu build_gfs`` and assembles the distributed-slip
+    composites (reference ``DistributionOptimizer``
+    ``models/problems.py:710``).  Slip priors are re-dimensioned to the
+    discretized patch count, as the reference does at load time.
+    """
+    import pickle
+
+    from beat_tpu.ffi import GeodeticGFLibrary
+    from beat_tpu.models.distributer import GeodeticDistributerComposite
+    from beat_tpu.models.laplacian import LaplacianDistributerComposite
+    from beat_tpu.models.problem import Problem
+    from beat_tpu.parameter import Parameter, PriorSet
+
+    gfdir = os.path.join(project_dir, "ffi", "linear_gfs")
+    fault_path = os.path.join(gfdir, "fault_geometry.pkl")
+    lib_path = os.path.join(gfdir, "geodetic_gfs.npz")
+    if not (os.path.exists(fault_path) and os.path.exists(lib_path)):
+        raise FileNotFoundError(
+            f"No FFI Green's functions in {gfdir} — run 'beat-tpu build_gfs'")
+    with open(fault_path, "rb") as f:
+        fault = pickle.load(f)
+    lib = GeodeticGFLibrary.load(lib_path)
+
+    pc = config.problem_config
+    gc = config.geodetic_config
+    datasets = load_geodetic_datasets(project_dir, gc)
+
+    composites = {
+        "geodetic": GeodeticDistributerComposite(
+            datasets, lib, fault,
+            hp_specific=gc.dataset_specific_residual_noise_estimation),
+        "laplacian": LaplacianDistributerComposite(
+            fault, slip_varnames=tuple(lib.component_names)),
+    }
+
+    # slip priors re-dimensioned to npatches (config bounds per component)
+    priors = PriorSet()
+    base = pc.get_prior_set(to_si=False)
+    for comp in lib.component_names:
+        if comp in base:
+            lo, hi = float(base[comp].lower[0]), float(base[comp].upper[0])
+        else:
+            from beat_tpu import defaults
+
+            lo, hi = defaults.default_bounds(comp)
+        priors.add(Parameter(comp, np.full(fault.npatches, lo),
+                             np.full(fault.npatches, hi)))
 
     outfolder = os.path.join(project_dir, pc.mode)
     return Problem(priors, composites, outfolder=outfolder,

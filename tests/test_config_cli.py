@@ -160,6 +160,64 @@ class TestSeismicCLILifecycle:
         assert abs(summary["magnitude"]["mean"] - 5.8) < 0.15
 
 
+class TestFFICLIWorkflow:
+    def test_geometry_then_ffi(self, tmp_path):
+        """The staged reference workflow: geometry inversion → build_gfs
+        uses the geometry MAP as the FFI reference source → FFI slip
+        sampling (reference §9.4 import chain)."""
+        import jax.numpy as jnp
+
+        pdir = str(tmp_path / "staged")
+        assert run_cli("init", "staged", pdir, "--datatypes", "geodetic") == 0
+        true_src = make_synthetic_scene(pdir)
+
+        # geometry run with everything fixed except slip (fast)
+        config = load_config(pdir)
+        from beat_tpu.parameter import Parameter
+
+        P = config.problem_config.priors
+        for name, v in (("strike", 15.0), ("dip", 60.0), ("rake", 90.0),
+                        ("length", 7.0), ("width", 4.0), ("north_shift", 0.0),
+                        ("east_shift", 1.0), ("depth", 2.0)):
+            P[name] = Parameter(name, [v], [v]).to_dict()
+        P["slip"] = Parameter("slip", [0.1], [3.0], testvalue=[1.0]).to_dict()
+        config.sampler_config.parameters = {"n_chains": 32, "n_steps": 20,
+                                            "seed": 5}
+        dump_config(config, pdir)
+        assert run_cli("sample", pdir) == 0
+
+        # ffi mode: init config, build GFs from the geometry MAP, sample
+        from beat_tpu.config import init_config
+
+        ffi_cfg = init_config("staged", pdir, mode="ffi",
+                              datatypes=("geodetic",))
+        ffi_cfg.sampler_config.parameters = {"n_chains": 48, "n_steps": 30,
+                                             "seed": 6}
+        dump_config(ffi_cfg, pdir)
+        assert run_cli("build_gfs", pdir, "--mode", "ffi",
+                       "--patch_length", "2.0", "--patch_width", "2.0") == 0
+        assert os.path.exists(os.path.join(pdir, "ffi", "linear_gfs",
+                                           "geodetic_gfs.npz"))
+        assert run_cli("check", pdir, "--mode", "ffi", "--what", "library") == 0
+        assert run_cli("sample", pdir, "--mode", "ffi") == 0
+        assert run_cli("summarize", pdir, "--mode", "ffi") == 0
+
+        # mean slip over the fault should be of order the true 1 m slip
+        import pickle
+
+        from beat_tpu.backend import SampleStage
+        from beat_tpu.models import load_model
+
+        problem = load_model(pdir, "ffi")
+        handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+        trace = handler.load_trace(-1)
+        mean_point = problem.ordering.to_point(
+            trace.q_trace.reshape(-1, trace.q_trace.shape[-1]).mean(axis=0))
+        uparr = np.asarray(mean_point["uparr"])
+        # potency-equivalent mean slip in the right ballpark
+        assert 0.3 < np.abs(uparr).mean() < 2.0
+
+
 class TestCLILifecycle:
     def test_full_lifecycle(self, tmp_path, capsys):
         pdir = str(tmp_path / "cliproj")
