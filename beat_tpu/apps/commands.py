@@ -219,6 +219,9 @@ def register_export(sub):
     p.add_argument("project_dir")
     p.add_argument("--mode", default="geometry")
     p.add_argument("--stage", type=int, default=-1)
+    p.add_argument("--csv", action="store_true",
+                   help="also write the stage trace as chain CSV files "
+                        "(reference TextChain interop)")
     p.set_defaults(handler=_cmd_export)
 
 
@@ -244,6 +247,23 @@ def _cmd_export(args):
             arrays[f"synth:{comp}:{name}"] = np.asarray(arr)
     np.savez_compressed(out, **arrays)
     print(f"Exported MAP synthetics to {out}; variance reductions: {vrs}")
+
+    if getattr(args, "csv", False):
+        csvdir = os.path.join(problem.outfolder, "csv")
+        os.makedirs(csvdir, exist_ok=True)
+        # flat header like the reference TextChain (backend.py:65)
+        names = []
+        for spec in problem.ordering.vmap:
+            k = max(1, int(np.prod(spec.shape, dtype=int)))
+            names.extend([spec.name if spec.shape == () else
+                          f"{spec.name}__{i}" for i in range(k)])
+        header = ",".join(names + ["like"])
+        for chain in range(trace.n_chains):
+            rows = np.column_stack([trace.q_trace[:, chain, :],
+                                    trace.llk_trace[:, chain]])
+            path = os.path.join(csvdir, f"chain-{chain}.csv")
+            np.savetxt(path, rows, delimiter=",", header=header, comments="")
+        print(f"Wrote {trace.n_chains} chain CSVs to {csvdir}")
     return 0
 
 
