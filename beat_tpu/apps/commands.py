@@ -297,7 +297,13 @@ def _cmd_sample(args):
     if args.hypers:
         problem.estimate_hypers()
     else:
-        problem.sample()
+        # between-stage covariance re-estimation when any composite uses a
+        # residual-based noise model (reference 'update' hook, smc.py:492)
+        update = any(
+            getattr(getattr(c, "noise_analyser", None), "structure", "")
+            == "non-toeplitz"
+            for c in problem.composites.values())
+        problem.sample(update_weights=update)
     return 0
 
 
