@@ -180,6 +180,102 @@ def mogi_surface_displacement(coords, east_shift=0.0, north_shift=0.0,
                      axis=-1)
 
 
+def _eigh_sym3(M):
+    """
+    Closed-form eigendecomposition of a symmetric 3×3 matrix
+    (trigonometric method) — portable to backends without a LAPACK-style
+    ``eigh`` custom call.  Returns (eigenvalues (3,), eigenvectors (3, 3)
+    as columns), eigenvalues ascending.
+    """
+    # scale-normalise: moment tensors are ~1e17 Nm and the adjugate
+    # columns below square cross products — float32 would overflow
+    scale = jnp.maximum(jnp.max(jnp.abs(M)), 1e-30)
+    M = M / scale
+    q = jnp.trace(M) / 3.0
+    B = M - q * jnp.eye(3)
+    p2 = jnp.sum(B * B) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    detB = jnp.linalg.det(B / p)
+    r = jnp.clip(detB / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam2 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)   # smallest-ish
+    lam0 = q + 2.0 * p * jnp.cos(phi)                        # largest
+    lam1 = 3.0 * q - lam0 - lam2
+    lams = jnp.stack([lam2, lam1, lam0])  # ascending
+
+    def eigvec(lam):
+        # column of adj(M - lam I) with the largest norm
+        A = M - lam * jnp.eye(3)
+        c0 = jnp.cross(A[:, 1], A[:, 2])
+        c1 = jnp.cross(A[:, 2], A[:, 0])
+        c2 = jnp.cross(A[:, 0], A[:, 1])
+        cs = jnp.stack([c0, c1, c2])
+        norms = jnp.sum(cs**2, axis=1)
+        v = cs[jnp.argmax(norms)]
+        return v / jnp.sqrt(jnp.maximum(jnp.sum(v**2), 1e-30))
+
+    v0 = eigvec(lams[0])
+    v2 = eigvec(lams[2])
+    # enforce orthogonality (robust for near-degenerate pairs)
+    v2 = v2 - jnp.dot(v2, v0) * v0
+    v2 = v2 / jnp.sqrt(jnp.maximum(jnp.sum(v2**2), 1e-30))
+    v1 = jnp.cross(v2, v0)
+    vecs = jnp.stack([v0, v1, v2], axis=1)
+    # (near-)isotropic M: eigenvectors are arbitrary — the adjugate
+    # columns are numerical noise; any orthonormal basis is exact
+    degenerate = p < 1e-5 * (jnp.abs(q) + p)
+    vecs = jnp.where(degenerate, jnp.eye(3), vecs)
+    return lams * scale, vecs
+
+
+def mt_surface_displacement(coords, m6, east_shift=0.0, north_shift=0.0,
+                            depth=5000.0, nu=POISSON_DEFAULT,
+                            shear_modulus=33e9, patch_frac=0.08):
+    """
+    Halfspace surface displacements of an arbitrary moment-tensor point
+    source, built from the rectangular kernel: M (symmetric) decomposes
+    into three orthogonal tensile cracks along its eigenvectors —
+    M = Σᵢ pᵢ (λ I + 2µ vᵢvᵢᵀ) with potencies
+    pᵢ = (λᵢ − λ·tr(M)/(3λ+2µ)) / (2µ) — each realised as a small square
+    Okada patch (side ``patch_frac·depth`` ≪ source depth, so the finite
+    patches act as point sources at the surface).
+
+    This closes the geometry-mode geodetic forward for MT/MTQT/CLVD/
+    DoubleDC sources (the reference reaches it through psgrn/pscmp
+    stores); valid for observation distances ≳ a few patch sizes.
+
+    coords (N, 2) [m]; m6 = (mnn, mee, mdd, mne, mnd, med) [Nm].
+    Returns (N, 3) displacements (E, N, Up).
+    """
+    mu = shear_modulus
+    lam = 2.0 * mu * nu / (1.0 - 2.0 * nu)
+    mnn, mee, mdd, mne, mnd, med = (m6[..., i] for i in range(6))
+    M = jnp.array([[mnn, mne, mnd], [mne, mee, med], [mnd, med, mdd]])
+    lams, vecs = _eigh_sym3(M)
+
+    S = jnp.trace(M) / (3.0 * lam + 2.0 * mu)
+    potencies = (lams - lam * S) / (2.0 * mu)   # [m^3] per crack
+
+    size = patch_frac * depth
+    area = size * size
+    disp = jnp.zeros((jnp.asarray(coords).shape[0], 3))
+    for i in range(3):
+        v = vecs[:, i]                            # crack normal (NED)
+        # plane orientation from the normal: ν = (−sinδ sinφ, sinδ cosφ, −cosδ)
+        # keep the normal pointing up (ν_d ≤ 0) for well-defined (φ, δ)
+        v = jnp.where(v[2] > 0, -v, v)
+        sin_d = jnp.sqrt(jnp.clip(v[0] ** 2 + v[1] ** 2, 0.0, 1.0))
+        delta = jnp.rad2deg(jnp.arctan2(sin_d, -v[2]))
+        phi = jnp.rad2deg(jnp.arctan2(-v[0], v[1]))
+        opening = potencies[i] / area
+        disp = disp + okada_surface_displacement(
+            coords, east_shift=east_shift, north_shift=north_shift,
+            depth=depth, strike=phi, dip=delta, rake=0.0,
+            length=size, width=size, slip=0.0, opening=opening,
+            nu=nu, anchor="center")
+    return disp
+
+
 def okada_surface_displacement(
     coords,
     east_shift=0.0,

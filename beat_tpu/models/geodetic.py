@@ -171,19 +171,14 @@ class GeodeticGeometryComposite(GeodeticComposite):
     ``models/geodetic.py:681``; engine replaced by the Okada kernel).
     """
 
-    def __init__(self, datasets, sources, nu=0.25, **kwargs):
-        from beat_tpu.sources import ExplosionSource
-
+    #: source families with analytic halfspace statics: rectangles via
+    #: Okada, explosions via Mogi, MT families via the eigen-crack
+    #: decomposition (okada.mt_surface_displacement)
+    def __init__(self, datasets, sources, nu=0.25, shear_modulus=33e9, **kwargs):
         super().__init__(datasets, **kwargs)
         self.sources = list(sources)
-        for src in self.sources:
-            if not isinstance(src, (RectangularSource, ExplosionSource)):
-                raise NotImplementedError(
-                    f"Geodetic geometry forward for {type(src).__name__} requires "
-                    "a layered GF table or point-source halfspace kernel "
-                    "(planned); RectangularSource (Okada) and ExplosionSource "
-                    "(Mogi) are supported analytically.")
         self.nu = nu
+        self.shear_modulus = shear_modulus
 
     def _source_kwargs(self, point: dict, i: int) -> dict:
         """Pull source-i parameters from the sampled point, falling back to
@@ -202,32 +197,45 @@ class GeodeticGeometryComposite(GeodeticComposite):
 
     def synthetics_los(self, point: dict):
         """LOS-projected synthetic displacement, pure JAX (Ntot,)."""
-        from beat_tpu.heart.okada import mogi_surface_displacement
-        from beat_tpu.sources import ExplosionSource
+        from beat_tpu.heart.okada import mogi_surface_displacement, mt_surface_displacement
+        from beat_tpu.sources import (DCSource, ExplosionSource, MTQTSource,
+                                      MTSource)
 
         coords = self._device["coords"]
         disp = jnp.zeros((coords.shape[0], 3))
         for i, src in enumerate(self.sources):
-            if isinstance(src, ExplosionSource):
-                def get(name):
-                    if name in point:
-                        val = point[name]
-                        return val[i] if getattr(val, "ndim", 0) > 0 and len(self.sources) > 1 \
-                            else jnp.reshape(val, ())
-                    return jnp.asarray(getattr(src, name))
+            def get(name, i=i, src=src):
+                if name in point:
+                    val = point[name]
+                    return val[i] if getattr(val, "ndim", 0) > 0 and len(self.sources) > 1 \
+                        else jnp.reshape(val, ())
+                return jnp.asarray(getattr(src, name))
 
+            if isinstance(src, ExplosionSource):
                 disp = disp + mogi_surface_displacement(
                     coords, east_shift=get("east_shift"),
                     north_shift=get("north_shift"), depth=get("depth"),
                     volume_change=get("volume_change"), nu=self.nu)
-                continue
-            kw = self._source_kwargs(point, i)
-            opening_frac = kw.pop("opening_fraction")
-            slip_total = kw.pop("slip")
-            disp = disp + okada_surface_displacement(
-                coords, slip=slip_total * (1.0 - jnp.abs(opening_frac)),
-                opening=slip_total * opening_frac, nu=self.nu,
-                anchor=src.anchor, **kw)
+            elif isinstance(src, (MTSource, MTQTSource, DCSource)):
+                from beat_tpu.models.seismic import source_m6
+
+                m6 = source_m6(src, point, i, len(self.sources))
+                disp = disp + mt_surface_displacement(
+                    coords, m6, east_shift=get("east_shift"),
+                    north_shift=get("north_shift"), depth=get("depth"),
+                    nu=self.nu, shear_modulus=self.shear_modulus)
+            elif isinstance(src, RectangularSource):
+                kw = self._source_kwargs(point, i)
+                opening_frac = kw.pop("opening_fraction")
+                slip_total = kw.pop("slip")
+                disp = disp + okada_surface_displacement(
+                    coords, slip=slip_total * (1.0 - jnp.abs(opening_frac)),
+                    opening=slip_total * opening_frac, nu=self.nu,
+                    anchor=src.anchor, **kw)
+            else:
+                raise NotImplementedError(
+                    f"Geodetic statics for {type(src).__name__} (use the BEM "
+                    "composite for meshed sources)")
         return jnp.sum(disp * self._device["los"], axis=-1)
 
     def synthetics_los_np(self, point: dict):

@@ -139,6 +139,42 @@ class TestWrapper:
         # linear in slip
         np.testing.assert_allclose(np.asarray(out[2]), 4 * np.asarray(out[0]), rtol=1e-4)
 
+    def test_mt_point_source_matches_small_shear_patch(self):
+        """Arbitrary-MT statics via the eigen-crack decomposition: a pure
+        DC moment tensor must reproduce the field of a small Okada shear
+        patch with the same moment."""
+        from beat_tpu.heart.okada import mt_surface_displacement
+        from beat_tpu.sources import sdr_to_m6
+
+        mu, nu, depth, m0 = 33e9, 0.25, 6e3, 1e17
+        m6 = jnp.asarray(sdr_to_m6(37.0, 55.0, 20.0, m0))
+        coords = jnp.asarray([[8e3, 3e3], [-5e3, 9e3], [12e3, -7e3]])
+        got = np.asarray(mt_surface_displacement(coords, m6, depth=depth,
+                                                 nu=nu, shear_modulus=mu))
+        size = 0.08 * depth
+        slip = m0 / (mu * size * size)
+        want = np.asarray(okada_surface_displacement(
+            coords, depth=depth, strike=37.0, dip=55.0, rake=20.0,
+            length=size, width=size, slip=slip, nu=nu, anchor="center"))
+        np.testing.assert_allclose(got, want, atol=5e-3 * np.abs(want).max())
+
+    def test_mt_isotropic_matches_mogi_shape(self):
+        """Isotropic MT field is proportional to Mogi with the known
+        (3λ+2µ)/(3(λ+2µ)) convention factor (5/9 at ν=0.25)."""
+        from beat_tpu.heart.okada import mogi_surface_displacement, mt_surface_displacement
+
+        mu, nu, depth = 33e9, 0.25, 6e3
+        lam = 2 * mu * nu / (1 - 2 * nu)
+        coords = jnp.asarray([[8e3, 3e3], [-5e3, 9e3], [3e3, 2e3]])
+        m6 = jnp.asarray([1e16, 1e16, 1e16, 0.0, 0.0, 0.0])
+        got = np.asarray(mt_surface_displacement(coords, m6, depth=depth,
+                                                 nu=nu, shear_modulus=mu))
+        dv = 3e16 / (3 * lam + 2 * mu)
+        mog = np.asarray(mogi_surface_displacement(coords, depth=depth,
+                                                   volume_change=dv, nu=nu))
+        ratio = got / mog
+        np.testing.assert_allclose(ratio, 5.0 / 9.0, rtol=5e-3)
+
     def test_far_field_decay(self):
         coords = jnp.asarray([[5e3, 0.0], [50e3, 0.0], [500e3, 0.0]])
         disp = np.asarray(okada_surface_displacement(
