@@ -103,6 +103,8 @@ def register_build_gfs(sub):
     p = sub.add_parser("build_gfs", help="build Green's function libraries")
     p.add_argument("project_dir")
     p.add_argument("--mode", default="ffi")
+    p.add_argument("--datatypes", default="geodetic",
+                   help="comma-separated: geodetic,seismic")
     p.add_argument("--patch_length", type=float, default=2.0, help="[km]")
     p.add_argument("--patch_width", type=float, default=2.0, help="[km]")
     p.set_defaults(handler=_cmd_build_gfs)
@@ -122,21 +124,44 @@ def _cmd_build_gfs(args):
     config = load_config(args.project_dir, "geometry") \
         if not os.path.exists(os.path.join(args.project_dir, "config_ffi.yaml")) \
         else load_config(args.project_dir, "ffi")
-    gc = config.geodetic_config
-    datasets = load_geodetic_datasets(args.project_dir, gc)
-    stack = DatasetStack.from_datasets(datasets)
+    datatypes = args.datatypes.split(",")
 
     ref = _reference_source_from_project(args.project_dir, config)
     fault = discretize_sources([ref], patch_length=args.patch_length * 1e3,
                                patch_width=args.patch_width * 1e3)
-    lib = geo_construct_gf_linear(fault, stack.coords, stack.los,
-                                  components=("uparr", "uperp"))
     outdir = os.path.join(args.project_dir, "ffi", "linear_gfs")
     os.makedirs(outdir, exist_ok=True)
-    lib.save(os.path.join(outdir, "geodetic_gfs.npz"))
     with open(os.path.join(outdir, "fault_geometry.pkl"), "wb") as f:
         pickle.dump(fault, f)
-    print(f"Built geodetic GF library: {fault.npatches} patches -> {outdir}")
+
+    if "geodetic" in datatypes:
+        gc = config.geodetic_config
+        datasets = load_geodetic_datasets(args.project_dir, gc)
+        stack = DatasetStack.from_datasets(datasets)
+        lib = geo_construct_gf_linear(fault, stack.coords, stack.los,
+                                      components=("uparr", "uperp"))
+        lib.save(os.path.join(outdir, "geodetic_gfs.npz"))
+        print(f"Built geodetic GF library: {fault.npatches} patches -> {outdir}")
+
+    if "seismic" in datatypes:
+        from beat_tpu.config import ffi_seismic_grid_bounds
+        from beat_tpu.ffi import seis_construct_gf_linear
+        from beat_tpu.models.seismic import build_seismic_composite
+
+        comp = build_seismic_composite(config.seismic_config,
+                                       args.project_dir, [])
+        (dur_lo, dur_hi), dur_step, (st_lo, st_hi), st_step = \
+            ffi_seismic_grid_bounds(config, fault)
+        for wmap in comp.wavemaps:
+            for component in ("uparr", "uperp"):
+                lib = seis_construct_gf_linear(
+                    wmap.table, wmap, fault, component=component,
+                    duration_bounds=(dur_lo, dur_hi), duration_sampling=dur_step,
+                    starttime_bounds=(st_lo, st_hi), starttime_sampling=st_step,
+                    stf_type=config.problem_config.stf_type)
+                lib.save(outdir, f"seismic_{component}_{wmap.name}")
+        print(f"Built seismic GF libraries for {len(comp.wavemaps)} wavemaps "
+              f"-> {outdir}")
     return 0
 
 

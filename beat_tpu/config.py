@@ -511,8 +511,38 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
             config.seismic_config, project_dir, sources)
 
     outfolder = os.path.join(project_dir, pc.mode)
+    hyper_params = (config.hyper_sampler_config.get_params()
+                    if config.hyper_sampler_config is not None else None)
     return Problem(priors, composites, outfolder=outfolder,
-                   sampler_params=config.sampler_config.get_params())
+                   sampler_params=config.sampler_config.get_params(),
+                   hyper_sampler_params=hyper_params)
+
+
+def ffi_seismic_grid_bounds(config: BEATconfig, fault):
+    """
+    Duration/starttime grids of the kinematic 5-D library derived from
+    the configured priors (reference ``seis_construct_gf_linear`` grid
+    construction ``ffi/base.py:1122-1173``): durations span their prior;
+    starttimes span [time_lower, time_upper + fault diagonal / v_min].
+    """
+    pc = config.problem_config
+    base = pc.get_prior_set(to_si=False)
+
+    def bounds(name, default):
+        if name in base:
+            return float(base[name].lower.min()), float(base[name].upper.max())
+        return default
+
+    dur_lo, dur_hi = bounds("durations", (0.5, 4.0))
+    t_lo, t_hi = bounds("time", (-2.0, 2.0))
+    v_lo, _ = bounds("velocities", (1.5, 4.5))  # [km/s]
+    diag_km = max(np.hypot(sf.plane.length, sf.plane.width)
+                  for sf in fault.subfaults) / 1e3
+    st_lo = min(t_lo, 0.0)
+    st_hi = t_hi + diag_km / max(v_lo, 0.1)
+    dur_step = max((dur_hi - dur_lo) / 8.0, 0.25)
+    st_step = max((st_hi - st_lo) / 24.0, 0.25)
+    return (dur_lo, dur_hi), dur_step, (st_lo, st_hi), st_step
 
 
 def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
@@ -533,42 +563,95 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
 
     gfdir = os.path.join(project_dir, "ffi", "linear_gfs")
     fault_path = os.path.join(gfdir, "fault_geometry.pkl")
-    lib_path = os.path.join(gfdir, "geodetic_gfs.npz")
-    if not (os.path.exists(fault_path) and os.path.exists(lib_path)):
+    if not os.path.exists(fault_path):
         raise FileNotFoundError(
-            f"No FFI Green's functions in {gfdir} — run 'beat-tpu build_gfs'")
+            f"No FFI fault geometry in {gfdir} — run 'beat-tpu build_gfs'")
     with open(fault_path, "rb") as f:
         fault = pickle.load(f)
-    lib = GeodeticGFLibrary.load(lib_path)
 
     pc = config.problem_config
-    gc = config.geodetic_config
-    datasets = load_geodetic_datasets(project_dir, gc)
-
-    composites = {
-        "geodetic": GeodeticDistributerComposite(
-            datasets, lib, fault,
-            hp_specific=gc.dataset_specific_residual_noise_estimation),
-        "laplacian": LaplacianDistributerComposite(
-            fault, slip_varnames=tuple(lib.component_names)),
-    }
-
-    # slip priors re-dimensioned to npatches (config bounds per component)
-    priors = PriorSet()
     base = pc.get_prior_set(to_si=False)
-    for comp in lib.component_names:
-        if comp in base:
-            lo, hi = float(base[comp].lower[0]), float(base[comp].upper[0])
+    composites = {}
+    slip_components: list = []
+
+    lib_path = os.path.join(gfdir, "geodetic_gfs.npz")
+    if "geodetic" in pc.datatypes:
+        if not os.path.exists(lib_path):
+            raise FileNotFoundError(
+                f"No geodetic GF library in {gfdir} — run 'beat-tpu build_gfs'")
+        gc = config.geodetic_config
+        datasets = load_geodetic_datasets(project_dir, gc)
+        lib = GeodeticGFLibrary.load(lib_path)
+        slip_components = list(lib.component_names)
+        composites["geodetic"] = GeodeticDistributerComposite(
+            datasets, lib, fault,
+            hp_specific=gc.dataset_specific_residual_noise_estimation)
+
+    if "seismic" in pc.datatypes and config.seismic_config is not None:
+        from beat_tpu.ffi import SeismicGFLibrary
+        from beat_tpu.models.distributer import SeismicDistributerComposite
+        from beat_tpu.models.seismic import build_seismic_composite
+
+        geom_comp = build_seismic_composite(config.seismic_config,
+                                            project_dir, [])
+        wavemaps_libs = []
+        components = []
+        for wmap in geom_comp.wavemaps:
+            libs = {}
+            for comp_name in static_dist_vars[:2]:
+                path = os.path.join(gfdir,
+                                    f"seismic_{comp_name}_{wmap.name}.npz")
+                if os.path.exists(path):
+                    libs[comp_name] = SeismicGFLibrary.load(
+                        gfdir, f"seismic_{comp_name}_{wmap.name}",
+                        component=comp_name)
+            if not libs:
+                raise FileNotFoundError(
+                    f"No seismic GF libraries for wavemap {wmap.name} in "
+                    f"{gfdir} — run 'beat-tpu build_gfs --datatypes seismic'")
+            components = sorted(libs)
+            wavemaps_libs.append((wmap, libs))
+        slip_components = sorted(set(slip_components) | set(components))
+        composites["seismic"] = SeismicDistributerComposite(
+            wavemaps_libs, fault, slip_varnames=tuple(components),
+            interpolation=config.seismic_config.waveforms[0].interpolation
+            if config.seismic_config.waveforms else "multilinear")
+
+    composites["laplacian"] = LaplacianDistributerComposite(
+        fault, slip_varnames=tuple(slip_components))
+
+    # priors re-dimensioned to the discretization (slip per patch;
+    # kinematics per patch / per subfault)
+    priors = PriorSet()
+
+    def add_sized(name, size):
+        if name in base:
+            lo, hi = float(base[name].lower.min()), float(base[name].upper.max())
+            test = float(base[name].testvalue.mean())
         else:
             from beat_tpu import defaults
 
-            lo, hi = defaults.default_bounds(comp)
-        priors.add(Parameter(comp, np.full(fault.npatches, lo),
-                             np.full(fault.npatches, hi)))
+            lo, hi = defaults.default_bounds(name)
+            test = (lo + hi) / 2.0
+        scale = 1e3 if name in ProblemConfig.KM_SCALED_VARS else 1.0
+        priors.add(Parameter(name, np.full(size, lo * scale),
+                             np.full(size, hi * scale),
+                             testvalue=np.full(size, test * scale)))
+
+    for comp_name in slip_components:
+        add_sized(comp_name, fault.npatches)
+    if "seismic" in composites:
+        add_sized("durations", fault.npatches)
+        add_sized("velocities", fault.npatches)
+        for name in ("nucleation_strike", "nucleation_dip", "time"):
+            add_sized(name, fault.nsubfaults)
 
     outfolder = os.path.join(project_dir, pc.mode)
+    hyper_params = (config.hyper_sampler_config.get_params()
+                    if config.hyper_sampler_config is not None else None)
     return Problem(priors, composites, outfolder=outfolder,
-                   sampler_params=config.sampler_config.get_params())
+                   sampler_params=config.sampler_config.get_params(),
+                   hyper_sampler_params=hyper_params)
 
 
 def _build_corrections(gc: GeodeticConfig, datasets):

@@ -131,12 +131,20 @@ class Problem:
                 stage_handler=handler)
         raise TypeError(f"Unknown sampler params {type(params)}")
 
-    def estimate_hypers(self, n_steps: int = 5000, n_chains: int = 20):
+    def estimate_hypers(self, n_steps: int | None = None,
+                        n_chains: int | None = None):
         """
         Cheap hyperparameter-only Metropolis run; rewrites hyper prior
         bounds around the sampled range (reference ``estimate_hypers``
-        ``models/base.py:304-379``).
+        ``models/base.py:304-379``).  Defaults come from
+        ``hyper_sampler_params`` when configured (reference
+        ``hyper_sampler_config``).
         """
+        hp = self.hyper_sampler_params
+        if n_steps is None:
+            n_steps = getattr(hp, "n_steps", None) or 5000
+        if n_chains is None:
+            n_chains = getattr(hp, "n_chains", None) or 20
         test_point = self.priors.test_point()
         logp_fn = self.make_hyper_logp_fn(test_point)
         lower, upper = self.priors.bounds_arrays()

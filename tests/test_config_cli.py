@@ -218,6 +218,112 @@ class TestFFICLIWorkflow:
         assert 0.3 < np.abs(uparr).mean() < 2.0
 
 
+class TestKinematicFFICLI:
+    def test_seismic_ffi_workflow(self, tmp_path):
+        """Kinematic FFI from the CLI: build 5-D seismic GF libraries and
+        sample slip + rupture kinematics (BASELINE configs[4] at toy
+        scale)."""
+        import jax.numpy as jnp
+
+        from beat_tpu.config import init_config
+        from beat_tpu.heart.gftable import build_homogeneous_table
+        from beat_tpu.heart.seismic import SeismicDataset
+        from beat_tpu.inputf import save_seismic_datasets
+        from beat_tpu.parameter import Parameter
+        from beat_tpu.sources import RectangularSource, sdr_to_m6
+
+        pdir = str(tmp_path / "kin")
+        # geometry config provides the fixed reference source for build_gfs
+        geom = init_config("kin", pdir, mode="geometry",
+                           datatypes=("seismic",),
+                           source_types=("RectangularSource",))
+        P = geom.problem_config.priors
+        fixed = dict(east_shift=0.0, north_shift=0.0, depth=2.0, strike=20.0,
+                     dip=70.0, rake=0.0, length=6.0, width=4.0)
+        for name, v in fixed.items():
+            P[name] = Parameter(name, [v], [v]).to_dict()
+        gfc = dict(distance_min=10e3, distance_max=80e3, n_distances=8,
+                   depth_min=1e3, depth_max=12e3, n_depths=6, nt=256, dt=0.25)
+        geom.seismic_config.gf_config = gfc
+        wfc = geom.seismic_config.waveforms[0]
+        wfc.arrival_taper.a, wfc.arrival_taper.b = -2.0, -1.0
+        wfc.arrival_taper.c, wfc.arrival_taper.d = 20.0, 22.0
+        wfc.filterer.lower_corner, wfc.filterer.upper_corner = 0.02, 0.6
+        dump_config(geom, pdir)
+
+        # synthetic kinematic waveforms from a known slip distribution
+        table = build_homogeneous_table(
+            distances=np.linspace(10e3, 80e3, 8),
+            depths=np.linspace(1e3, 12e3, 6), nt=256, dt=0.25)
+        rng = np.random.default_rng(0)
+        n_st = 3
+        az = np.linspace(0.4, 2 * np.pi, n_st, endpoint=False)
+        dist = rng.uniform(30e3, 60e3, n_st)
+        st_e, st_n = dist * np.sin(az), dist * np.cos(az)
+        ref = RectangularSource(depth=2e3, strike=20.0, dip=70.0, rake=0.0,
+                                length=6e3, width=4e3)
+        from beat_tpu.ffi import discretize_sources
+
+        fault_true = discretize_sources([ref], 2e3, 2e3)
+        true_slips = rng.uniform(0.5, 1.5, fault_true.npatches)
+        st_true = np.asarray(fault_true.point2starttimes(
+            0, jnp.full(fault_true.npatches, 3000.0), 2e3, 1e3))
+        spec_total = 0.0
+        for i, p in enumerate(fault_true.get_all_patches()):
+            m6 = jnp.asarray(sdr_to_m6(p.strike, p.dip, p.rake,
+                                       33e9 * p.length * p.width)) * true_slips[i]
+            c = p.center()
+            spec_total = spec_total + table.synthesize_spectra(
+                m6, c[0], c[1], jnp.asarray(c[2]), jnp.asarray(st_true[i]),
+                jnp.asarray(1.0), jnp.asarray(st_e), jnp.asarray(st_n),
+                jnp.asarray([0] * n_st, dtype=jnp.int32))
+        raw = np.asarray(table.to_time_domain(spec_total))
+        raw = raw + rng.normal(0, 0.02 * np.abs(raw).max(), raw.shape)
+        save_seismic_datasets(
+            [SeismicDataset(station=f"S{i}", channel="Z", east=st_e[i],
+                            north=st_n[i], ydata=raw[i]) for i in range(n_st)],
+            pdir)
+
+        # ffi config: seismic datatype, kinematic priors
+        ffi_cfg = init_config("kin", pdir, mode="ffi", datatypes=("seismic",))
+        ffi_cfg.seismic_config.gf_config = gfc
+        wfc = ffi_cfg.seismic_config.waveforms[0]
+        wfc.arrival_taper.a, wfc.arrival_taper.b = -2.0, -1.0
+        wfc.arrival_taper.c, wfc.arrival_taper.d = 20.0, 22.0
+        wfc.filterer.lower_corner, wfc.filterer.upper_corner = 0.02, 0.6
+        wfc.interpolation = "multilinear"
+        Pf = ffi_cfg.problem_config.priors
+        Pf["durations"] = Parameter("durations", [0.5], [2.0],
+                                    testvalue=[1.0]).to_dict()
+        Pf["velocities"] = Parameter("velocities", [2.0], [4.0],
+                                     testvalue=[3.0]).to_dict()
+        ffi_cfg.sampler_config.parameters = {"n_chains": 32, "n_steps": 20,
+                                             "seed": 7}
+        dump_config(ffi_cfg, pdir)
+
+        assert run_cli("build_gfs", pdir, "--datatypes", "seismic",
+                       "--patch_length", "2.0", "--patch_width", "2.0") == 0
+        assert os.path.exists(os.path.join(
+            pdir, "ffi", "linear_gfs", "seismic_uparr_any_P.npz"))
+
+        assert run_cli("sample", pdir, "--mode", "ffi") == 0
+        assert run_cli("summarize", pdir, "--mode", "ffi") == 0
+
+        from beat_tpu.backend import SampleStage
+        from beat_tpu.models import load_model
+
+        problem = load_model(pdir, "ffi")
+        assert {"uparr", "uperp", "durations", "velocities",
+                "nucleation_strike", "nucleation_dip",
+                "time"} <= set(problem.priors.names)
+        handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+        trace = handler.load_trace(-1)
+        mean_point = problem.ordering.to_point(
+            trace.q_trace.reshape(-1, trace.q_trace.shape[-1]).mean(axis=0))
+        # slip amplitude in the right ballpark (toy-scale tolerance)
+        assert 0.2 < np.abs(np.asarray(mean_point["uparr"])).mean() < 2.5
+
+
 class TestCLILifecycle:
     def test_full_lifecycle(self, tmp_path, capsys):
         pdir = str(tmp_path / "cliproj")
