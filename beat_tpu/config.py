@@ -417,6 +417,42 @@ def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
     return config
 
 
+def load_polarity_targets(project_dir: str, datadir: str = "./") -> list:
+    """
+    Load first-motion observations from
+    ``<project_dir>/polarity_data.npz``: arrays ``stations`` (string),
+    ``azimuths_deg``, ``takeoffs_deg`` (from downward vertical),
+    ``polarities`` (±1) — the native analogue of the reference's picked
+    marker files (``PolarityConfig`` ``config.py:743``).
+    """
+    from beat_tpu.heart.polarity import PolarityTarget
+
+    path = os.path.join(project_dir, datadir, "polarity_data.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No polarity data at {path}")
+    with np.load(path, allow_pickle=False) as z:
+        az = np.deg2rad(z["azimuths_deg"])
+        to = np.deg2rad(z["takeoffs_deg"])
+        pol = z["polarities"].astype(int)
+        stations = [str(s) for s in z["stations"]]
+    return [PolarityTarget(station=stations[i], azimuth_rad=float(az[i]),
+                           takeoff_rad=float(to[i]), polarity=int(pol[i]))
+            for i in range(len(stations))]
+
+
+def save_polarity_targets(targets, project_dir: str, datadir: str = "./") -> str:
+    outdir = os.path.join(project_dir, datadir)
+    os.makedirs(outdir, exist_ok=True)
+    path = os.path.join(outdir, "polarity_data.npz")
+    np.savez_compressed(
+        path,
+        stations=np.array([t.station for t in targets]),
+        azimuths_deg=np.rad2deg([t.azimuth_rad for t in targets]),
+        takeoffs_deg=np.rad2deg([t.takeoff_rad for t in targets]),
+        polarities=np.array([t.polarity for t in targets]))
+    return path
+
+
 def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig) -> list:
     """
     Load geodetic datasets from ``<project_dir>/geodetic_data.npz``
@@ -509,6 +545,12 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
 
         composites["seismic"] = build_seismic_composite(
             config.seismic_config, project_dir, sources)
+    if "polarity" in pc.datatypes and config.polarity_config is not None:
+        from beat_tpu.models.polarity import PolarityComposite
+
+        targets = load_polarity_targets(project_dir,
+                                        config.polarity_config.datadir)
+        composites["polarity"] = PolarityComposite(targets, sources)
 
     outfolder = os.path.join(project_dir, pc.mode)
     hyper_params = (config.hyper_sampler_config.get_params()

@@ -160,6 +160,60 @@ class TestSeismicCLILifecycle:
         assert abs(summary["magnitude"]["mean"] - 5.8) < 0.15
 
 
+class TestPolarityCLI:
+    def test_mtqt_polarity_project(self, tmp_path):
+        """Polarity-only MTQT project via the CLI (reference MTQT_polarity
+        example intent): recover the mechanism from first motions."""
+        import jax.numpy as jnp
+
+        from beat_tpu.config import save_polarity_targets
+        from beat_tpu.heart.polarity import (PolarityTarget, pol_synthetics,
+                                             radiation_weights_p,
+                                             takeoff_vector)
+        from beat_tpu.parameter import Parameter
+        from beat_tpu.sources import sdr_to_m6
+
+        pdir = str(tmp_path / "pol")
+        assert run_cli("init", "pol", pdir, "--datatypes", "polarity",
+                       "--source_types", "DCSource") == 0
+
+        rng = np.random.default_rng(0)
+        n = 30
+        az = rng.uniform(0, 2 * np.pi, n)
+        to = rng.uniform(np.pi / 2, np.pi, n)
+        m6 = jnp.asarray(sdr_to_m6(30.0, 60.0, -90.0, 1.0))
+        g = takeoff_vector(jnp.asarray(az), jnp.asarray(to))
+        amps = np.asarray(pol_synthetics(m6, radiation_weights_p(g)))
+        targets = [PolarityTarget(station=f"S{i}", azimuth_rad=az[i],
+                                  takeoff_rad=to[i],
+                                  polarity=int(np.sign(amps[i])))
+                   for i in range(n)]
+        save_polarity_targets(targets, pdir)
+
+        config = load_config(pdir)
+        P = config.problem_config.priors
+        for name in list(P):
+            if name not in ("strike", "dip", "rake"):
+                del P[name]
+        P["strike"] = Parameter("strike", [0.0], [90.0], testvalue=[45.0]).to_dict()
+        P["dip"] = Parameter("dip", [30.0], [85.0], testvalue=[55.0]).to_dict()
+        P["rake"] = Parameter("rake", [-135.0], [-45.0],
+                              testvalue=[-90.0]).to_dict()
+        config.sampler_config.parameters = {"n_chains": 48, "n_steps": 40,
+                                            "seed": 8}
+        dump_config(config, pdir)
+
+        assert run_cli("sample", pdir) == 0
+        assert run_cli("summarize", pdir) == 0
+        import json
+
+        with open(os.path.join(pdir, "geometry", "summary.txt")) as f:
+            summary = json.load(f)
+        # polarity data constrains the mechanism within ~15 degrees
+        assert abs(summary["strike"]["mean"] - 30.0) < 15.0
+        assert abs(summary["rake"]["mean"] + 90.0) < 20.0
+
+
 class TestFFICLIWorkflow:
     def test_geometry_then_ffi(self, tmp_path):
         """The staged reference workflow: geometry inversion → build_gfs
