@@ -16,7 +16,30 @@ from beat_tpu.plotting.ffi import plot_moment_rate, plot_slip_distribution
 from beat_tpu.plotting.mt import (plot_fuzzy_beachball, plot_fuzzy_mt_decomp,
     plot_hudson, plot_lune)
 
-#: name -> (function, modes, datatypes) — reference plots_catalog parity
+#: per-plot availability (reference mode/datatype matrices,
+#: ``beat/plotting/__init__.py:27-56``)
+plots_availability = {
+    "stage_posteriors": {"modes": ["geometry", "ffi", "bem"], "datatypes": None},
+    "correlation_hist": {"modes": ["geometry", "ffi", "bem"], "datatypes": None},
+    "scene_fits": {"modes": ["geometry", "ffi", "bem"], "datatypes": ["geodetic"]},
+    "gnss_fits": {"modes": ["geometry", "ffi", "bem"], "datatypes": ["geodetic"]},
+    "station_map": {"modes": ["geometry", "ffi", "bem"], "datatypes": None},
+    "geodetic_covariances": {"modes": ["geometry", "ffi", "bem"],
+                             "datatypes": ["geodetic"]},
+    "waveform_fits": {"modes": ["geometry", "ffi"], "datatypes": ["seismic"]},
+    "station_variance_reductions": {"modes": ["geometry", "ffi"],
+                                    "datatypes": ["seismic"]},
+    "slip_distribution": {"modes": ["ffi"], "datatypes": None},
+    "moment_rate": {"modes": ["ffi"], "datatypes": ["seismic"]},
+    "hudson": {"modes": ["geometry"], "datatypes": ["seismic", "polarity"]},
+    "lune": {"modes": ["geometry"], "datatypes": ["seismic", "polarity"]},
+    "fuzzy_beachball": {"modes": ["geometry"],
+                        "datatypes": ["seismic", "polarity"]},
+    "fuzzy_mt_decomp": {"modes": ["geometry"],
+                        "datatypes": ["seismic", "polarity"]},
+}
+
+#: name -> plot function — reference plots_catalog parity
 plots_catalog = {
     "stage_posteriors": plot_stage_posteriors,
     "correlation_hist": plot_correlation_hist,
