@@ -20,6 +20,7 @@ Replaces the reference's per-chain Python step loop + fork pool
 from __future__ import annotations
 
 import logging
+from dataclasses import dataclass
 from functools import partial
 from typing import Callable, NamedTuple
 
@@ -47,9 +48,6 @@ def tune_scale(scale, acc_rate):
         default=1.0,
     )
     return scale * factors
-
-
-from dataclasses import dataclass
 
 
 @dataclass
