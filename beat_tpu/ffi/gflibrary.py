@@ -76,6 +76,23 @@ class GeodeticGFLibrary:
         return cls(gfs=gfs)
 
 
+def _geolib_flatten(lib: "GeodeticGFLibrary"):
+    """Pytree: GF matrices as children so jit takes them as arguments
+    (never closure constants); component names static."""
+    names = tuple(lib.component_names)
+    children = tuple(lib.gfs[c] for c in names)
+    return children, names
+
+
+def _geolib_unflatten(names, children) -> "GeodeticGFLibrary":
+    return GeodeticGFLibrary(gfs=dict(zip(names, children)),
+                             component_names=list(names))
+
+
+jax.tree_util.register_pytree_node(GeodeticGFLibrary, _geolib_flatten,
+                                   _geolib_unflatten)
+
+
 def geo_construct_gf_linear(fault, coords, los, components=("uparr", "uperp"),
                             nu=0.25) -> GeodeticGFLibrary:
     """
@@ -271,6 +288,28 @@ class SeismicGFLibrary:
                        duration_min=float(meta[0]), duration_sampling=float(meta[1]),
                        starttime_min=float(meta[2]), starttime_sampling=float(meta[3]),
                        component=component, reference_times=z["reference_times"])
+
+
+def _seislib_flatten(lib: "SeismicGFLibrary"):
+    """Pytree: the 5-D array is a child (jit argument, shardable over the
+    mesh); grid metadata static."""
+    rt = (None if lib.reference_times is None
+          else tuple(map(float, np.asarray(lib.reference_times).ravel())))
+    aux = (lib.duration_min, lib.duration_sampling, lib.starttime_min,
+           lib.starttime_sampling, lib.component, rt)
+    return (lib.data,), aux
+
+
+def _seislib_unflatten(aux, children) -> "SeismicGFLibrary":
+    dmin, dsamp, smin, ssamp, component, rt = aux
+    return SeismicGFLibrary(
+        data=children[0], duration_min=dmin, duration_sampling=dsamp,
+        starttime_min=smin, starttime_sampling=ssamp, component=component,
+        reference_times=None if rt is None else np.asarray(rt))
+
+
+jax.tree_util.register_pytree_node(SeismicGFLibrary, _seislib_flatten,
+                                   _seislib_unflatten)
 
 
 def seis_construct_gf_linear(table, wavemap, fault, component="uparr",

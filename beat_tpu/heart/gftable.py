@@ -243,6 +243,30 @@ class GreensTable:
         return wins * window_taper[None, :]
 
 
+def _table_flatten(t: "GreensTable"):
+    """GreensTable as a JAX pytree: the HBM-resident arrays are children
+    (so jit receives them as *arguments*, never as embedded closure
+    constants — the axon remote compiler rejects >~10 MB constants),
+    grid/metadata are static aux data."""
+    children = (t.spectra, t._ibasis[0], t._ibasis[1])
+    aux = (tuple(map(float, np.asarray(t.distances).ravel())),
+           tuple(map(float, np.asarray(t.depths).ravel())),
+           t.dt, t.nt, t.t0, t.vp, t.vs)
+    return children, aux
+
+
+def _table_unflatten(aux, children) -> "GreensTable":
+    dists, deps, dt, nt, t0, vp, vs = aux
+    spectra, ic, is_ = children
+    return GreensTable(spectra=spectra,
+                       distances=np.asarray(dists, dtype=np.float64),
+                       depths=np.asarray(deps, dtype=np.float64),
+                       dt=dt, nt=nt, t0=t0, vp=vp, vs=vs, _ibasis=(ic, is_))
+
+
+jax.tree_util.register_pytree_node(GreensTable, _table_flatten, _table_unflatten)
+
+
 # ---------------------------------------------------------------------------
 # Homogeneous-medium analytic table (hermetic builder)
 # ---------------------------------------------------------------------------

@@ -28,10 +28,22 @@ logger = logging.getLogger("beat_tpu.models")
 class Composite:
     name = "composite"
 
-    def loglike(self, point: dict):
+    def device_data(self):
+        """
+        Pytree of the device arrays the likelihood consumes (data vectors,
+        weight matrices, GF tables/libraries).  ``Problem.make_logp_fn``
+        threads this through ``jit`` as an *argument* — never a closure
+        constant — so production-scale GF arrays can be donated, sharded
+        over the mesh, and never embedded in the compiled program
+        (the reference shares them via RawArray memshare,
+        ``beat/parallel.py:305-358``; here XLA owns placement).
+        """
+        return getattr(self, "_device", None) or {}
+
+    def loglike(self, point: dict, data=None):
         raise NotImplementedError
 
-    def hyper_loglike(self, point: dict):
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
         raise NotImplementedError
 
     # -- hyperparameters ----------------------------------------------------

@@ -108,8 +108,12 @@ class GeodeticBEMLinearComposite(GeodeticComposite):
             idx[name] += 1
         return jnp.stack(vals)
 
-    def synthetics_los(self, point: dict):
-        return self._unit_los @ self._traction_vector(point)
+    def device_data(self):
+        return {**self._device, "unit_los": self._unit_los}
+
+    def synthetics_los(self, point: dict, data=None):
+        unit_los = self._unit_los if data is None else data["unit_los"]
+        return unit_los @ self._traction_vector(point)
 
     def synthetics_los_np(self, point: dict):
         return self.synthetics_los({k: jnp.asarray(v) for k, v in point.items()})
@@ -158,7 +162,7 @@ class GeodeticBEMComposite(GeodeticComposite):
         los = np.einsum("ni,ni->n", response.displacements, self.stack.los)
         return los.astype(np.float32)
 
-    def synthetics_los(self, point: dict):
+    def synthetics_los(self, point: dict, data=None):
         """jit/vmap-compatible forward via host callback."""
         names = [n for n in point
                  if any(hasattr(s, n) for s in self.sources)]
@@ -175,23 +179,25 @@ class GeodeticBEMComposite(GeodeticComposite):
     def synthetics_los_np(self, point: dict):
         return self._forward_np({k: np.asarray(v) for k, v in point.items()})
 
-    def loglike(self, point: dict):
+    def loglike(self, point: dict, data=None):
+        data = self._device if data is None else data
         synth = self.synthetics_los(point)
         llk = 0.0
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            corr = self._correction_displacement(point, ds, slc)
-            res = (self._device["data"][slc] - synth[slc] - corr) * self._device["odw"][slc]
+            corr = self._correction_displacement(point, ds, slc, data)
+            res = (data["data"][slc] - synth[slc] - corr) * data["odw"][slc]
             llk = llk + multivariate_normal_chol(
-                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                res, data["weights"][i], data["slog_pdets"][i],
                 self._hyper_of(point, i, ds))
         return llk
 
-    def hyper_loglike(self, point: dict, fixed_point: dict):
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
+        data = self._device if data is None else data
         synth = self.synthetics_los(fixed_point)
         llk = 0.0
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            res = (self._device["data"][slc] - synth[slc]) * self._device["odw"][slc]
+            res = (data["data"][slc] - synth[slc]) * data["odw"][slc]
             llk = llk + multivariate_normal_chol(
-                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                res, data["weights"][i], data["slog_pdets"][i],
                 self._hyper_of(point, i, ds))
         return llk

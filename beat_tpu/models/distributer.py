@@ -41,6 +41,8 @@ class GeodeticDistributerComposite(Composite):
 
     def _update_device_arrays(self):
         self._device = {
+            # GF library as pytree leaves: jit arguments, shardable
+            "gflib": self.gflibrary,
             "data": jnp.asarray(self.stack.displacement, dtype=jnp.float32),
             "odw": jnp.asarray(self.stack.odw, dtype=jnp.float32),
             "weights": [jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
@@ -57,28 +59,31 @@ class GeodeticDistributerComposite(Composite):
         name = f"h_{ds.typ}_{i}" if self.hp_specific else f"h_{ds.typ}"
         return point.get(name, 0.0)
 
-    def synthetics_los(self, point: dict):
-        slips = {c: point.get(c) for c in self.gflibrary.component_names
+    def synthetics_los(self, point: dict, data=None):
+        gflib = self.gflibrary if data is None else data["gflib"]
+        slips = {c: point.get(c) for c in gflib.component_names
                  if c in point}
-        return self.gflibrary.stack_all(**slips)
+        return gflib.stack_all(**slips)
 
-    def loglike(self, point: dict):
-        synth = self.synthetics_los(point)
+    def loglike(self, point: dict, data=None):
+        data = self._device if data is None else data
+        synth = self.synthetics_los(point, data)
         llk = 0.0
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            res = (self._device["data"][slc] - synth[slc]) * self._device["odw"][slc]
+            res = (data["data"][slc] - synth[slc]) * data["odw"][slc]
             llk = llk + multivariate_normal_chol(
-                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                res, data["weights"][i], data["slog_pdets"][i],
                 self._hyper_of(point, i, ds))
         return llk
 
-    def hyper_loglike(self, point: dict, fixed_point: dict):
-        synth = self.synthetics_los(fixed_point)
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
+        data = self._device if data is None else data
+        synth = self.synthetics_los(fixed_point, data)
         llk = 0.0
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            res = (self._device["data"][slc] - synth[slc]) * self._device["odw"][slc]
+            res = (data["data"][slc] - synth[slc]) * data["odw"][slc]
             llk = llk + multivariate_normal_chol(
-                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                res, data["weights"][i], data["slog_pdets"][i],
                 self._hyper_of(point, i, ds))
         return llk
 
@@ -110,12 +115,19 @@ class GeodeticDistributerComposite(Composite):
         comps = self.gflibrary.component_names
         G_blocks = [np.asarray(self.gflibrary.gfs[c]).T for c in comps]  # (ns, np)
         G = np.concatenate(G_blocks, axis=1)
-        W = np.concatenate([np.asarray(w) for w in self._device["weights"]][0:1])
-        d = self.stack.displacement
+        d = np.asarray(self.stack.displacement, dtype=np.float64)
+        # whiten per dataset with the covariance Cholesky inverse — the
+        # reference solves the *weighted* LSQ (models/problems.py:753)
+        Gw = np.empty_like(G)
+        dw = np.empty_like(d)
+        for i, slc in enumerate(self.stack.slices):
+            W = np.asarray(self._device["weights"][i], dtype=np.float64)
+            Gw[slc] = W @ G[slc]
+            dw[slc] = W @ d[slc]
         if ridge > 0:
-            G = np.vstack([G, np.sqrt(ridge) * np.eye(G.shape[1])])
-            d = np.concatenate([d, np.zeros(G.shape[1])])
-        sol, _ = nnls(G, d)
+            Gw = np.vstack([Gw, np.sqrt(ridge) * np.eye(Gw.shape[1])])
+            dw = np.concatenate([dw, np.zeros(Gw.shape[1])])
+        sol, _ = nnls(Gw, dw)
         npatch = self.gflibrary.npatches
         return {c: sol[i * npatch:(i + 1) * npatch] for i, c in enumerate(comps)}
 
@@ -148,6 +160,7 @@ class SeismicDistributerComposite(Composite):
             if wmap.datasets[0].covariance is None:
                 wmap.analyse_noise()
             self._device.append({
+                "libs": dict(libs),
                 "data": jnp.asarray(wmap.data_windows),
                 "weights": jnp.stack([
                     jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
@@ -192,8 +205,12 @@ class SeismicDistributerComposite(Composite):
                                                      nuc_dip, time))
         return jnp.concatenate(times)
 
-    def synthetics_windows(self, point: dict, w_idx: int):
-        wmap, libs = self.wavemaps_libs[w_idx]
+    def device_data(self):
+        return list(self._device)
+
+    def synthetics_windows(self, point: dict, w_idx: int, data=None):
+        wmap, _ = self.wavemaps_libs[w_idx]
+        libs = (data if data is not None else self._device)[w_idx]["libs"]
         starttimes_patch = self.point2starttimes(point)      # (npatches,)
         durations = point.get(
             "durations", jnp.ones(self.fault.npatches))
@@ -218,11 +235,12 @@ class SeismicDistributerComposite(Composite):
                                            use_pallas=self.use_pallas)
         return synth
 
-    def loglike(self, point: dict):
+    def loglike(self, point: dict, data=None):
+        data = self._device if data is None else data
         total = 0.0
         for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
-            dev = self._device[w_idx]
-            synth = self.synthetics_windows(point, w_idx)
+            dev = data[w_idx]
+            synth = self.synthetics_windows(point, w_idx, data)
             res = dev["data"] - synth
             h = point.get(wmap.hypername, 0.0)
             hs = jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))
@@ -231,11 +249,12 @@ class SeismicDistributerComposite(Composite):
             total = total + jnp.sum(llks)
         return total
 
-    def hyper_loglike(self, point: dict, fixed_point: dict):
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
+        data = self._device if data is None else data
         total = 0.0
         for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
-            dev = self._device[w_idx]
-            synth = self.synthetics_windows(fixed_point, w_idx)
+            dev = data[w_idx]
+            synth = self.synthetics_windows(fixed_point, w_idx, data)
             res = dev["data"] - synth
             h = point.get(wmap.hypername, 0.0)
             hs = jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))

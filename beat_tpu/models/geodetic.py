@@ -98,43 +98,46 @@ class GeodeticComposite(Composite):
             names.extend(corr.parameter_names)
         return names
 
-    def _correction_displacement(self, point, ds, slc):
+    def _correction_displacement(self, point, ds, slc, data=None):
         """Summed correction displacement for one dataset (LOS units)."""
+        data = self._device if data is None else data
         out = 0.0
         for corr in self.corrections:
             if isinstance(corr, RampCorrection):
                 if corr.dataset_name != ds.name:
                     continue
-                out = out + corr.displacement(point, self._device["coords"][slc])
+                out = out + corr.displacement(point, data["coords"][slc])
             elif isinstance(corr, (EulerPoleCorrection, StrainRateCorrection)):
                 if ds.typ != "GNSS":
                     continue
-                out = out + corr.displacement(point, self._device["los"][slc])
+                out = out + corr.displacement(point, data["los"][slc])
         return out
 
     # -- likelihood ---------------------------------------------------------
 
-    def loglike(self, point: dict):
-        synth = self.synthetics_los(point)
+    def loglike(self, point: dict, data=None):
+        data = self._device if data is None else data
+        synth = self.synthetics_los(point, data)
         llk = 0.0
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            corr = self._correction_displacement(point, ds, slc)
-            res = (self._device["data"][slc] - synth[slc] - corr) * self._device["odw"][slc]
+            corr = self._correction_displacement(point, ds, slc, data)
+            res = (data["data"][slc] - synth[slc] - corr) * data["odw"][slc]
             llk = llk + multivariate_normal_chol(
-                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                res, data["weights"][i], data["slog_pdets"][i],
                 self._hyper_of(point, i, ds))
         return llk
 
-    def hyper_loglike(self, point: dict, fixed_point: dict):
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
         """Hyperparameter-only likelihood with residuals frozen at
         ``fixed_point`` (reference ``get_hyper_formula``)."""
-        synth = self.synthetics_los(fixed_point)
+        data = self._device if data is None else data
+        synth = self.synthetics_los(fixed_point, data)
         llk = 0.0
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            corr = self._correction_displacement(fixed_point, ds, slc)
-            res = (self._device["data"][slc] - synth[slc] - corr) * self._device["odw"][slc]
+            corr = self._correction_displacement(fixed_point, ds, slc, data)
+            res = (data["data"][slc] - synth[slc] - corr) * data["odw"][slc]
             llk = llk + multivariate_normal_chol(
-                res, self._device["weights"][i], self._device["slog_pdets"][i],
+                res, data["weights"][i], data["slog_pdets"][i],
                 self._hyper_of(point, i, ds))
         return llk
 
@@ -195,13 +198,14 @@ class GeodeticGeometryComposite(GeodeticComposite):
                 kwargs[name] = getattr(src, name)
         return kwargs
 
-    def synthetics_los(self, point: dict):
+    def synthetics_los(self, point: dict, data=None):
         """LOS-projected synthetic displacement, pure JAX (Ntot,)."""
         from beat_tpu.heart.okada import mogi_surface_displacement, mt_surface_displacement
         from beat_tpu.sources import (DCSource, ExplosionSource, MTQTSource,
                                       MTSource)
 
-        coords = self._device["coords"]
+        data = self._device if data is None else data
+        coords = data["coords"]
         disp = jnp.zeros((coords.shape[0], 3))
         for i, src in enumerate(self.sources):
             def get(name, i=i, src=src):
@@ -236,7 +240,7 @@ class GeodeticGeometryComposite(GeodeticComposite):
                 raise NotImplementedError(
                     f"Geodetic statics for {type(src).__name__} (use the BEM "
                     "composite for meshed sources)")
-        return jnp.sum(disp * self._device["los"], axis=-1)
+        return jnp.sum(disp * data["los"], axis=-1)
 
     def synthetics_los_np(self, point: dict):
         point = {k: jnp.asarray(v) for k, v in point.items()}

@@ -44,12 +44,16 @@ class LaplacianDistributerComposite(Composite):
     def get_hypernames(self):
         return [HYPER_NAME]
 
-    def loglike(self, point: dict):
+    def device_data(self):
+        return {"smoothing_op": self.smoothing_op}
+
+    def loglike(self, point: dict, data=None):
+        op = self.smoothing_op if data is None else data["smoothing_op"]
         h = point.get(HYPER_NAME, 0.0)
         total = 0.0
         for var in self.slip_varnames:
             m = point[var]
-            Lm = self.smoothing_op @ m
+            Lm = op @ m
             exponent = jnp.dot(Lm, Lm)
             total = total + (-0.5) * (
                 -self.slog_det
@@ -57,12 +61,13 @@ class LaplacianDistributerComposite(Composite):
                 + jnp.exp(-2.0 * h) * exponent)
         return total
 
-    def hyper_loglike(self, point: dict, fixed_point: dict):
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
+        op = self.smoothing_op if data is None else data["smoothing_op"]
         h = point.get(HYPER_NAME, 0.0)
         total = 0.0
         for var in self.slip_varnames:
             m = fixed_point[var]
-            Lm = self.smoothing_op @ m
+            Lm = op @ m
             exponent = jnp.dot(Lm, Lm)
             total = total + (-0.5) * (
                 -self.slog_det

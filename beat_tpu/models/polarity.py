@@ -58,19 +58,24 @@ class PolarityComposite(Composite):
     def get_hypernames(self):
         return [self.hypername]
 
-    def loglike(self, point: dict):
+    def device_data(self):
+        return {"weights": self.weights, "obs": self.obs}
+
+    def loglike(self, point: dict, data=None):
+        data = self.device_data() if data is None else data
         m6 = source_m6(self.sources[0], point, 0, len(self.sources))
         m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
-        amps = pol_synthetics(m6n, self.weights)
+        amps = pol_synthetics(m6n, data["weights"])
         sigma = jnp.exp(point.get(self.hypername, 0.0))
-        return jnp.sum(polarity_llk(self.obs, amps, self.gamma, sigma))
+        return jnp.sum(polarity_llk(data["obs"], amps, self.gamma, sigma))
 
-    def hyper_loglike(self, point: dict, fixed_point: dict):
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
+        data = self.device_data() if data is None else data
         m6 = source_m6(self.sources[0], fixed_point, 0, len(self.sources))
         m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
-        amps = pol_synthetics(m6n, self.weights)
+        amps = pol_synthetics(m6n, data["weights"])
         sigma = jnp.exp(point.get(self.hypername, 0.0))
-        return jnp.sum(polarity_llk(self.obs, amps, self.gamma, sigma))
+        return jnp.sum(polarity_llk(data["obs"], amps, self.gamma, sigma))
 
     def get_synthetics(self, point: dict):
         point = {k: jnp.asarray(v) for k, v in point.items()}

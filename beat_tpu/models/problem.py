@@ -67,35 +67,47 @@ class Problem:
 
     # -- log-posterior assembly ---------------------------------------------
 
+    def logp_data(self):
+        """Per-composite device-data pytree (GF tables, weights, data
+        vectors) — threaded through jit as *arguments*, so multi-GB GF
+        arrays are never closure constants and can be sharded/replicated
+        over the device mesh (SURVEY §7: RawArray memshare → device
+        arrays; axon remote compile rejects >10 MB constants)."""
+        return tuple(comp.device_data() for comp in self.composites.values())
+
     def make_logp_fn(self):
-        """Pure function q(flat) -> total data log-likelihood ('like')."""
+        """Returns ``(logp, data)``: a pure function
+        ``logp(q_flat, data) -> total data log-likelihood`` ('like') and
+        the device-data pytree to pass as its second argument (samplers
+        take it via ``logp_args=(data,)``)."""
         ordering = self.ordering
         comps = list(self.composites.values())
 
-        def logp(q):
+        def logp(q, data):
             point = ordering.to_point(q)
             total = 0.0
-            for comp in comps:
-                total = total + comp.loglike(point)
+            for comp, d in zip(comps, data):
+                total = total + comp.loglike(point, d)
             return total
 
-        return logp
+        return logp, self.logp_data()
 
     def make_hyper_logp_fn(self, fixed_point: dict):
         """Hyperparameter-only posterior with residuals frozen at
-        ``fixed_point`` (reference ``built_hyper_model`` :261)."""
+        ``fixed_point`` (reference ``built_hyper_model`` :261).
+        Returns ``(logp, data)`` like :meth:`make_logp_fn`."""
         ordering = self.ordering
         comps = list(self.composites.values())
         fixed = {k: jnp.asarray(v) for k, v in fixed_point.items()}
 
-        def logp(q):
+        def logp(q, data):
             point = ordering.to_point(q)
             total = 0.0
-            for comp in comps:
-                total = total + comp.hyper_loglike(point, fixed)
+            for comp, d in zip(comps, data):
+                total = total + comp.hyper_loglike(point, fixed, d)
             return total
 
-        return logp
+        return logp, self.logp_data()
 
     # -- sampling -----------------------------------------------------------
 
@@ -103,7 +115,8 @@ class Problem:
         """Run the configured sampler (reference ``models/base.py:195``)."""
         params = params or self.sampler_params
         lower, upper = self.priors.bounds_arrays()
-        logp_fn = self.make_logp_fn()
+        logp_fn, data = self.make_logp_fn()
+        logp_args = (data,)
         os.makedirs(self.outfolder, exist_ok=True)
 
         update_cb = None
@@ -111,14 +124,17 @@ class Problem:
             def update_cb(map_q):
                 point = self.ordering.to_point(map_q)
                 self.update_weights(point)
+                # refreshed covariances → refreshed device weights
+                return (self.logp_data(),)
 
         if isinstance(params, SMCParams):
             return smc_sample(logp_fn, lower, upper, params,
                               homepath=self.outfolder, ordering=self.ordering,
-                              update_weights=update_cb)
+                              update_weights=update_cb, logp_args=logp_args)
         elif isinstance(params, PTParams):
             return pt_sample(logp_fn, lower, upper, params,
-                             homepath=self.outfolder, ordering=self.ordering)
+                             homepath=self.outfolder, ordering=self.ordering,
+                             logp_args=logp_args)
         elif isinstance(params, MetropolisParams):
             from beat_tpu.backend import SampleStage
 
@@ -128,7 +144,7 @@ class Problem:
                 n_steps=params.n_steps, burn=params.burn, thin=params.thin,
                 proposal_name=params.proposal_name,
                 tune_interval=params.tune_interval, seed=params.seed,
-                stage_handler=handler)
+                stage_handler=handler, logp_args=logp_args)
         raise TypeError(f"Unknown sampler params {type(params)}")
 
     def estimate_hypers(self, n_steps: int | None = None,
@@ -146,20 +162,25 @@ class Problem:
         if n_chains is None:
             n_chains = getattr(hp, "n_chains", None) or 20
         test_point = self.priors.test_point()
-        logp_fn = self.make_hyper_logp_fn(test_point)
+        logp_fn, data = self.make_hyper_logp_fn(test_point)
         lower, upper = self.priors.bounds_arrays()
         q_tr, _ = metropolis_sample(
             logp_fn, lower, upper, n_chains=n_chains, n_steps=n_steps,
-            burn=0.5, thin=2)
+            burn=0.5, thin=2, logp_args=(data,))
         samples = q_tr.reshape(-1, q_tr.shape[-1])
+        from beat_tpu import defaults
+
         for name in self.hypernames:
             slc = self.ordering.slice_of(name)
             vals = samples[:, slc]
             lo = np.floor(vals.min(axis=0) - 1.0)
             hi = np.ceil(vals.max(axis=0) + 1.0)
             par = self.priors[name]
-            par.lower = np.maximum(lo, -10.0)
-            par.upper = np.minimum(hi, 10.0)
+            # clip to the registry's physical bounds (reference
+            # models/base.py:355-379 + defaults registry), not a hard-coded box
+            phys_lo, phys_hi = defaults.physical_bounds(name)
+            par.lower = np.maximum(lo, phys_lo)
+            par.upper = np.minimum(hi, phys_hi)
             par.testvalue = (par.lower + par.upper) / 2.0
             logger.info("Hyper %s bounds -> [%s, %s]", name, par.lower, par.upper)
         return {name: (self.priors[name].lower, self.priors[name].upper)

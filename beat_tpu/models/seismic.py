@@ -90,6 +90,10 @@ class SeismicGeometryComposite(Composite):
 
     def _wavemap_device(self, wmap):
         dev = {
+            # the GF table rides along as a pytree leaf-bundle so jit
+            # receives the spectra as arguments (beat_tpu.heart.gftable
+            # pytree registration), not closure constants
+            "table": wmap.table,
             "data": jnp.asarray(wmap.data_fit),
             "station_east": jnp.asarray(wmap.station_east, dtype=jnp.float32),
             "station_north": jnp.asarray(wmap.station_north, dtype=jnp.float32),
@@ -133,14 +137,18 @@ class SeismicGeometryComposite(Composite):
                 else jnp.reshape(val, ())
         return jnp.asarray(default)
 
-    def synthetics_windows(self, point: dict, wmap_idx: int):
+    def device_data(self):
+        return list(self._device)
+
+    def synthetics_windows(self, point: dict, wmap_idx: int, data=None):
         """(ntargets, nsamples_win) synthetic windows for one wavemap."""
         wmap = self.wavemaps[wmap_idx]
-        dev = self._device[wmap_idx]
+        dev = (data if data is not None else self._device)[wmap_idx]
+        table = dev["table"]
         spec_total = 0.0
         for i, src in enumerate(self.sources):
             m6 = source_m6(src, point, i, len(self.sources))
-            spec = wmap.table.synthesize_spectra(
+            spec = table.synthesize_spectra(
                 m6,
                 east_shift=self._source_scalar(point, "east_shift", i, src.east_shift),
                 north_shift=self._source_scalar(point, "north_shift", i, src.north_shift),
@@ -159,24 +167,24 @@ class SeismicGeometryComposite(Composite):
         if wmap.station_corrections:
             from beat_tpu.ops.cplx import cexp, cmul
 
-            freqs = jnp.asarray(wmap.table.freqs)
+            freqs = jnp.asarray(table.freqs)
             shifts = jnp.stack([point[n] for n in wmap.time_shift_names()])
             spec_total = cmul(spec_total,
                               cexp(-2 * jnp.pi * freqs[None, :] * shifts[:, None]))
 
-        return wmap.table.synthesize_windows(
+        return table.synthesize_windows(
             spec_total, dev["window_starts"], dev["taper"], wmap.nsamples_win)
 
-    def synthetics_fit(self, point: dict, wmap_idx: int):
+    def synthetics_fit(self, point: dict, wmap_idx: int, data=None):
         """Synthetics in fit space: windows, or amplitude spectra when the
         wavemap's domain is 'spectrum' (reference ``fft_transforms``
         ``heart.py:4091``)."""
         wmap = self.wavemaps[wmap_idx]
-        wins = self.synthetics_windows(point, wmap_idx)
+        wins = self.synthetics_windows(point, wmap_idx, data)
         if wmap.domain == "spectrum":
             from beat_tpu.ops.cplx import amplitude_spectrum
 
-            C, S = self._device[wmap_idx]["fit_basis"]
+            C, S = (data if data is not None else self._device)[wmap_idx]["fit_basis"]
             return amplitude_spectrum(wins, C, S)
         return wins
 
@@ -189,11 +197,12 @@ class SeismicGeometryComposite(Composite):
         h = point.get(wmap.hypername, 0.0)
         return jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))
 
-    def loglike(self, point: dict):
+    def loglike(self, point: dict, data=None):
+        data = self._device if data is None else data
         total = 0.0
         for w_idx, wmap in enumerate(self.wavemaps):
-            dev = self._device[w_idx]
-            synth = self.synthetics_fit(point, w_idx)
+            dev = data[w_idx]
+            synth = self.synthetics_fit(point, w_idx, data)
             res = dev["data"] - synth
             llks = multivariate_normal_chol_batched(
                 res, dev["weights"], dev["slog_pdets"],
@@ -201,11 +210,12 @@ class SeismicGeometryComposite(Composite):
             total = total + jnp.sum(llks)
         return total
 
-    def hyper_loglike(self, point: dict, fixed_point: dict):
+    def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
+        data = self._device if data is None else data
         total = 0.0
         for w_idx, wmap in enumerate(self.wavemaps):
-            dev = self._device[w_idx]
-            synth = self.synthetics_fit(fixed_point, w_idx)
+            dev = data[w_idx]
+            synth = self.synthetics_fit(fixed_point, w_idx, data)
             res = dev["data"] - synth
             llks = multivariate_normal_chol_batched(
                 res, dev["weights"], dev["slog_pdets"],

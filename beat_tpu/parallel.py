@@ -24,9 +24,17 @@ CHAIN_AXIS = "chains"
 
 
 def make_chain_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D mesh over all (or the first n) local devices."""
+    """1-D mesh over all (or the first n) local devices.
+
+    Fails loudly when fewer devices exist than requested — a silent
+    1-device mesh would fake multi-chip results."""
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are available "
+                f"(platform={devices[0].platform})")
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (CHAIN_AXIS,))
 

@@ -75,10 +75,14 @@ class MetropolisState(NamedTuple):
     key: jax.Array        # PRNG key
 
 
-def init_metropolis_state(logp_fn: Callable, q0: np.ndarray, key, scale: float = 1.0) -> MetropolisState:
-    """Evaluate the likelihood of the start population and build the state."""
+def init_metropolis_state(logp_fn: Callable, q0: np.ndarray, key, scale: float = 1.0,
+                          logp_args: tuple = ()) -> MetropolisState:
+    """Evaluate the likelihood of the start population and build the state.
+
+    ``logp_args``: extra pytree arguments forwarded to ``logp_fn(q, *logp_args)``
+    — GF tables/weights passed as jit arguments, not closure constants."""
     q0 = jnp.asarray(q0)
-    llk0 = jax.vmap(logp_fn)(q0)
+    llk0 = jax.vmap(lambda q: logp_fn(q, *logp_args))(q0)
     n = q0.shape[0]
     return MetropolisState(
         q=q0,
@@ -90,7 +94,7 @@ def init_metropolis_state(logp_fn: Callable, q0: np.ndarray, key, scale: float =
     )
 
 
-def _make_step(logp_fn, lower, upper, proposal, tune_interval, tune):
+def _make_step(logp_fn, lower, upper, proposal, tune_interval, tune, logp_args=()):
     """One lockstep Metropolis transition for all chains."""
 
     def step(carry, step_idx, beta, cov_chol):
@@ -114,7 +118,7 @@ def _make_step(logp_fn, lower, upper, proposal, tune_interval, tune):
         # Clip for evaluation so the physics never sees wild inputs; the
         # result is masked out when the proposal was out of bounds.
         q_eval = jnp.clip(q_prop, lower, upper)
-        llk_prop = jax.vmap(logp_fn)(q_eval)
+        llk_prop = jax.vmap(lambda qq: logp_fn(qq, *logp_args))(q_eval)
 
         # --- tempered Metropolis accept (reference metropolis.py:355-358) ---
         log_ratio = beta * (llk_prop - state.llk)
@@ -151,14 +155,20 @@ def run_metropolis_stage(
     tune_interval: int = 100,
     tune: bool = True,
     record_every: int = 1,
+    logp_args: tuple = (),
 ):
     """
     Advance all chains ``n_steps`` under tempering ``beta``; returns the
     final state and the recorded (thinned) trace
     ``(q_trace (n_rec, n_chains, dim), llk_trace (n_rec, n_chains))``.
+
+    ``logp_args`` is a traced pytree forwarded to ``logp_fn(q, *logp_args)``
+    — large GF arrays enter the compiled program as arguments so they are
+    never embedded as constants and can be sharded/replicated on the mesh.
     """
     proposal = choose_proposal(proposal_name)
-    step = _make_step(logp_fn, lower, upper, proposal, tune_interval, tune)
+    step = _make_step(logp_fn, lower, upper, proposal, tune_interval, tune,
+                      logp_args)
 
     def body(carry, step_idx):
         new_state, (q, llk) = step(carry, step_idx, beta, cov_chol)
@@ -198,6 +208,7 @@ def metropolis_sample(
     start: np.ndarray | None = None,
     cov: np.ndarray | None = None,
     stage_handler=None,
+    logp_args: tuple = (),
 ):
     """
     Plain (non-staged) adaptive Metropolis driver — the analogue of the
@@ -220,11 +231,13 @@ def metropolis_sample(
         cov = init_proposal_covariance(np.asarray(lower), np.asarray(upper))
     cov_chol = jnp.asarray(np.linalg.cholesky(cov), dtype=jnp.float32)
 
-    state = init_metropolis_state(logp_fn, start, key, scale=scale)
+    state = init_metropolis_state(logp_fn, start, key, scale=scale,
+                                  logp_args=logp_args)
     final, (q_tr, llk_tr) = run_metropolis_stage(
         logp_fn, state, jnp.float32(1.0), cov_chol, lower, upper,
         n_steps=n_steps, proposal_name=proposal_name,
         tune_interval=tune_interval, tune=True, record_every=1,
+        logp_args=logp_args,
     )
     n_burn = int(burn * n_steps)
     q_kept = np.asarray(q_tr[n_burn::thin])

@@ -125,12 +125,17 @@ def pt_sample(
     homepath: str | None = None,
     ordering=None,
     start: np.ndarray | None = None,
+    logp_args: tuple = (),
 ):
     """
     Run parallel tempering; returns the posterior trace
-    ``(q_trace (n_rec, n_posterior, dim), llk_trace)`` collected from the
-    β=1 replicas after every segment, plus a history dict (β scales, swap
-    acceptance) for diagnostics (reference ``SamplingHistory`` pt.py:76).
+    ``(q_trace (n_rec, n_posterior, dim), llk_trace)`` — every posterior
+    (β=1) draw of every segment, exactly like the reference's master trace
+    (``pt.py:606-612``) — plus a history dict (β scales, swap acceptance)
+    for diagnostics (reference ``SamplingHistory`` pt.py:76).  With
+    ``params.record_worker_chains`` the tempered replicas' draws are
+    saved to the stage handler too (reference ``record_worker_chains``
+    worker traces).
     """
     lower64 = np.asarray(lower, dtype=np.float64)
     upper64 = np.asarray(upper, dtype=np.float64)
@@ -152,7 +157,7 @@ def pt_sample(
 
     key, sub = jax.random.split(key)
     q = jnp.asarray(start, dtype=jnp.float32)
-    llk = jax.vmap(logp_fn)(q)
+    llk = jax.vmap(lambda qq: logp_fn(qq, *logp_args))(q)
     scaling = jnp.ones((n,))
     state = MetropolisState(q=q, llk=llk, scaling=scaling,
                             accepted=jnp.zeros((n,)), acc_total=jnp.zeros((n,)), key=sub)
@@ -162,6 +167,7 @@ def pt_sample(
     n_segments = max(1, params.n_samples // mean_seg)
 
     post_q, post_llk = [], []
+    worker_q, worker_llk = [], []
     acc_matrix_accepted = 0
     acc_matrix_proposed = 0
     samples_since_tune = 0
@@ -179,11 +185,12 @@ def pt_sample(
         seg_len = int(rng.choice(seg_choices))
         # Per-replica tempered Metropolis segment: run_metropolis_stage
         # supports per-chain beta via broadcasting in the accept ratio.
-        state, _ = run_metropolis_stage(
+        state, (q_tr, llk_tr) = run_metropolis_stage(
             logp_fn, state, betas_dev, cov_chol, lo, hi,
             n_steps=seg_len, proposal_name=params.proposal_name,
             tune_interval=params.tune_interval, tune=True,
-            record_every=seg_len,  # keep only segment end (swap points)
+            record_every=1,  # every draw: full posterior trace (ref pt.py:606)
+            logp_args=logp_args,
         )
 
         key, k_swap = jax.random.split(key)
@@ -201,8 +208,13 @@ def pt_sample(
         acc_matrix_accepted += int(acc_np[edge].sum())
         acc_matrix_proposed += int(prop_np[edge].sum())
 
-        post_q.append(np.asarray(state.q[:n_post]))
-        post_llk.append(np.asarray(state.llk[:n_post]))
+        # every β=1 draw of the segment (the swap permutation only touches
+        # the segment-end state, which the next segment starts from)
+        post_q.append(np.asarray(q_tr[:, :n_post]))
+        post_llk.append(np.asarray(llk_tr[:, :n_post]))
+        if params.record_worker_chains:
+            worker_q.append(np.asarray(q_tr[:, n_post:]))
+            worker_llk.append(np.asarray(llk_tr[:, n_post:]))
         samples_since_tune += seg_len * n_post
 
         if samples_since_tune >= params.beta_tune_interval:
@@ -218,17 +230,20 @@ def pt_sample(
             acc_matrix_accepted = acc_matrix_proposed = 0
             logger.info("PT retune: swap acceptance %.3f -> t_scale %.4f", acc_rate, t_scale)
 
-    q_trace = np.stack(post_q)           # (n_segments, n_post, dim)
-    llk_trace = np.stack(post_llk)
+    q_trace = np.concatenate(post_q)     # (n_draws, n_post, dim)
+    llk_trace = np.concatenate(post_llk)
     history = {"scale_history": np.asarray(scale_history),
                "swap_acceptance": np.asarray(swap_acc_history),
                "betas": betas}
 
     if homepath is not None:
         handler = SampleStage(homepath, ordering=ordering)
-        handler.save_stage(-1, {"q": q_trace, "llk": llk_trace},
-                           {"beta": 1.0, "cov": cov, "population": np.asarray(state.q),
-                            "likelihoods": np.asarray(state.llk),
-                            "betas": betas, "scale_history": history["scale_history"],
-                            "swap_acceptance": history["swap_acceptance"]})
+        state_extra = {"beta": 1.0, "cov": cov, "population": np.asarray(state.q),
+                       "likelihoods": np.asarray(state.llk),
+                       "betas": betas, "scale_history": history["scale_history"],
+                       "swap_acceptance": history["swap_acceptance"]}
+        if params.record_worker_chains:
+            state_extra["worker_q"] = np.concatenate(worker_q)
+            state_extra["worker_llk"] = np.concatenate(worker_llk)
+        handler.save_stage(-1, {"q": q_trace, "llk": llk_trace}, state_extra)
     return q_trace, llk_trace, history

@@ -113,19 +113,25 @@ def smc_sample(
     start: np.ndarray | None = None,
     update_weights: Callable | None = None,
     progress: bool = True,
+    logp_args: tuple = (),
 ):
     """
     Run the full SMC sampler.
 
     Parameters
     ----------
-    logp_fn : pure JAX function (dim,) -> scalar data log-likelihood
-        ("like" in the reference).  vmapped/jitted internally.
+    logp_fn : pure JAX function (dim, *logp_args) -> scalar data
+        log-likelihood ("like" in the reference).  vmapped/jitted
+        internally.
     lower, upper : flat prior bounds.
     homepath : stage checkpoint directory (resume supported); None = no IO.
-    update_weights : optional callback ``(map_point) -> None`` invoked at
-        each stage's MAP point to re-estimate data covariances (reference
-        "update" problem hook ``smc.py:492-503``).
+    update_weights : optional callback ``(map_point) -> new_logp_args|None``
+        invoked at each stage's MAP point to re-estimate data covariances
+        (reference "update" problem hook ``smc.py:492-503``).  If it
+        returns a non-None value it replaces ``logp_args`` (refreshed
+        weight matrices).
+    logp_args : traced pytree forwarded to ``logp_fn`` — GF tables and
+        weights as jit arguments, never closure constants.
 
     Returns the final-stage (β=1) trace ``(q_trace, llk_trace)`` as numpy.
     """
@@ -175,7 +181,8 @@ def smc_sample(
             raise ValueError("Start population outside prior bounds — chains "
                              "could never re-enter the support")
         key, sub = jax.random.split(key)
-        state0 = init_metropolis_state(logp_fn, jnp.asarray(population, dtype=jnp.float32), sub)
+        state0 = init_metropolis_state(logp_fn, jnp.asarray(population, dtype=jnp.float32), sub,
+                                       logp_args=logp_args)
         likelihoods = np.asarray(state0.llk, dtype=np.float64)
         if not np.isfinite(likelihoods).all():
             raise ValueError("NaN/Inf in initial likelihood evaluation — "
@@ -221,6 +228,7 @@ def smc_sample(
             n_steps=n_steps, proposal_name=params.proposal_name,
             tune_interval=params.tune_interval, tune=True,
             record_every=params.buffer_thinning,
+            logp_args=logp_args,
         )
         population = np.asarray(final.q, dtype=np.float64)
         likelihoods = np.asarray(final.llk, dtype=np.float64)
@@ -246,9 +254,12 @@ def smc_sample(
         # data-covariance update hook at the MAP point (reference smc.py:492)
         if update_weights is not None and not final_stage:
             map_point = population[int(np.argmax(likelihoods))]
-            update_weights(map_point)
+            new_args = update_weights(map_point)
+            if new_args is not None:
+                logp_args = new_args
             key, sub = jax.random.split(key)
-            st = init_metropolis_state(logp_fn, jnp.asarray(population, dtype=jnp.float32), sub)
+            st = init_metropolis_state(logp_fn, jnp.asarray(population, dtype=jnp.float32), sub,
+                                       logp_args=logp_args)
             likelihoods = np.asarray(st.llk, dtype=np.float64)
 
         if final_stage:

@@ -32,14 +32,14 @@ def main():
     from beat_tpu.samplers.metropolis import init_metropolis_state, run_metropolis_stage
 
     problem = _build_flagship(n_stations=8, nt=256)
-    logp = problem.make_logp_fn()
+    logp, data = problem.make_logp_fn()
     lower, upper = problem.priors.bounds_arrays()
     dim = lower.size
 
     rng = np.random.default_rng(0)
     q0 = jnp.asarray(rng.uniform(lower, upper, size=(N_CHAINS, dim)), dtype=jnp.float32)
     key = jax.random.PRNGKey(0)
-    state = init_metropolis_state(logp, q0, key)
+    state = init_metropolis_state(logp, q0, key, logp_args=(data,))
 
     cov_chol = jnp.eye(dim, dtype=jnp.float32) * 0.01
     lo = jnp.asarray(lower, dtype=jnp.float32)
@@ -48,7 +48,8 @@ def main():
     def run(n_steps):
         final, _ = run_metropolis_stage(
             logp, state, jnp.float32(0.7), cov_chol, lo, hi,
-            n_steps=n_steps, tune_interval=25, record_every=n_steps)
+            n_steps=n_steps, tune_interval=25, record_every=n_steps,
+            logp_args=(data,))
         jax.block_until_ready(final.q)
         return final
 

@@ -61,7 +61,8 @@ def make_problem(tmp_path, datasets=None, **sampler_kw):
 class TestGeodeticInversion:
     def test_forward_at_truth_is_best(self, tmp_path):
         problem = make_problem(tmp_path)
-        logp = problem.make_logp_fn()
+        logp_fn, data = problem.make_logp_fn()
+        logp = lambda q: logp_fn(q, data)
         q_true = problem.point_to_array(
             {"east_shift": TRUE["east_shift"], "depth": TRUE["depth"], "slip": TRUE["slip"]})
         l_true = float(logp(jnp.asarray(q_true)))
@@ -117,7 +118,8 @@ class TestCorrections:
         problem = Problem(priors, {"geodetic": comp}, outfolder=str(tmp_path / "o"))
         for name in ("scene_asc_azimuth_ramp", "scene_asc_range_ramp", "scene_asc_offset"):
             assert name in problem.priors.names
-        logp = problem.make_logp_fn()
+        logp_fn, data = problem.make_logp_fn()
+        logp = lambda q: logp_fn(q, data)
         q = problem.priors.test_array()
         assert np.isfinite(float(logp(jnp.asarray(q))))
 

@@ -67,7 +67,8 @@ def joint_problem_factory(tmp_path_factory):
 class TestJoint:
     def test_both_datatypes_contribute(self, joint_problem_factory, tmp_path):
         problem = joint_problem_factory(tmp_path / "j", SMCParams())
-        logp = problem.make_logp_fn()
+        logp_fn, data = problem.make_logp_fn()
+        logp = lambda q: logp_fn(q, data)
         q_true = problem.point_to_array({"strike": TRUE_SDR["strike"],
                                          "slip": TRUE_SLIP})
         l_full = float(logp(jnp.asarray(q_true)))
