@@ -7,11 +7,11 @@ unit slips on source elements to tractions at receiver elements, the
 boundary-condition LSQ solve yields element slips, and the displacement
 matrix maps them to surface observation points.
 
-The triangular-dislocation halfspace kernels (displacement + strain;
-cutde/Nikkhoo-Walter in the reference, ``bem/base.py:14-19``) are staged
-for the next round — ``BEMEngine.process`` raises a descriptive error
-until ``beat_tpu.bem.tde`` provides them.  All surrounding machinery
-(meshing, BCs, solve, response container) is final and tested.
+The triangular-dislocation kernels (displacement + strain;
+cutde/Nikkhoo-Walter in the reference, ``bem/base.py:14-19``) live in
+``beat_tpu.bem.tde``: Kelvin (fullspace) and Mindlin (halfspace, the
+default — matching the reference's halfspace-only behaviour) point-force
+solutions differentiated by autodiff.
 """
 
 from __future__ import annotations
@@ -74,7 +74,7 @@ class BEMEngine:
 
     def __init__(self, boundary_conditions, mesh_size: float = 500.0,
                  poissons_ratio: float = 0.25, shear_modulus: float = 33e9,
-                 check_mesh_intersection: bool = True, medium: str = "fullspace",
+                 check_mesh_intersection: bool = True, medium: str = "halfspace",
                  quadrature_level: int = 2, near_quadrature_level: int = 6):
         self.boundary_conditions = list(boundary_conditions)
         self.mesh_size = mesh_size
@@ -86,11 +86,11 @@ class BEMEngine:
         #: sampling over geometries at reduced accuracy.
         self.quadrature_level = quadrature_level
         self.near_quadrature_level = near_quadrature_level
-        if medium not in ("fullspace",):
-            raise NotImplementedError(
-                "halfspace BEM (free-surface image + harmonic corrections) "
-                "lands in the next round; medium='fullspace' is available "
-                "— adequate for deep sources, approximate near the surface")
+        if medium not in ("fullspace", "halfspace"):
+            raise ValueError(
+                f"Unknown medium {medium!r}: 'halfspace' (Mindlin kernels, "
+                "free surface at z=0 — the reference's cutde HS behaviour, "
+                "beat/bem/base.py:14-19) or 'fullspace' (Kelvin)")
         self.medium = medium
 
     def discretize(self, sources) -> list:
@@ -104,7 +104,12 @@ class BEMEngine:
                                displacements=None, slips=None, is_valid=False)
         G_tractions = self.get_interaction_matrix(meshes)
         rhs = self._traction_rhs(meshes)
-        slips, *_ = np.linalg.lstsq(G_tractions, rhs, rcond=None)
+        # the crack slips until its faces are traction-balanced: the
+        # slip-induced traction cancels the applied (driving) traction,
+        # G·s = -t_applied — so a positive normal traction (pressurized
+        # crack) OPENS the crack and uplifts the surface, matching the
+        # reference convention (``bem/base.py:230`` + Fernandina example)
+        slips, *_ = np.linalg.lstsq(G_tractions, -rhs, rcond=None)
         disp = self._surface_displacements(meshes, slips, coords)
         return BEMResponse(sources=sources, meshes=meshes,
                            displacements=disp, slips=slips, is_valid=True)
@@ -120,7 +125,8 @@ class BEMEngine:
         return tde.interaction_matrix(meshes, self.boundary_conditions,
                                       nu=self.nu, mu=self.mu,
                                       level=self.quadrature_level,
-                                      near_level=self.near_quadrature_level)
+                                      near_level=self.near_quadrature_level,
+                                      medium=self.medium)
 
     def _traction_rhs(self, meshes) -> np.ndarray:
         rows = []
@@ -133,5 +139,6 @@ class BEMEngine:
         from beat_tpu.bem import tde
 
         D = tde.displacement_matrix(meshes, coords, nu=self.nu, mu=self.mu,
-                                    boundary_conditions=self.boundary_conditions)
+                                    boundary_conditions=self.boundary_conditions,
+                                    medium=self.medium)
         return (D @ slips).reshape(-1, 3)

@@ -1,13 +1,17 @@
 """
-Triangular-dislocation elastic kernels (full space).
+Triangular-dislocation elastic kernels (full space and half-space).
 
 The reference reaches these through the cutde CUDA library
 (Nikkhoo & Walter halfspace TDEs, ``beat/bem/base.py:14-19``).  Here the
 kernels are built from first principles in JAX:
 
-* the Kelvin point-force solution
-  ``U_ki = [ (3-4ν) δ_ki + r̂_k r̂_i ] / (16 π µ (1-ν) r)``
-  is the only hand-written formula;
+* two hand-written point-force solutions only: the Kelvin full-space
+  solution ``U_ki = [ (3-4ν) δ_ki + r̂_k r̂_i ] / (16 π µ (1-ν) r)`` and
+  the Mindlin (1936) half-space solution (Kelvin + image + corrective
+  terms; traction-free surface at z=0, z positive down) — the latter
+  verified in tests to (a) reduce to Kelvin at depth, (b) reduce to
+  Boussinesq-Cerruti at c→0, and (c) have an autodiff-computed
+  traction that vanishes on z=0;
 * a dislocation element is its moment-density surface distribution
   (representation theorem): ``u_k(x) = ∫_S m_pq ∂U_kp/∂ξ_q dS`` with
   ``m = λ (b·n) I + µ (b nᵀ + n bᵀ)``;
@@ -19,10 +23,11 @@ kernels are built from first principles in JAX:
   evaluation distances (≥ ~1 element size), verified against the Burgers
   discontinuity and the analytic penny-shaped-crack solution.
 
-**Full space only**: the free-surface (halfspace) image + harmonic
-corrections land in the next round; :class:`beat_tpu.bem.base.BEMEngine`
-exposes this as ``medium='fullspace'`` (validated against the analytic
-penny-shaped-crack solution) and refuses halfspace requests.
+``medium='halfspace'`` (the default in
+:class:`beat_tpu.bem.base.BEMEngine`, matching the reference's cutde HS
+kernels) uses Mindlin interaction tractions; surface observation points
+use the exact reciprocity kernel (Boussinesq-Cerruti at the buried
+point), which tests cross-validate against the Mindlin field at z→0.
 Self-interaction tractions are evaluated at a small normal offset from
 the element centroid (standard collocation regularisation).
 """
@@ -48,14 +53,83 @@ def kelvin_displacement(x, xi, mu=33e9, nu=0.25):
         (16.0 * jnp.pi * mu * (1.0 - nu) * r)
 
 
+def mindlin_displacement(x, xi, mu=33e9, nu=0.25):
+    """
+    Mindlin (1936) point-force solution in the half-space ``z >= 0``
+    with a traction-free surface at ``z = 0`` (z positive DOWN, i.e.
+    into the solid — the mesh convention of :mod:`beat_tpu.bem.sources`).
+
+    Returns (3, 3): displacement component k at ``x`` per unit point
+    force in direction i at ``xi`` (columns: +east, +north, +down).
+
+    Limits (verified in tests/test_bem.py): c,z → ∞ recovers
+    :func:`kelvin_displacement`; c → 0 recovers
+    :func:`boussinesq_cerruti_displacement`; the surface traction
+    σ(z=0)·ẑ vanishes (computed by autodiff).
+    """
+    dx = x[0] - xi[0]
+    dy = x[1] - xi[1]
+    z = x[2]
+    c = xi[2]
+    r2h = dx * dx + dy * dy
+    R1 = jnp.sqrt(r2h + (z - c) ** 2 + 1e-12)
+    R2 = jnp.sqrt(r2h + (z + c) ** 2 + 1e-12)
+    zc = z + c
+    zm = z - c
+    S = R2 + zc
+    A = 1.0 / (16.0 * jnp.pi * mu * (1.0 - nu))
+    m34 = 3.0 - 4.0 * nu
+    q = 4.0 * (1.0 - nu) * (1.0 - 2.0 * nu)
+
+    def horizontal(a, b_):
+        """Force along the horizontal unit axis whose coordinate is a
+        (the other horizontal coordinate is b_): returns (u_a, u_b, u_z)."""
+        u_a = A * (m34 / R1 + 1.0 / R2 + a * a / R1**3 + m34 * a * a / R2**3
+                   + 2.0 * c * z / R2**3 * (1.0 - 3.0 * a * a / R2**2)
+                   + q / S * (1.0 - a * a / (R2 * S)))
+        u_b = A * a * b_ * (1.0 / R1**3 + m34 / R2**3 - 6.0 * c * z / R2**5
+                            - q / (R2 * S**2))
+        u_z = A * a * (zm / R1**3 + m34 * zm / R2**3 - 6.0 * c * z * zc / R2**5
+                       + q / (R2 * S))
+        return u_a, u_b, u_z
+
+    # force along +x (east)
+    uxx, uyx, uzx = horizontal(dx, dy)
+    # force along +y (north): same solution with the horizontal axes swapped
+    uyy, uxy, uzy = horizontal(dy, dx)
+    # force along +z (down): Mindlin's vertical-load solution
+    ur = A * (zm / R1**3 + m34 * zm / R2**3 - q / (R2 * S)
+              + 6.0 * c * z * zc / R2**5)
+    uxz = dx * ur
+    uyz = dy * ur
+    uzz = A * (m34 / R1 + (8.0 * (1.0 - nu) ** 2 - m34) / R2
+               + zm**2 / R1**3 + (m34 * zc**2 - 2.0 * c * z) / R2**3
+               + 6.0 * c * z * zc**2 / R2**5)
+
+    # rows: displacement component at x; columns: force direction at xi
+    return jnp.array([[uxx, uxy, uxz],
+                      [uyx, uyy, uyz],
+                      [uzx, uzy, uzz]])
+
+
 def moment_density(b, n, mu=33e9, lam=33e9):
     """m_pq = λ(b·n)δ_pq + µ(b_p n_q + b_q n_p) per unit area."""
     return lam * jnp.dot(b, n) * jnp.eye(3) + mu * (jnp.outer(b, n) + jnp.outer(n, b))
 
 
-def point_dislocation_displacement(x, xi, m_pq, mu=33e9, nu=0.25):
+def _greens_fn(medium: str):
+    if medium == "fullspace":
+        return kelvin_displacement
+    elif medium == "halfspace":
+        return mindlin_displacement
+    raise ValueError(f"Unknown medium {medium!r} (fullspace|halfspace)")
+
+
+def point_dislocation_displacement(x, xi, m_pq, mu=33e9, nu=0.25,
+                                   medium="fullspace"):
     """u_k(x) of a point moment m_pq at ξ: m_pq ∂U_kp/∂ξ_q (autodiff)."""
-    dU = jax.jacfwd(lambda s: kelvin_displacement(x, s, mu, nu))(xi)  # (k,p,q)
+    green = _greens_fn(medium)
+    dU = jax.jacfwd(lambda s: green(x, s, mu, nu))(xi)  # (k,p,q)
     return jnp.einsum("pq,kpq->k", m_pq, dU)
 
 
@@ -77,11 +151,13 @@ def _subdivide(tri, level: int):
     return cents, area / len(tris)
 
 
-def element_displacement(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2):
+def element_displacement(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2,
+                         medium: str = "fullspace"):
     """
     Displacement at points ``obs`` (N, 3) from a uniform Burgers vector
-    ``b`` on triangle ``tri`` (3, 3), full space, quadrature level
-    ``level`` (4^level points).
+    ``b`` on triangle ``tri`` (3, 3), quadrature level ``level``
+    (4^level points); ``medium`` picks the Kelvin (fullspace) or Mindlin
+    (halfspace, free surface at z=0) point-force kernel.
 
     Runs in float64 (``jax.enable_x64`` scope): the quadrature sums cancel
     to ~1e-7 of their largest terms — float32 noise would dominate the
@@ -100,14 +176,15 @@ def element_displacement(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2
 
         def disp_at(x):
             contrib = jax.vmap(lambda c: point_dislocation_displacement(
-                x, c, m, mu, nu))(jnp.asarray(cents))
+                x, c, m, mu, nu, medium))(jnp.asarray(cents))
             return jnp.sum(contrib, axis=0)
 
         return np.asarray(jax.vmap(disp_at)(
             jnp.asarray(obs, dtype=jnp.float64)))
 
 
-def element_stress(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2):
+def element_stress(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2,
+                   medium: str = "fullspace"):
     """Stress tensors (N, 3, 3) at ``obs`` from the element (autodiff of
     the displacement field over the receiver coordinate; float64, see
     :func:`element_displacement`)."""
@@ -123,7 +200,7 @@ def element_stress(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2):
 
         def disp_at(x):
             contrib = jax.vmap(lambda c: point_dislocation_displacement(
-                x, c, m, mu, nu))(jnp.asarray(cents))
+                x, c, m, mu, nu, medium))(jnp.asarray(cents))
             return jnp.sum(contrib, axis=0)
 
         def stress_at(x):
@@ -229,9 +306,10 @@ def _slip_vector(mesh, idx, component):
 
 def interaction_matrix(meshes, boundary_conditions, nu=0.25, mu=33e9,
                        level: int = 2, near_level: int = 6,
-                       self_offset_frac: float = 0.5):
+                       self_offset_frac: float = 0.5,
+                       medium: str = "fullspace"):
     """
-    Traction interaction matrix (full space): rows = receiver-element
+    Traction interaction matrix: rows = receiver-element
     BC tractions (projected on the BC slip direction), columns = unit
     slips of source elements per BC (reference ``get_interaction_matrix``
     ``bem/base.py:230`` + traction projections :278).
@@ -269,7 +347,7 @@ def interaction_matrix(meshes, boundary_conditions, nu=0.25, mu=33e9,
         tri = mesh.triangles[e]
         b = _slip_vector(mesh, e, component)
         sigma = np.asarray(element_stress(rec_points, tri, b, mu=mu, nu=nu,
-                                          lam=mu, level=level))
+                                          lam=mu, level=level, medium=medium))
         traction = np.einsum("nij,nj->ni", sigma, rec_normals)
         G[:, j] = np.einsum("ni,ni->n", traction, rec_dirs)
 
@@ -280,7 +358,7 @@ def interaction_matrix(meshes, boundary_conditions, nu=0.25, mu=33e9,
         if near.size:
             sigma_n = np.asarray(element_stress(
                 rec_points[near], tri, b, mu=mu, nu=nu, lam=mu,
-                level=near_level))
+                level=near_level, medium=medium))
             traction_n = np.einsum("nij,nj->ni", sigma_n, rec_normals[near])
             G[near, j] = np.einsum("ni,ni->n", traction_n, rec_dirs[near])
     logger.info("Assembled BEM interaction matrix %s", G.shape)
@@ -288,13 +366,14 @@ def interaction_matrix(meshes, boundary_conditions, nu=0.25, mu=33e9,
 
 
 def displacement_matrix(meshes, coords, nu=0.25, mu=33e9, level: int = 3,
-                        boundary_conditions=None):
+                        boundary_conditions=None, medium: str = "halfspace"):
     """
     Displacements (3·nobs, ncolumns) at observation points per unit
     element slip.  2-D coords = free-surface observations → the EXACT
     halfspace reciprocity kernel (validated to <0.1% against the Okada
-    rectangular solution); 3-D coords → full space.  Returned components
-    are (east, north, up).  Column order matches
+    rectangular solution, and cross-validated against the Mindlin field
+    at z→0); 3-D coords → the ``medium`` volume kernel.  Returned
+    components are (east, north, up).  Column order matches
     :func:`interaction_matrix`.
     """
     coords = np.asarray(coords)
@@ -315,6 +394,6 @@ def displacement_matrix(meshes, coords, nu=0.25, mu=33e9, level: int = 3,
                 else:
                     disp = element_displacement(
                         coords, mesh.triangles[e], b, mu=mu, nu=nu, lam=mu,
-                        level=level)
+                        level=level, medium=medium)
                 cols.append(np.asarray(disp).reshape(-1))
     return np.stack(cols, axis=1)

@@ -57,7 +57,8 @@ class GeodeticBEMLinearComposite(GeodeticComposite):
         G = engine.get_interaction_matrix(meshes)
         D = tde.displacement_matrix(meshes, self.stack.coords, nu=engine.nu,
                                     mu=engine.mu,
-                                    boundary_conditions=engine.boundary_conditions)
+                                    boundary_conditions=engine.boundary_conditions,
+                                    medium=engine.medium)
         # unit-traction response per BC: rhs = 1 MPa on that BC's rows
         rows = []
         responses = []
@@ -70,7 +71,9 @@ class GeodeticBEMLinearComposite(GeodeticComposite):
         for k, bc in enumerate(engine.boundary_conditions):
             rhs = np.zeros(row_start)
             rhs[bc_rows[k]] = 1e6  # 1 MPa
-            slips = np.linalg.lstsq(G, rhs, rcond=None)[0]
+            # traction-balance solve (see BEMEngine.process): slip relieves
+            # the applied traction, so positive traction -> opening/slip
+            slips = np.linalg.lstsq(G, -rhs, rcond=None)[0]
             disp = (D @ slips).reshape(-1, 3)
             responses.append(np.einsum("ni,ni->n", disp, self.stack.los))
         self._unit_los = jnp.asarray(np.stack(responses, axis=1),
