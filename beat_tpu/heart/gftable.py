@@ -96,9 +96,10 @@ class GreensTable:
     dt: float
     nt: int
     t0: float = 0.0
-    #: medium metadata for travel-time computations
+    #: medium metadata for travel-time / moment computations
     vp: float = 6000.0
     vs: float = 3500.0
+    rho: float = 2700.0
     _ibasis: tuple = field(default=None, repr=False)
 
     def __post_init__(self):
@@ -214,7 +215,8 @@ class GreensTable:
         np.savez_compressed(
             path, spectra=np.asarray(self.spectra, dtype=np.float32),
             distances=self.distances, depths=self.depths,
-            meta=np.array([self.dt, float(self.nt), self.t0, self.vp, self.vs]))
+            meta=np.array([self.dt, float(self.nt), self.t0, self.vp, self.vs,
+                           self.rho]))
 
     @classmethod
     def load(cls, path: str) -> "GreensTable":
@@ -223,7 +225,8 @@ class GreensTable:
             return cls(spectra=jnp.asarray(z["spectra"]),
                        distances=z["distances"], depths=z["depths"],
                        dt=float(meta[0]), nt=int(meta[1]), t0=float(meta[2]),
-                       vp=float(meta[3]), vs=float(meta[4]))
+                       vp=float(meta[3]), vs=float(meta[4]),
+                       rho=float(meta[5]) if meta.size > 5 else 2700.0)
 
     def synthesize_windows(self, spec, window_starts, window_taper, nsamples_win):
         """
@@ -251,17 +254,18 @@ def _table_flatten(t: "GreensTable"):
     children = (t.spectra, t._ibasis[0], t._ibasis[1])
     aux = (tuple(map(float, np.asarray(t.distances).ravel())),
            tuple(map(float, np.asarray(t.depths).ravel())),
-           t.dt, t.nt, t.t0, t.vp, t.vs)
+           t.dt, t.nt, t.t0, t.vp, t.vs, t.rho)
     return children, aux
 
 
 def _table_unflatten(aux, children) -> "GreensTable":
-    dists, deps, dt, nt, t0, vp, vs = aux
+    dists, deps, dt, nt, t0, vp, vs, rho = aux
     spectra, ic, is_ = children
     return GreensTable(spectra=spectra,
                        distances=np.asarray(dists, dtype=np.float64),
                        depths=np.asarray(deps, dtype=np.float64),
-                       dt=dt, nt=nt, t0=t0, vp=vp, vs=vs, _ibasis=(ic, is_))
+                       dt=dt, nt=nt, t0=t0, vp=vp, vs=vs, rho=rho,
+                       _ibasis=(ic, is_))
 
 
 jax.tree_util.register_pytree_node(GreensTable, _table_flatten, _table_unflatten)
@@ -334,4 +338,5 @@ def build_homogeneous_table(distances, depths, nt, dt, vp=6000.0, vs=3500.0,
     logger.info("Built homogeneous GF table: %i dist x %i depth x %i samples",
                 distances.size, depths.size, nt)
     return GreensTable(spectra=jnp.asarray(pairs), distances=distances,
-                       depths=depths, dt=dt, nt=nt, t0=t0, vp=vp, vs=vs)
+                       depths=depths, dt=dt, nt=nt, t0=t0, vp=vp, vs=vs,
+                       rho=rho)

@@ -201,8 +201,8 @@ class GeodeticGeometryComposite(GeodeticComposite):
     def synthetics_los(self, point: dict, data=None):
         """LOS-projected synthetic displacement, pure JAX (Ntot,)."""
         from beat_tpu.heart.okada import mogi_surface_displacement, mt_surface_displacement
-        from beat_tpu.sources import (DCSource, ExplosionSource, MTQTSource,
-                                      MTSource)
+        from beat_tpu.sources import (CLVDSource, DCSource, DoubleDCSource,
+                                      ExplosionSource, MTQTSource, MTSource)
 
         data = self._device if data is None else data
         coords = data["coords"]
@@ -220,7 +220,8 @@ class GeodeticGeometryComposite(GeodeticComposite):
                     coords, east_shift=get("east_shift"),
                     north_shift=get("north_shift"), depth=get("depth"),
                     volume_change=get("volume_change"), nu=self.nu)
-            elif isinstance(src, (MTSource, MTQTSource, DCSource)):
+            elif isinstance(src, (MTSource, MTQTSource, DCSource, CLVDSource,
+                                  DoubleDCSource)):
                 from beat_tpu.models.seismic import source_m6
 
                 m6 = source_m6(src, point, i, len(self.sources))

@@ -1,0 +1,207 @@
+"""
+Finite-source (RectangularSource) seismic geometry mode: patch-discretized
+waveform synthesis with rupture-propagation onsets (reference: pyrocko RS
+discretization inside engine.process, ``beat/heart.py:3564``;
+``beat/sources.py:46-157``), plus CLVD/DoubleDC point sources
+(reference source catalog ``beat/sources.py:694-721``).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from beat_tpu.heart.gftable import build_homogeneous_table
+from beat_tpu.models.seismic import SeismicGeometryComposite
+from beat_tpu.sources import (CLVDSource, DCSource, DoubleDCSource,
+                              RectangularSource, magnitude_to_moment,
+                              moment_to_magnitude)
+
+from tests.test_seismic import make_wavemap
+
+MU_TABLE = 2700.0 * 3500.0**2  # rho * vs^2 of the test table
+
+
+@pytest.fixture(scope="module")
+def table():
+    return build_homogeneous_table(
+        distances=np.linspace(20e3, 120e3, 11),
+        depths=np.linspace(2e3, 20e3, 5), nt=256, dt=0.25)
+
+
+class TestFiniteRectangular:
+    def test_point_source_limit(self, table):
+        """A tiny rectangle must reproduce the point DC with the same
+        moment: m0 = mu*L*W*slip."""
+        sdr = dict(strike=40.0, dip=55.0, rake=20.0)
+        L, W, slip = 100.0, 60.0, 1.5
+        m0 = MU_TABLE * L * W * slip
+        wavemap = make_wavemap(table, seed=3)
+
+        rect = RectangularSource(depth=9e3, length=L, width=W, slip=slip,
+                                 duration=1.5, velocity=3500.0, **sdr)
+        comp_r = SeismicGeometryComposite([wavemap], [rect])
+        # anchor 'top': point source sits at the rectangle's mid-depth
+        dc = DCSource(depth=9e3 + W / 2 * np.sin(np.deg2rad(sdr["dip"])),
+                      magnitude=float(moment_to_magnitude(m0)), **sdr)
+        comp_p = SeismicGeometryComposite([wavemap], [dc])
+
+        point = {"duration": jnp.asarray(1.5)}
+        wins_r = np.asarray(comp_r.synthetics_windows(point, 0))
+        wins_p = np.asarray(comp_p.synthetics_windows(point, 0))
+        scale = np.abs(wins_p).max()
+        np.testing.assert_allclose(wins_r, wins_p, atol=0.03 * scale)
+
+    def test_directivity(self, table):
+        """Moving the nucleation from one end of a long rupture to the
+        other changes the waveforms (rupture-propagation delays) — a
+        point source cannot represent this."""
+        wavemap = make_wavemap(table, seed=4)
+        base = dict(depth=8e3, strike=0.0, dip=80.0, rake=0.0, length=30e3,
+                    width=8e3, slip=2.0, duration=1.0, velocity=2800.0)
+        c1 = SeismicGeometryComposite(
+            [wavemap], [RectangularSource(nucleation_x=-0.9, **base)],
+            finite_patches=(8, 3))
+        c2 = SeismicGeometryComposite(
+            [wavemap], [RectangularSource(nucleation_x=0.9, **base)],
+            finite_patches=(8, 3))
+        w1 = np.asarray(c1.synthetics_windows({}, 0))
+        w2 = np.asarray(c2.synthetics_windows({}, 0))
+        rel = np.abs(w1 - w2).max() / np.abs(w1).max()
+        assert rel > 0.2, rel
+
+    def test_joint_rect_inversion_recovers_moment(self, table, tmp_path):
+        """One RectangularSource drives BOTH waveforms and InSAR; the
+        joint inversion recovers slip (hence seismic moment) — the
+        reference's Rectangular docs example
+        (``docs/examples/Rectangular.rst``)."""
+        from beat_tpu.covariance import Covariance
+        from beat_tpu.heart.geodesy import GeodeticDataset
+        from beat_tpu.models.geodetic import GeodeticGeometryComposite
+        from beat_tpu.models.problem import Problem
+        from beat_tpu.parameter import Parameter, PriorSet
+        from beat_tpu.samplers import SMCParams
+
+        from beat_tpu.heart.seismic import SeismicDataset, WaveformMapping
+        from beat_tpu.heart.taper import ArrivalTaper, Filter
+        from beat_tpu.models.seismic import finite_rectangular_spectra, point_getter
+
+        TRUE = dict(depth=6e3, strike=30.0, dip=60.0, rake=-90.0,
+                    length=12e3, width=6e3)
+        TRUE_SLIP = 1.4
+        rng = np.random.default_rng(7)
+
+        src_true = RectangularSource(slip=TRUE_SLIP, duration=1.5,
+                                     velocity=3000.0, **TRUE)
+
+        # observed waveforms: full-length finite-source traces + noise
+        n_st = 8
+        az = np.linspace(0, 2 * np.pi, n_st, endpoint=False) + 0.2
+        dist = rng.uniform(40e3, 100e3, n_st)
+        st_e, st_n = dist * np.sin(az), dist * np.cos(az)
+        get = point_getter(src_true, {}, 0, 1)
+        spec = finite_rectangular_spectra(
+            table, get, jnp.asarray(st_e), jnp.asarray(st_n),
+            jnp.asarray([0] * n_st, dtype=jnp.int32), "HalfSinusoid", None)
+        raw = np.asarray(table.to_time_domain(spec))
+        raw = raw + rng.normal(0, 0.03 * np.abs(raw).max(), raw.shape)
+        datasets = [SeismicDataset(station=f"ST{i:02d}", channel="Z",
+                                   east=st_e[i], north=st_n[i], ydata=raw[i])
+                    for i in range(n_st)]
+        wavemap = WaveformMapping(
+            name="any_P", datasets=datasets, table=table,
+            taper=ArrivalTaper(a=-3.0, b=-1.5, c=15.0, d=18.0),
+            filterer=Filter(lower_corner=0.02, upper_corner=0.5, order=3))
+
+        e = np.linspace(-20e3, 20e3, 9)
+        coords = np.stack(np.meshgrid(e, e), -1).reshape(-1, 2)
+        disp = np.asarray(src_true.surface_displacement(jnp.asarray(coords)))
+        los = np.tile([-0.6, 0.1, 0.79], (coords.shape[0], 1))
+        los /= np.linalg.norm(los, axis=1, keepdims=True)
+        obs = (disp * los).sum(1)
+        sd = 0.03 * np.abs(obs).max()
+        scene = GeodeticDataset(
+            name="ifg", typ="SAR", coords=coords,
+            displacement=obs + rng.normal(0, sd, obs.shape), los_vector=los,
+            covariance=Covariance(data=np.eye(obs.size) * sd**2))
+
+        seis = SeismicGeometryComposite([wavemap], [src_true])
+        geo = GeodeticGeometryComposite([scene], [src_true])
+        priors = PriorSet()
+        priors.add(Parameter("slip", [0.2], [3.0]))
+        priors.add(Parameter("nucleation_x", [-1.0], [1.0]))
+        problem = Problem(priors, {"seismic": seis, "geodetic": geo},
+                          outfolder=str(tmp_path / "joint_rect"),
+                          sampler_params=SMCParams(n_chains=64, n_steps=30,
+                                                   seed=11))
+        q_tr, _ = problem.sample()
+        est = problem.ordering.to_point(q_tr[-1].mean(axis=0))
+        assert abs(est["slip"] - TRUE_SLIP) < 0.2
+        m0_est = MU_TABLE * TRUE["length"] * TRUE["width"] * float(est["slip"])
+        m0_true = MU_TABLE * TRUE["length"] * TRUE["width"] * TRUE_SLIP
+        assert abs(moment_to_magnitude(m0_est)
+                   - moment_to_magnitude(m0_true)) < 0.1
+
+
+class TestPointCatalogSources:
+    def test_clvd_informative(self, table):
+        """CLVDSource is dispatched and its orientation matters."""
+        wavemap = make_wavemap(table, seed=6)
+        c1 = SeismicGeometryComposite(
+            [wavemap], [CLVDSource(depth=9e3, azimuth=0.0, dip=90.0,
+                                   magnitude=5.8, duration=1.5)])
+        c2 = SeismicGeometryComposite(
+            [wavemap], [CLVDSource(depth=9e3, azimuth=60.0, dip=20.0,
+                                   magnitude=5.8, duration=1.5)])
+        w1 = np.asarray(c1.synthetics_windows({"duration": jnp.asarray(1.5)}, 0))
+        w2 = np.asarray(c2.synthetics_windows({"duration": jnp.asarray(1.5)}, 0))
+        assert np.isfinite(w1).all() and np.abs(w1).max() > 0
+        assert np.abs(w1 - w2).max() > 0.2 * np.abs(w1).max()
+
+    def test_double_dc_limits(self, table):
+        """DoubleDC with mix=0 and zero offsets equals the single DC with
+        the full moment; with separation/delay it differs."""
+        wavemap = make_wavemap(table, seed=8)
+        sdr = dict(strike1=40.0, dip1=55.0, rake1=20.0,
+                   strike2=120.0, dip2=30.0, rake2=-40.0)
+        ddc0 = DoubleDCSource(depth=9e3, magnitude=5.8, mix=0.0,
+                              distance=0.0, delta_time=0.0, duration=1.5, **sdr)
+        dc = DCSource(depth=9e3, magnitude=5.8, strike=40.0, dip=55.0,
+                      rake=20.0, duration=1.5)
+        c_ddc = SeismicGeometryComposite([wavemap], [ddc0])
+        c_dc = SeismicGeometryComposite([wavemap], [dc])
+        pt = {"duration": jnp.asarray(1.5)}
+        w_ddc = np.asarray(c_ddc.synthetics_windows(pt, 0))
+        w_dc = np.asarray(c_dc.synthetics_windows(pt, 0))
+        np.testing.assert_allclose(w_ddc, w_dc, atol=1e-4 * np.abs(w_dc).max())
+
+        ddc_sep = DoubleDCSource(depth=9e3, magnitude=5.8, mix=0.5,
+                                 distance=20e3, delta_time=4.0,
+                                 duration=1.5, **sdr)
+        w_sep = np.asarray(SeismicGeometryComposite(
+            [wavemap], [ddc_sep]).synthetics_windows(pt, 0))
+        assert np.abs(w_sep - w_dc).max() > 0.2 * np.abs(w_dc).max()
+
+    def test_geodetic_clvd_and_doubledc_statics(self):
+        """CLVD / DoubleDC statics dispatch through the MT eigen-crack
+        path in the geodetic composite (reference: any MT-family source
+        has pscmp statics)."""
+        from beat_tpu.covariance import Covariance
+        from beat_tpu.heart.geodesy import GeodeticDataset
+        from beat_tpu.models.geodetic import GeodeticGeometryComposite
+
+        rng = np.random.default_rng(3)
+        e = np.linspace(-10e3, 10e3, 6)
+        coords = np.stack(np.meshgrid(e, e), -1).reshape(-1, 2)
+        los = np.tile([0.0, 0.0, 1.0], (coords.shape[0], 1))
+        obs = rng.normal(0, 0.01, coords.shape[0])
+        ds = GeodeticDataset(name="s", typ="SAR", coords=coords,
+                             displacement=obs, los_vector=los,
+                             covariance=Covariance(data=np.eye(obs.size) * 1e-4))
+        for src in (CLVDSource(depth=4e3, azimuth=30.0, dip=45.0, magnitude=5.5),
+                    DoubleDCSource(depth=4e3, magnitude=5.5, strike1=10.0,
+                                   dip1=80.0, rake1=5.0, strike2=100.0,
+                                   dip2=45.0, rake2=90.0, mix=0.3)):
+            comp = GeodeticGeometryComposite([ds], [src])
+            synth = np.asarray(comp.synthetics_los({}))
+            assert np.isfinite(synth).all() and np.abs(synth).max() > 0
