@@ -417,13 +417,23 @@ def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
     return config
 
 
-def load_polarity_targets(project_dir: str, datadir: str = "./") -> list:
+def load_polarity_targets(project_dir: str, datadir: str = "./",
+                          source_depth: float | None = None,
+                          velocity_model=None, phase: str = "p") -> list:
     """
     Load first-motion observations from
     ``<project_dir>/polarity_data.npz``: arrays ``stations`` (string),
-    ``azimuths_deg``, ``takeoffs_deg`` (from downward vertical),
-    ``polarities`` (±1) — the native analogue of the reference's picked
-    marker files (``PolarityConfig`` ``config.py:743``).
+    ``azimuths_deg``, ``polarities`` (±1), and either
+
+    * ``takeoffs_deg`` — precomputed takeoff angles (from the downward
+      vertical), or
+    * ``distances_m`` — epicentral distances; takeoffs are then
+      ray-traced through ``velocity_model`` (a
+      :class:`beat_tpu.heart.velocity_model.LayeredModel`; the project's
+      ``velocity_model.npz`` / ``.nd`` if present, else the default
+      crust) from ``source_depth`` — the native analogue of the
+      reference's cake takeoff tables (``heart.py:2333``, picked marker
+      files ``PolarityConfig`` ``config.py:743``).
     """
     from beat_tpu.heart.polarity import PolarityTarget
 
@@ -432,12 +442,40 @@ def load_polarity_targets(project_dir: str, datadir: str = "./") -> list:
         raise FileNotFoundError(f"No polarity data at {path}")
     with np.load(path, allow_pickle=False) as z:
         az = np.deg2rad(z["azimuths_deg"])
-        to = np.deg2rad(z["takeoffs_deg"])
         pol = z["polarities"].astype(int)
         stations = [str(s) for s in z["stations"]]
+        if "takeoffs_deg" in z.files:
+            to = np.deg2rad(z["takeoffs_deg"])
+        else:
+            from beat_tpu.heart.velocity_model import takeoff_angles
+
+            if "distances_m" not in z.files:
+                raise ValueError(
+                    "polarity_data.npz needs 'takeoffs_deg' or 'distances_m'")
+            if source_depth is None:
+                raise ValueError(
+                    "ray-traced takeoffs need the event source depth")
+            model = velocity_model or load_velocity_model(project_dir)
+            to = takeoff_angles(model, float(source_depth),
+                                z["distances_m"], phase=phase)
     return [PolarityTarget(station=stations[i], azimuth_rad=float(az[i]),
                            takeoff_rad=float(to[i]), polarity=int(pol[i]))
             for i in range(len(stations))]
+
+
+def load_velocity_model(project_dir: str):
+    """The project's 1-D model: ``velocity_model.npz`` (native) or
+    ``velocity_model.nd`` (cake/TauP format), else the default crust
+    (reference: ``get_velocity_model`` crust2x2 fallback ``heart.py``)."""
+    from beat_tpu.heart.velocity_model import LayeredModel
+
+    npz = os.path.join(project_dir, "velocity_model.npz")
+    nd = os.path.join(project_dir, "velocity_model.nd")
+    if os.path.exists(npz):
+        return LayeredModel.load(npz)
+    if os.path.exists(nd):
+        return LayeredModel.from_nd(nd)
+    return LayeredModel.default_crust()
 
 
 def save_polarity_targets(targets, project_dir: str, datadir: str = "./") -> str:
@@ -549,7 +587,8 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
         from beat_tpu.models.polarity import PolarityComposite
 
         targets = load_polarity_targets(project_dir,
-                                        config.polarity_config.datadir)
+                                        config.polarity_config.datadir,
+                                        source_depth=config.event.depth)
         composites["polarity"] = PolarityComposite(targets, sources)
 
     outfolder = os.path.join(project_dir, pc.mode)

@@ -11,7 +11,8 @@ Problem + stage trace and writes a PNG/PDF into
 from beat_tpu.plotting.marginals import plot_correlation_hist, plot_stage_posteriors
 from beat_tpu.plotting.geodetic import (plot_geodetic_covariances, plot_gnss_fits,
     plot_scene_fits, plot_station_map)
-from beat_tpu.plotting.seismic import plot_station_variance_reductions, plot_waveform_fits
+from beat_tpu.plotting.seismic import (plot_station_variance_reductions,
+    plot_velocity_models, plot_waveform_fits)
 from beat_tpu.plotting.ffi import plot_moment_rate, plot_slip_distribution
 from beat_tpu.plotting.mt import (plot_fuzzy_beachball, plot_fuzzy_mt_decomp,
     plot_hudson, plot_lune)
@@ -29,6 +30,8 @@ plots_availability = {
     "waveform_fits": {"modes": ["geometry", "ffi"], "datatypes": ["seismic"]},
     "station_variance_reductions": {"modes": ["geometry", "ffi"],
                                     "datatypes": ["seismic"]},
+    "velocity_models": {"modes": ["geometry", "ffi"],
+                        "datatypes": ["seismic", "polarity"]},
     "slip_distribution": {"modes": ["ffi"], "datatypes": None},
     "moment_rate": {"modes": ["ffi"], "datatypes": ["seismic"]},
     "hudson": {"modes": ["geometry"], "datatypes": ["seismic", "polarity"]},
@@ -49,6 +52,7 @@ plots_catalog = {
     "geodetic_covariances": plot_geodetic_covariances,
     "waveform_fits": plot_waveform_fits,
     "station_variance_reductions": plot_station_variance_reductions,
+    "velocity_models": plot_velocity_models,
     "slip_distribution": plot_slip_distribution,
     "moment_rate": plot_moment_rate,
     "hudson": plot_hudson,

@@ -84,3 +84,51 @@ def plot_station_variance_reductions(problem, po: PlotOptions | None = None, poi
         format_axes(ax)
     fig.tight_layout()
     return save_figure(fig, problem.outfolder, "station_variance_reductions", po)
+
+
+def plot_velocity_models(problem=None, po: PlotOptions | None = None,
+                         models=None):
+    """Step profiles of vp/vs/rho vs depth for the project's layered
+    model(s) (reference ``velocity_models`` plot,
+    ``beat/plotting/seismic.py``).  ``models``: explicit list of
+    :class:`~beat_tpu.heart.velocity_model.LayeredModel`; default: the
+    project model next to the problem's outfolder plus homogeneous
+    models implied by any GF tables."""
+    import os
+
+    import matplotlib.pyplot as plt
+
+    from beat_tpu.heart.velocity_model import LayeredModel
+
+    if models is None:
+        models = []
+        if problem is not None:
+            from beat_tpu.config import load_velocity_model
+
+            project_dir = os.path.dirname(problem.outfolder.rstrip("/"))
+            models.append(load_velocity_model(project_dir))
+            for comp in problem.composites.values():
+                for wmap in getattr(comp, "wavemaps", []):
+                    t = wmap.table
+                    models.append(LayeredModel.homogeneous(
+                        vp=t.vp, vs=t.vs, rho=getattr(t, "rho", 2700.0)))
+        if not models:
+            models = [LayeredModel.default_crust()]
+
+    fig, axs = plt.subplots(1, 3, figsize=(9, 5), sharey=True)
+    zmax = max(float(m.tops[-1]) for m in models) * 1.3 + 5e3
+    for m in models:
+        z_edges = np.concatenate([m.tops, [zmax]])
+        for ax, vals, label in zip(
+                axs, (m.vp, m.vs, m.rho), ("vp [m/s]", "vs [m/s]", "rho [kg/m³]")):
+            ax.step(np.repeat(vals, 2),
+                    np.repeat(z_edges, 2)[1:-1] / 1e3, where="post",
+                    label=m.name)
+            ax.set_xlabel(label)
+            format_axes(ax)
+    axs[0].set_ylabel("depth [km]")
+    axs[0].invert_yaxis()
+    axs[0].legend(fontsize=7)
+    fig.suptitle("velocity models")
+    outfolder = problem.outfolder if problem is not None else "."
+    return save_figure(fig, outfolder, "velocity_models", po)
