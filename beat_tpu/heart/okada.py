@@ -212,20 +212,39 @@ def _eigh_sym3(M):
         cs = jnp.stack([c0, c1, c2])
         norms = jnp.sum(cs**2, axis=1)
         v = cs[jnp.argmax(norms)]
-        return v / jnp.sqrt(jnp.maximum(jnp.sum(v**2), 1e-30))
+        return v / jnp.sqrt(jnp.maximum(jnp.sum(v**2), 1e-30)), jnp.max(norms)
 
-    v0 = eigvec(lams[0])
-    v2 = eigvec(lams[2])
-    # enforce orthogonality (robust for near-degenerate pairs)
-    v2 = v2 - jnp.dot(v2, v0) * v0
-    v2 = v2 / jnp.sqrt(jnp.maximum(jnp.sum(v2**2), 1e-30))
-    v1 = jnp.cross(v2, v0)
-    vecs = jnp.stack([v0, v1, v2], axis=1)
-    # (near-)isotropic M: eigenvectors are arbitrary — the adjugate
-    # columns are numerical noise; any orthonormal basis is exact
-    degenerate = p < 1e-5 * (jnp.abs(q) + p)
-    vecs = jnp.where(degenerate, jnp.eye(3), vecs)
-    return lams * scale, vecs
+    # Degeneracy-robust construction: anchor on the best-ISOLATED
+    # eigenvalue (its adjugate eigenvector is always well-conditioned;
+    # the old code anchored on lams[0], which is garbage when the two
+    # smallest eigenvalues coincide — e.g. every elementary MT), then
+    # diagonalize the 2x2 complement exactly.  For repeated eigenvalues
+    # any orthonormal basis of the eigenspace is exact, which this
+    # produces by construction.
+    anchor_low = (lams[1] - lams[0]) >= (lams[2] - lams[1])
+    lam_a = jnp.where(anchor_low, lams[0], lams[2])
+    va, quality = eigvec(lam_a)
+    # fully isotropic M: adjugate vanishes — any direction is exact
+    va = jnp.where(quality > 1e-20, va, jnp.array([0.0, 0.0, 1.0]))
+
+    seed = jnp.where(jnp.abs(va[2]) < 0.9,
+                     jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0]))
+    u = jnp.cross(va, seed)
+    u = u / jnp.sqrt(jnp.maximum(jnp.sum(u**2), 1e-30))
+    w = jnp.cross(va, u)
+
+    b00 = u @ M @ u
+    b01 = u @ M @ w
+    b11 = w @ M @ w
+    theta = 0.5 * jnp.arctan2(2.0 * b01, b00 - b11)
+    ct, st = jnp.cos(theta), jnp.sin(theta)
+    e1 = ct * u + st * w
+    e2 = -st * u + ct * w
+
+    vals = jnp.stack([va @ M @ va, e1 @ M @ e1, e2 @ M @ e2])
+    vecs_rows = jnp.stack([va, e1, e2])
+    order = jnp.argsort(vals)
+    return vals[order] * scale, vecs_rows[order].T
 
 
 def mt_surface_displacement(coords, m6, east_shift=0.0, north_shift=0.0,

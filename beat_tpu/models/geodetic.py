@@ -66,6 +66,8 @@ class GeodeticComposite(Composite):
                         for ds in self.datasets],
             "slog_pdets": [jnp.float32(ds.covariance.log_pdet) for ds in self.datasets],
         }
+        if getattr(self, "static_table", None) is not None:
+            self._device["static_table"] = self.static_table
 
     def update_weights(self, point: dict) -> None:
         """Non-Toeplitz / residual-based covariance update at the MAP point
@@ -176,12 +178,22 @@ class GeodeticGeometryComposite(GeodeticComposite):
 
     #: source families with analytic halfspace statics: rectangles via
     #: Okada, explosions via Mogi, MT families via the eigen-crack
-    #: decomposition (okada.mt_surface_displacement)
-    def __init__(self, datasets, sources, nu=0.25, shear_modulus=33e9, **kwargs):
+    #: decomposition (okada.mt_surface_displacement).  With a
+    #: ``static_table`` (layered psgrn analogue,
+    #: :mod:`beat_tpu.heart.statictable`) all sources route through the
+    #: table instead: point MTs directly, rectangles as fixed patch
+    #: grids of point MTs with depth-dependent moduli (pscmp strategy,
+    #: reference ``heart.py:4158``).
+    def __init__(self, datasets, sources, nu=0.25, shear_modulus=33e9,
+                 static_table=None, finite_patches=(4, 4), **kwargs):
         super().__init__(datasets, **kwargs)
         self.sources = list(sources)
         self.nu = nu
         self.shear_modulus = shear_modulus
+        self.static_table = static_table
+        self.finite_patches = tuple(finite_patches)
+        if static_table is not None:
+            self._device["static_table"] = static_table
 
     def _source_kwargs(self, point: dict, i: int) -> dict:
         """Pull source-i parameters from the sampled point, falling back to
@@ -206,6 +218,8 @@ class GeodeticGeometryComposite(GeodeticComposite):
 
         data = self._device if data is None else data
         coords = data["coords"]
+        if "static_table" in data:
+            return self._synthetics_los_table(point, data)
         disp = jnp.zeros((coords.shape[0], 3))
         for i, src in enumerate(self.sources):
             def get(name, i=i, src=src):
@@ -241,6 +255,53 @@ class GeodeticGeometryComposite(GeodeticComposite):
                 raise NotImplementedError(
                     f"Geodetic statics for {type(src).__name__} (use the BEM "
                     "composite for meshed sources)")
+        return jnp.sum(disp * data["los"], axis=-1)
+
+    def _synthetics_los_table(self, point: dict, data):
+        """Layered-media statics through the StaticGFTable: point MTs via
+        one gather each, rectangles as patch grids of point MTs with the
+        local shear modulus (pscmp patch integration, ref heart.py:4158)."""
+        from beat_tpu.models.seismic import point_getter, source_m6
+        from beat_tpu.sources import (rectangular_patch_grid, sdr_to_m6,
+                                      tensile_m6)
+
+        table = data["static_table"]
+        coords = data["coords"]
+        obs_e, obs_n = coords[:, 0], coords[:, 1]
+        disp = jnp.zeros((coords.shape[0], 3))
+        for i, src in enumerate(self.sources):
+            get = point_getter(src, point, i, len(self.sources))
+            if isinstance(src, RectangularSource):
+                np_l, np_w = self.finite_patches
+                length, width = get("length"), get("width")
+                east_p, north_p, depth_p, _, _ = rectangular_patch_grid(
+                    get("strike"), get("dip"), length, width,
+                    get("east_shift"), get("north_shift"), get("depth"),
+                    np_l, np_w)
+                area = length * width / (np_l * np_w)
+                slip_total = get("slip")
+                frac = get("opening_fraction")
+                slip_shear = slip_total * (1.0 - jnp.abs(frac))
+                opening = slip_total * frac
+
+                def one_patch(e, n, d):
+                    mu_z = table.shear_modulus(d)
+                    m6 = sdr_to_m6(get("strike"), get("dip"), get("rake"),
+                                   mu_z * area * slip_shear)
+                    m6 = m6 + tensile_m6(get("strike"), get("dip"),
+                                         area * opening,
+                                         lam=table.lame_lambda(d), mu=mu_z)
+                    return table.synthesize_enu(m6, e, n, d, obs_e, obs_n)
+
+                import jax
+
+                disp = disp + jnp.sum(
+                    jax.vmap(one_patch)(east_p, north_p, depth_p), axis=0)
+            else:
+                m6 = source_m6(src, point, i, len(self.sources))
+                disp = disp + table.synthesize_enu(
+                    m6, get("east_shift"), get("north_shift"), get("depth"),
+                    obs_e, obs_n)
         return jnp.sum(disp * data["los"], axis=-1)
 
     def synthetics_los_np(self, point: dict):

@@ -121,13 +121,10 @@ def finite_rectangular_spectra(table, get, station_east, station_north,
     ``sources.py:118-157``); nucleation_x ∈ [-1, 1] along strike from the
     center, nucleation_y ∈ [-1, 1] down dip (-1 = top edge).
     """
-    st = jnp.deg2rad(get("strike"))
-    di = jnp.deg2rad(get("dip"))
+    from beat_tpu.sources import rectangular_patch_grid
+
     length = get("length")
     width = get("width")
-    depth0 = get("depth")
-    e0 = get("east_shift")
-    n0 = get("north_shift")
     time0 = get("time")
     velocity = get("velocity")
     duration = jnp.maximum(get("duration"), 1e-3)
@@ -138,17 +135,9 @@ def finite_rectangular_spectra(table, get, station_east, station_north,
     m0_total = shear_modulus * length * width * slip
 
     np_l, np_w = n_patches
-    # patch centers in plane coordinates (along strike from center, down dip
-    # from the top edge)
-    along = (jnp.arange(np_l) + 0.5) / np_l - 0.5          # x length
-    down = (jnp.arange(np_w) + 0.5) / np_w                 # x width
-    along, down = [a.ravel() for a in jnp.meshgrid(along, down)]
-    along = along * length
-    down = down * width
-
-    east_p = e0 + jnp.sin(st) * along + jnp.cos(di) * jnp.cos(st) * down
-    north_p = n0 + jnp.cos(st) * along - jnp.cos(di) * jnp.sin(st) * down
-    depth_p = depth0 + jnp.sin(di) * down
+    east_p, north_p, depth_p, along, down = rectangular_patch_grid(
+        get("strike"), get("dip"), length, width, get("east_shift"),
+        get("north_shift"), get("depth"), np_l, np_w)
 
     nuc_along = get("nucleation_x") * length / 2.0
     nuc_down = (get("nucleation_y") + 1.0) / 2.0 * width

@@ -467,3 +467,26 @@ stf_catalog = {
     "Triangular": triangular_stf,
     "HalfSinusoid": half_sinusoid_stf,
 }
+
+
+def rectangular_patch_grid(strike, dip, length, width, east_shift,
+                           north_shift, depth, n_length: int, n_width: int):
+    """
+    Traced patch-center grid of a RectangularSource (anchor 'top' =
+    top-center, reference anchor handling ``beat/sources.py:118-157``).
+
+    Returns (east, north, depth, along, down): flat (n_length·n_width,)
+    arrays; ``along`` measured from the plane center along strike,
+    ``down`` from the top edge down dip (both [m]).
+    """
+    st = jnp.deg2rad(strike)
+    di = jnp.deg2rad(dip)
+    along = ((jnp.arange(n_length) + 0.5) / n_length - 0.5)
+    down = (jnp.arange(n_width) + 0.5) / n_width
+    along, down = [a.ravel() for a in jnp.meshgrid(along, down)]
+    along = along * length
+    down = down * width
+    east = east_shift + jnp.sin(st) * along + jnp.cos(di) * jnp.cos(st) * down
+    north = north_shift + jnp.cos(st) * along - jnp.cos(di) * jnp.sin(st) * down
+    depth_p = depth + jnp.sin(di) * down
+    return east, north, depth_p, along, down
