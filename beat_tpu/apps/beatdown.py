@@ -23,31 +23,125 @@ import numpy as np
 logger = logging.getLogger("beat_tpu.beatdown")
 
 
-def get_events(time_range, magmin=5.5, catalog="GCMT"):
-    """Query an event catalog (reference ``beatdown.get_events`` :80;
-    requires pyrocko's catalog clients)."""
+def get_events(time_range, magmin=5.5, catalog="IRIS"):
+    """Query an FDSN event catalog (reference ``beatdown.get_events``
+    :80, there via pyrocko GCMT; here via obspy FDSN — gated).
+
+    time_range : (start, end) UTC strings or epoch floats.
+    Returns a list of dicts with time/lat/lon/depth/magnitude.
+    """
     try:
-        from pyrocko.client import catalog as pcatalog
+        from obspy import UTCDateTime
+        from obspy.clients.fdsn import Client
     except ImportError as e:
-        raise ImportError("pyrocko is required for catalog queries") from e
-    cat = pcatalog.GlobalCMT() if catalog == "GCMT" else pcatalog.Geofon()
-    return cat.get_events(time_range=time_range, magmin=magmin)
+        raise ImportError("obspy is required for catalog queries") from e
+    client = Client(catalog)
+    cat = client.get_events(starttime=UTCDateTime(time_range[0]),
+                            endtime=UTCDateTime(time_range[1]),
+                            minmagnitude=magmin)
+    out = []
+    for ev in cat:
+        o = ev.preferred_origin() or ev.origins[0]
+        m = ev.preferred_magnitude() or ev.magnitudes[0]
+        out.append({"time": float(o.time.timestamp), "lat": o.latitude,
+                    "lon": o.longitude, "depth": o.depth,
+                    "magnitude": m.mag})
+    return out
 
 
 def download_waveforms(event, project_dir, radius_deg=(3.0, 90.0),
-                       channels=("BHZ", "BHN", "BHE"), padding=600.0):
-    """FDSN mass download around an event (reference ``beatdown.main``
-    :248; requires obspy's mass downloader or pyrocko fdsn)."""
+                       channels="BH[ZNE]", padding=600.0,
+                       duration=3600.0, datadir="raw"):
+    """
+    FDSN mass download around an event (reference ``beatdown.main``
+    ``apps/beatdown.py:248-1227``; gated on obspy + network egress):
+    circular station domain, one chunked request per provider, StationXML
+    inventories next to the waveforms.  Afterwards run
+    :func:`beat_tpu.inputf.load_obspy_traces` + :func:`prepare_local_traces`.
+
+    event : dict with time [epoch s], lat, lon (e.g. from
+        :func:`get_events`).
+    """
     try:
-        from obspy.clients.fdsn.mass_downloader import (  # noqa: F401
+        from obspy import UTCDateTime
+        from obspy.clients.fdsn.mass_downloader import (
             CircularDomain, MassDownloader, Restrictions)
     except ImportError as e:
         raise ImportError(
             "obspy is required for FDSN downloads; in offline environments "
             "use prepare_local_traces on existing files") from e
-    raise NotImplementedError(
-        "Network download is disabled in this environment; use "
-        "prepare_local_traces with locally available data")
+    import os
+
+    t0 = UTCDateTime(event["time"])
+    domain = CircularDomain(latitude=event["lat"], longitude=event["lon"],
+                            minradius=radius_deg[0], maxradius=radius_deg[1])
+    restrictions = Restrictions(
+        starttime=t0 - padding, endtime=t0 + duration + padding,
+        chunklength_in_sec=duration + 2 * padding,
+        channel_priorities=[channels], reject_channels_with_gaps=True,
+        minimum_length=0.9, minimum_interstation_distance_in_m=1e3)
+    wf_dir = os.path.join(project_dir, datadir, "waveforms")
+    inv_dir = os.path.join(project_dir, datadir, "stations")
+    mdl = MassDownloader()
+    mdl.download(domain, restrictions, mseed_storage=wf_dir,
+                 stationxml_storage=inv_dir)
+    logger.info("Downloaded waveforms -> %s, inventories -> %s",
+                wf_dir, inv_dir)
+    return wf_dir, inv_dir
+
+
+def bandpass_and_decimate(ydata, dt, target_dt, lower=0.01, upper=None,
+                          order=4):
+    """Zero-phase bandpass + anti-aliased resampling onto ``target_dt``
+    (the reference's restitution-stage filtering/downsampling)."""
+    from scipy.signal import butter, resample_poly, sosfiltfilt
+
+    ny = 0.5 / dt
+    upper = upper if upper is not None else 0.4 / target_dt
+    sos = butter(order, [max(lower, 1e-4) / ny, min(upper / ny, 0.99)],
+                 btype="band", output="sos")
+    filtered = sosfiltfilt(sos, np.asarray(ydata, dtype=np.float64))
+    # rational resampling factor
+    from fractions import Fraction
+
+    frac = Fraction(dt / target_dt).limit_denominator(1000)
+    return resample_poly(filtered, frac.numerator, frac.denominator)
+
+
+def weed_stations(traces, stations, event_time, snr_min=2.0,
+                  noise_window=60.0, blacklist=()):
+    """
+    Station weeding (reference ``beatdown`` quality control): drop
+    blacklisted stations and those whose peak signal amplitude after the
+    event is below ``snr_min`` × the pre-event RMS noise.
+
+    traces : dict station -> {channel: (tmin_epoch, dt, ydata)}.
+    Returns the filtered (traces, stations).
+    """
+    keep_traces, keep_stations = {}, {}
+    for sta, chans in traces.items():
+        if sta in set(blacklist):
+            logger.info("Weeding %s: blacklisted", sta)
+            continue
+        ok = True
+        for channel, (tmin, dt, ydata) in chans.items():
+            n_pre = int(max(min((event_time - tmin) / dt,
+                                noise_window / dt), 1))
+            ydata = np.asarray(ydata, dtype=np.float64)
+            pre = ydata[:n_pre]
+            noise = np.sqrt(np.mean(pre**2)) + 1e-30
+            snr = np.abs(ydata[n_pre:]).max() / noise if ydata.size > n_pre else 0.0
+            if snr < snr_min:
+                logger.info("Weeding %s.%s: SNR %.2f < %.2f",
+                            sta, channel, snr, snr_min)
+                ok = False
+                break
+        if ok:
+            keep_traces[sta] = chans
+            if sta in stations:
+                keep_stations[sta] = stations[sta]
+    logger.info("Weeding kept %i / %i stations", len(keep_traces), len(traces))
+    return keep_traces, keep_stations
 
 
 def rotate_to_rtz(north, east, back_azimuth_rad):
@@ -103,13 +197,41 @@ def _to_table_grid(ydata, tmin, dt, event_time, table):
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="beat-tpu-down",
-        description="waveform download & preparation (FDSN access gated)")
-    parser.add_argument("project_dir")
-    parser.add_argument("--magmin", type=float, default=5.5)
+        description="waveform acquisition & preparation "
+                    "(reference beatdown; FDSN access gated on obspy)")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_dl = sub.add_parser("download", help="FDSN mass download around an event")
+    p_dl.add_argument("project_dir")
+    p_dl.add_argument("--time", required=True, help="event time (UTC ISO)")
+    p_dl.add_argument("--lat", type=float, required=True)
+    p_dl.add_argument("--lon", type=float, required=True)
+    p_dl.add_argument("--radius", type=float, nargs=2, default=(3.0, 90.0))
+
+    p_pr = sub.add_parser("prepare", help="prepare downloaded/local data "
+                          "into the native seismic format")
+    p_pr.add_argument("project_dir")
+    p_pr.add_argument("--datadir", default="raw/waveforms")
+    p_pr.add_argument("--inventory", default=None)
+    p_pr.add_argument("--event-time", type=float, required=True)
+    p_pr.add_argument("--snr-min", type=float, default=2.0)
+
     args = parser.parse_args(argv)
     try:
-        download_waveforms(None, args.project_dir)
-    except (ImportError, NotImplementedError) as e:
+        if args.cmd == "download":
+            download_waveforms({"time": args.time, "lat": args.lat,
+                                "lon": args.lon}, args.project_dir,
+                               radius_deg=tuple(args.radius))
+        elif args.cmd == "prepare":
+            from beat_tpu.inputf import load_obspy_traces
+
+            traces, stations = load_obspy_traces(args.datadir, args.inventory)
+            traces, stations = weed_stations(traces, stations,
+                                             args.event_time,
+                                             snr_min=args.snr_min)
+            print(f"prepared {len(traces)} stations; finish with "
+                  "prepare_local_traces once the GF table exists")
+    except ImportError as e:
         print(f"beat-tpu-down: {e}")
         return 1
     return 0

@@ -44,10 +44,27 @@ def _cmd_init(args):
 
 
 def register_import(sub):
-    p = sub.add_parser("import", help="import data into the project")
+    p = sub.add_parser(
+        "import", help="import data into the project (reference formats: "
+        "SAR matlab/CSV, kite, GLOBK GNSS, mseed via obspy, native npz)")
     p.add_argument("project_dir")
     p.add_argument("--geodetic_npz", default=None,
                    help="npz with <name>:coords/<name>:displacement/<name>:los arrays")
+    p.add_argument("--sar_csv", nargs="*", default=None,
+                   help="CSV scenes (east,north,displacement[,incidence,heading])")
+    p.add_argument("--sar_matlab", default=None,
+                   help="directory with quad_<scene>.mat/CovMatrix_<scene>.mat")
+    p.add_argument("--scenes", default=None,
+                   help="comma-separated scene names for --sar_matlab/--kite")
+    p.add_argument("--kite", nargs="*", default=None, help="kite scene files")
+    p.add_argument("--gnss_globk", default=None, help="GLOBK ascii file")
+    p.add_argument("--gnss_csv", default=None, help="GNSS CSV file")
+    p.add_argument("--blacklist", default="",
+                   help="comma-separated station names to drop")
+    p.add_argument("--seismic_mseed", default=None,
+                   help="directory of waveform files (requires obspy)")
+    p.add_argument("--inventory", default=None, help="StationXML for response "
+                   "removal + station coordinates (with --seismic_mseed)")
     p.add_argument("--mode", default="geometry")
     p.set_defaults(handler=_cmd_import)
 
@@ -58,6 +75,12 @@ def _cmd_import(args):
 
     import numpy as np
 
+    from beat_tpu import inputf
+    from beat_tpu.config import save_geodetic_datasets
+    from beat_tpu.covariance import Covariance
+
+    blacklist = tuple(b for b in args.blacklist.split(",") if b)
+    geodetic = []
     if args.geodetic_npz:
         # validate the file satisfies the dataset schema, then install it
         from beat_tpu.config import GeodeticConfig, load_geodetic_datasets
@@ -67,9 +90,46 @@ def _cmd_import(args):
         datasets = load_geodetic_datasets(args.project_dir, GeodeticConfig())
         print(f"Imported {len(datasets)} geodetic datasets "
               f"({sum(d.samples for d in datasets)} samples) -> {dst}")
-    else:
-        print("Nothing to import: pass --geodetic_npz (seismic import lands "
-              "with the waveform IO round)")
+        return 0
+
+    if args.sar_csv:
+        geodetic += [inputf.load_sar_csv(p) for p in args.sar_csv]
+    if args.sar_matlab:
+        names = (args.scenes or "").split(",")
+        if not any(names):
+            print("--sar_matlab needs --scenes name1,name2,...")
+            return 1
+        geodetic += inputf.load_sar_matlab(args.sar_matlab, names)
+    if args.kite:
+        geodetic += [inputf.load_kite_scene(p) for p in args.kite]
+    if args.gnss_globk:
+        geodetic += inputf.load_ascii_gnss_globk(
+            os.path.dirname(args.gnss_globk) or ".",
+            os.path.basename(args.gnss_globk), blacklist=blacklist)
+    if args.gnss_csv:
+        geodetic += inputf.load_gnss_csv(args.gnss_csv)
+
+    if geodetic:
+        for ds in geodetic:
+            if ds.odw is None:
+                ds.odw = np.ones(np.asarray(ds.displacement).size)
+            if ds.covariance is None:
+                sd = 0.05 * max(float(np.abs(ds.displacement).max()), 1e-9)
+                ds.covariance = Covariance(
+                    data=np.eye(np.asarray(ds.displacement).size) * sd**2)
+        path = save_geodetic_datasets(geodetic, args.project_dir)
+        print(f"Imported {len(geodetic)} geodetic datasets -> {path}")
+
+    if args.seismic_mseed:
+        traces, stations = inputf.load_obspy_traces(args.seismic_mseed,
+                                                    args.inventory)
+        print(f"Loaded {len(traces)} stations of waveforms; run "
+              "beat-tpu-down prepare (or prepare_local_traces) to grid them")
+
+    if not geodetic and not args.seismic_mseed:
+        print("Nothing to import: pass --geodetic_npz / --sar_csv / "
+              "--sar_matlab / --kite / --gnss_globk / --gnss_csv / "
+              "--seismic_mseed")
     return 0
 
 

@@ -88,22 +88,138 @@ def load_gnss_csv(path: str, components=("east", "north", "up")) -> list:
     return out
 
 
+def load_sar_matlab(datadir: str, names: list) -> list:
+    """
+    SAR data from the reference's matlab schema
+    (``load_SAR_data`` ``beat/inputf.py:61-106``): per scene ``k`` the
+    files ``quad_<k>.mat`` (fields ``cfoc`` (N, 2) UTM coords, ``sqval``
+    displacements, ``lvQT`` struct with ``inci``/``head``, ``ODW_sub``
+    overlap weights) and ``CovMatrix_<k>.mat`` (field ``Cov``).
+    """
+    import scipy.io
+
+    out = []
+    for k in names:
+        try:
+            data = scipy.io.loadmat(os.path.join(datadir, f"quad_{k}.mat"),
+                                    squeeze_me=True, struct_as_record=False)
+            covs = scipy.io.loadmat(os.path.join(datadir, f"CovMatrix_{k}.mat"),
+                                    squeeze_me=True, struct_as_record=False)
+        except FileNotFoundError:
+            logger.warning("Scene %s: matlab files missing in %s", k, datadir)
+            continue
+        coords = np.asarray(data["cfoc"], dtype=np.float64)[:, :2]
+        lv = data["lvQT"]
+        ds = diff_ifg(k, coords, np.asarray(data["sqval"], dtype=np.float64),
+                      incidence=float(np.atleast_1d(lv.inci)[0]),
+                      heading=float(np.atleast_1d(lv.head)[0]))
+        ds.odw = np.asarray(data["ODW_sub"], dtype=np.float64).ravel()
+        ds.covariance = Covariance(data=np.asarray(covs["Cov"], dtype=np.float64))
+        out.append(ds)
+    return out
+
+
+def load_ascii_gnss_globk(filedir: str, filename: str,
+                          components=("east", "north", "up"),
+                          blacklist=()) -> list:
+    """
+    GLOBK ascii GNSS import (reference ``load_ascii_gnss_globk`` +
+    ``load_and_blacklist_gnss`` ``beat/inputf.py:135-263``): 3 header
+    rows, 12 float columns + station name in column 13; velocities in
+    mm/yr (converted to m); component columns (value, sigma):
+    east (2, 6), north (3, 7), up (9, 11); lon/lat in columns 0/1.
+
+    Returns one compound :class:`GeodeticDataset` per component with
+    diagonal sigma covariances, blacklisted stations removed.
+    """
+    path = os.path.join(filedir, filename)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No GLOBK file at {path}")
+    names = np.loadtxt(path, skiprows=3, usecols=[12], dtype=str, ndmin=1)
+    d = np.loadtxt(path, skiprows=3, usecols=range(12), dtype=float, ndmin=2)
+    if names.size != d.shape[0]:
+        raise ValueError("Number of stations and data rows differ")
+    keep = np.asarray([n not in set(blacklist) for n in names])
+    names, d = names[keep], d[keep]
+
+    comp_cols = {"east": (2, 6), "north": (3, 7), "up": (9, 11)}
+    mm = 1e-3
+    lons, lats = d[:, 0], d[:, 1]
+    coords = np.zeros((names.size, 2))
+    out = []
+    for comp in components:
+        vi, si = comp_cols[comp]
+        ds = gnss_compound(f"gnss_{comp}", coords, d[:, vi] * mm, comp)
+        ds.lats, ds.lons = lats, lons
+        ds.station_names = list(names)
+        ds.covariance = Covariance(
+            data=np.diag(np.maximum(d[:, si] * mm, 1e-6) ** 2))
+        out.append(ds)
+    logger.info("Loaded %i GNSS stations (%s)", names.size, filename)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Seismic
 # ---------------------------------------------------------------------------
 
 
-def load_obspy_traces(datadir: str, stations_path: str | None = None):
-    """Waveform import via obspy (reference ``load_obspy_data``
-    ``beat/inputf.py:278``; gated)."""
+def load_obspy_traces(datadir: str, inventory_path: str | None = None,
+                      channels=("Z", "N", "E"), water_level: float = 60.0):
+    """
+    Waveform import via obspy (reference ``load_obspy_data``
+    ``beat/inputf.py:278-399``; gated on the obspy package): reads every
+    file obspy recognises under ``datadir`` (mseed/SAC/…), merges
+    segments, removes the instrument response to displacement when an
+    inventory (StationXML) is given, and returns the
+    ``prepare_local_traces`` input structures:
+
+    ``traces``: dict station -> {channel: (tmin_epoch, dt, ydata)};
+    ``stations``: dict station -> (lon, lat) (convert to local meters
+    with :func:`beat_tpu.heart.geodesy` helpers before preparation).
+    """
     try:
-        import obspy  # noqa: F401
+        import obspy
     except ImportError as e:
         raise ImportError(
             "obspy is required for mseed import; use save/load of the native "
             "seismic npz format instead") from e
-    raise NotImplementedError(
-        "obspy-backed waveform import lands with the data-download round")
+
+    stream = obspy.Stream()
+    for fn in sorted(os.listdir(datadir)):
+        fp = os.path.join(datadir, fn)
+        if not os.path.isfile(fp):
+            continue
+        try:
+            stream += obspy.read(fp)
+        except Exception:
+            logger.debug("Skipping non-waveform file %s", fn)
+    stream.merge(method=1, fill_value="interpolate")
+
+    inventory = None
+    if inventory_path is not None:
+        inventory = obspy.read_inventory(inventory_path)
+        stream.remove_response(inventory=inventory, output="DISP",
+                               water_level=water_level)
+
+    traces = {}
+    stations = {}
+    for tr in stream:
+        comp = tr.stats.channel[-1].upper()
+        if comp not in channels:
+            continue
+        sta = tr.stats.station
+        traces.setdefault(sta, {})[comp] = (
+            float(tr.stats.starttime.timestamp), float(tr.stats.delta),
+            np.asarray(tr.data, dtype=np.float64))
+        if inventory is not None and sta not in stations:
+            try:
+                coords = inventory.get_coordinates(tr.id, tr.stats.starttime)
+                stations[sta] = (coords["longitude"], coords["latitude"])
+            except Exception:
+                pass
+    logger.info("Loaded %i stations from %s", len(traces), datadir)
+    return traces, stations
 
 
 def save_seismic_datasets(datasets, project_dir: str, datadir: str = "./") -> str:

@@ -58,3 +58,150 @@ def test_seismic_round_trip(tmp_path):
     a = next(d for d in back if d.station == "STA")
     np.testing.assert_allclose(a.ydata, ds[0].ydata)
     assert a.east == 1e3 and a.north == -2e3
+
+
+class TestSarMatlab:
+    def test_reference_mat_schema(self, tmp_path):
+        """quad_<k>.mat + CovMatrix_<k>.mat with the reference's field
+        names (``load_SAR_data`` beat/inputf.py:61-106)."""
+        import scipy.io
+
+        from beat_tpu.inputf import load_sar_matlab
+
+        n = 12
+        rng = np.random.default_rng(0)
+        cfoc = np.column_stack([np.linspace(0, 5e3, n), np.linspace(0, 8e3, n)])
+        scipy.io.savemat(tmp_path / "quad_asc.mat", {
+            "cfoc": cfoc, "sqval": rng.normal(0, 0.01, n),
+            "lvQT": {"inci": 34.0, "head": -166.0},
+            "ODW_sub": np.ones(n)})
+        scipy.io.savemat(tmp_path / "CovMatrix_asc.mat",
+                         {"Cov": np.eye(n) * 1e-6})
+        out = load_sar_matlab(str(tmp_path), ["asc", "missing"])
+        assert len(out) == 1
+        ds = out[0]
+        assert ds.name == "asc" and ds.typ == "SAR"
+        assert ds.coords.shape == (n, 2)
+        assert ds.covariance.data.shape == (n, n)
+        np.testing.assert_allclose(np.linalg.norm(ds.los_vector, axis=1), 1.0,
+                                   rtol=1e-6)
+
+
+class TestGlobk:
+    def test_globk_parse_units_blacklist(self, tmp_path):
+        from beat_tpu.inputf import load_ascii_gnss_globk
+
+        header = "h1\nh2\nh3\n"
+        # lon lat vE vN dE dN sE sN corr vU dU sU name
+        rows = [
+            "30.1 40.2 12.0 -3.0 0 0 1.0 1.2 0 5.0 0 2.0 AAAA",
+            "31.5 41.0 -6.0  8.0 0 0 0.8 0.9 0 -2.0 0 1.5 BBBB",
+            "32.2 39.5  4.0  1.0 0 0 0.5 0.6 0 1.0 0 1.0 CCCC",
+        ]
+        p = tmp_path / "gps.txt"
+        p.write_text(header + "\n".join(rows) + "\n")
+        out = load_ascii_gnss_globk(str(tmp_path), "gps.txt",
+                                    blacklist=("BBBB",))
+        assert len(out) == 3
+        east = next(d for d in out if d.name == "gnss_east")
+        assert east.displacement.size == 2  # BBBB removed
+        np.testing.assert_allclose(east.displacement, [12e-3, 4e-3])
+        up = next(d for d in out if d.name == "gnss_up")
+        np.testing.assert_allclose(up.displacement, [5e-3, 1e-3])
+        # sigma -> diagonal covariance in meters
+        np.testing.assert_allclose(np.diag(east.covariance.data),
+                                   [1.0e-3**2, 0.5e-3**2])
+        assert east.station_names == ["AAAA", "CCCC"]
+
+
+class TestBeatdownHelpers:
+    def test_weed_stations_snr_and_blacklist(self):
+        from beat_tpu.apps.beatdown import weed_stations
+
+        rng = np.random.default_rng(1)
+        dt = 0.5
+        n = 400
+        t0 = 1000.0
+        event_time = t0 + 80.0
+
+        def trace(amp):
+            y = rng.normal(0, 1.0, n)
+            y[200:260] += amp * np.hanning(60)
+            return (t0, dt, y)
+
+        traces = {"GOOD": {"Z": trace(30.0)},
+                  "WEAK": {"Z": trace(0.5)},
+                  "BAD": {"Z": trace(50.0)}}
+        stations = {k: (0.0, 0.0) for k in traces}
+        kept, kept_st = weed_stations(traces, stations, event_time,
+                                      snr_min=5.0, blacklist=("BAD",))
+        assert set(kept) == {"GOOD"}
+        assert set(kept_st) == {"GOOD"}
+
+    def test_bandpass_and_decimate(self):
+        from beat_tpu.apps.beatdown import bandpass_and_decimate
+
+        dt, target_dt = 0.05, 0.25
+        t = np.arange(0, 120, dt)
+        sig = np.sin(2 * np.pi * 0.1 * t) + 0.5 * np.sin(2 * np.pi * 8.0 * t)
+        out = bandpass_and_decimate(sig, dt, target_dt, lower=0.02)
+        assert abs(len(out) - len(t) * dt / target_dt) <= 2
+        # the 8 Hz component (above the new Nyquist) must be gone;
+        # the 0.1 Hz component survives
+        tt = np.arange(len(out)) * target_dt
+        corr_low = np.abs(np.dot(out, np.sin(2 * np.pi * 0.1 * tt))) / len(out)
+        assert corr_low > 0.2
+        assert np.abs(out).max() < 1.5  # no ringing blowup
+
+    def test_obspy_paths_gated(self):
+        import pytest
+
+        from beat_tpu.apps.beatdown import download_waveforms, get_events
+        from beat_tpu.inputf import load_obspy_traces
+
+        try:
+            import obspy  # noqa: F401
+
+            pytest.skip("obspy present — network paths exercised elsewhere")
+        except ImportError:
+            pass
+        with pytest.raises(ImportError, match="obspy"):
+            get_events(("2020-01-01", "2020-02-01"))
+        with pytest.raises(ImportError, match="obspy"):
+            download_waveforms({"time": 0.0, "lat": 0.0, "lon": 0.0}, ".")
+        with pytest.raises(ImportError, match="obspy"):
+            load_obspy_traces(".")
+
+
+class TestImportCLI:
+    def test_import_globk_and_matlab(self, tmp_path):
+        import scipy.io
+
+        from beat_tpu.apps.cli import main
+        from beat_tpu.config import GeodeticConfig, load_geodetic_datasets
+
+        proj = tmp_path / "proj"
+        proj.mkdir()
+        # GLOBK fixture
+        globk = tmp_path / "gps.txt"
+        globk.write_text("h\nh\nh\n"
+                         "30.1 40.2 12.0 -3.0 0 0 1.0 1.2 0 5.0 0 2.0 AAAA\n"
+                         "31.5 41.0 -6.0 8.0 0 0 0.8 0.9 0 -2.0 0 1.5 BBBB\n")
+        # matlab fixture
+        n = 9
+        rng = np.random.default_rng(2)
+        scipy.io.savemat(tmp_path / "quad_asc.mat", {
+            "cfoc": rng.uniform(0, 5e3, (n, 2)), "sqval": rng.normal(0, 0.01, n),
+            "lvQT": {"inci": 34.0, "head": -166.0}, "ODW_sub": np.ones(n)})
+        scipy.io.savemat(tmp_path / "CovMatrix_asc.mat", {"Cov": np.eye(n) * 1e-6})
+
+        rc = main(["import", str(proj),
+                   "--gnss_globk", str(globk),
+                   "--sar_matlab", str(tmp_path), "--scenes", "asc",
+                   "--blacklist", "BBBB"])
+        assert rc == 0
+        datasets = load_geodetic_datasets(str(proj), GeodeticConfig())
+        names = sorted(d.name for d in datasets)
+        assert names == ["asc", "gnss_east", "gnss_north", "gnss_up"]
+        gnss = next(d for d in datasets if d.name == "gnss_east")
+        assert gnss.displacement.size == 1  # BBBB blacklisted
