@@ -65,6 +65,14 @@ def register_import(sub):
                    help="directory of waveform files (requires obspy)")
     p.add_argument("--inventory", default=None, help="StationXML for response "
                    "removal + station coordinates (with --seismic_mseed)")
+    p.add_argument("--results", action="store_true",
+                   help="import a previous run's posterior as priors: HDI "
+                   "bounds + posterior-mean test values for every matching "
+                   "variable (sources, hypers, hierarchicals, ffi slips)")
+    p.add_argument("--import_from_mode", default="geometry",
+                   help="mode whose posterior to import (with --results)")
+    p.add_argument("--hdi_alpha", type=float, default=0.06,
+                   help="1 - HDI mass used for the new bounds")
     p.add_argument("--mode", default="geometry")
     p.set_defaults(handler=_cmd_import)
 
@@ -78,6 +86,17 @@ def _cmd_import(args):
     from beat_tpu import inputf
     from beat_tpu.config import save_geodetic_datasets
     from beat_tpu.covariance import Covariance
+
+    if args.results:
+        from beat_tpu.config import import_results_as_priors
+
+        updated = import_results_as_priors(
+            args.project_dir, args.mode, args.import_from_mode,
+            alpha=args.hdi_alpha)
+        print(f"Imported {args.import_from_mode} posterior into "
+              f"config_{args.mode}: narrowed priors for "
+              f"{', '.join(updated) or 'no matching variables'}")
+        return 0
 
     blacklist = tuple(b for b in args.blacklist.split(",") if b)
     geodetic = []
@@ -356,6 +375,10 @@ def register_update(sub):
     p = sub.add_parser("update", help="migrate/refresh a project config")
     p.add_argument("project_dir")
     p.add_argument("--mode", default="geometry")
+    p.add_argument("--parameters", default="",
+                   help="'hypers' refreshes the config hyperparameter "
+                   "section from the current problem (reference "
+                   "`beat update --parameters hypers`)")
     p.set_defaults(handler=_cmd_update)
 
 
@@ -364,6 +387,16 @@ def _cmd_update(args):
 
     diff = upgrade_config_file(args.project_dir, args.mode, apply=True)
     print(diff if diff else "Config already at the current schema")
+    if "hypers" in args.parameters:
+        from beat_tpu.config import (dump_config, load_config,
+                                     problem_from_config,
+                                     update_hypers_in_config)
+
+        config = load_config(args.project_dir, args.mode)
+        problem = problem_from_config(config, args.project_dir)
+        added = update_hypers_in_config(config, problem)
+        dump_config(config, args.project_dir)
+        print(f"Hyperparameter section: added {added or 'nothing new'}")
     return 0
 
 

@@ -201,6 +201,11 @@ class ProblemConfig:
     stf_type: str = "HalfSinusoid"
     decimation_factors: dict = field(default_factory=dict)
     priors: dict = field(default_factory=dict)   # name -> Parameter dict
+    #: hyperparameter (and hierarchical) prior overrides, persisted like
+    #: the reference's config ``hyperparameters`` section
+    #: (``beat/config.py`` ProblemConfig.hyperparameters); filled/refreshed
+    #: by ``update_hypers_in_config`` (reference ``beat update``)
+    hyperparameters: dict = field(default_factory=dict)
 
     #: config-layer units follow the reference (km, km/s for these vars;
     #: ``beat/defaults.py`` registry); the device layer is SI.
@@ -463,6 +468,90 @@ def load_polarity_targets(project_dir: str, datadir: str = "./",
             for i in range(len(stations))]
 
 
+def import_results_as_priors(project_dir: str, mode: str, from_mode: str,
+                             alpha: float = 0.06) -> list:
+    """
+    Import a previous run's posterior as the priors of ``mode``'s config
+    (reference ``beat import --results --import_from_mode``
+    ``apps/beat.py:543-770``): for every sampled variable present in
+    both the source run's summary and the target config, the prior
+    bounds narrow to the posterior HDI (clipped to the registry's
+    physical bounds) and the test value moves to the posterior mean.
+    Covers source parameters, hyperparameters, hierarchicals (station
+    time shifts / corrections) and ffi→ffi slip vectors alike.
+
+    Returns the list of updated variable names and rewrites the target
+    config file.
+    """
+    from beat_tpu import defaults
+    from beat_tpu.backend import extract_bounds_from_summary
+    from beat_tpu.models.problem import load_model
+
+    src_problem = load_model(project_dir, from_mode, build=True)
+    summary = src_problem.summarize(-1)
+
+    config = load_config(project_dir, mode)
+    pc = config.problem_config
+    # make sure the hyper/hierarchical section exists so those import too
+    try:
+        update_hypers_in_config(config, problem_from_config(config, project_dir))
+    except Exception as e:  # data for the target mode may not exist yet
+        logger.debug("Hyper refresh skipped: %s", e)
+
+    updated = []
+    for prior_dict in (pc.priors, pc.hyperparameters):
+        for name, d in list(prior_dict.items()):
+            p = Parameter.from_dict(d if isinstance(d, dict) else d)
+            shape = () if p.dimension == 1 else (p.dimension,)
+            try:
+                lo, hi = extract_bounds_from_summary(summary, name, shape=shape,
+                                                     alpha=alpha)
+                means = [summary[name if not shape else f"{name}[{k}]"]["mean"]
+                         for k in range(p.dimension)]
+            except KeyError:
+                continue
+            # trace/summary is SI; config layer uses reference units (km)
+            scale = 1e-3 if name in pc.KM_SCALED_VARS else 1.0
+            lo, hi = np.atleast_1d(lo) * scale, np.atleast_1d(hi) * scale
+            mean = np.asarray(means) * scale
+            phys_lo, phys_hi = defaults.physical_bounds(name)
+            p.lower = np.maximum(lo, phys_lo)
+            p.upper = np.minimum(np.maximum(hi, p.lower + 1e-9), phys_hi)
+            p.testvalue = np.clip(mean, p.lower, p.upper)
+            prior_dict[name] = p.to_dict()
+            updated.append(name)
+    dump_config(config, project_dir)
+    logger.info("Imported %s posterior into %s priors: %s",
+                from_mode, mode, ", ".join(updated) or "(nothing matched)")
+    return updated
+
+
+def update_hypers_in_config(config: "BEATconfig", problem) -> list:
+    """Fill/refresh the config's ``hyperparameters`` section with the
+    problem's current hyper + hierarchical parameter names (reference
+    ``beat update --parameters hypers``).  Existing entries are kept."""
+    pc = config.problem_config
+    added = []
+    for comp in problem.composites.values():
+        for p in comp.get_hyper_parameters() + comp.get_hierarchical_parameters():
+            if p.name not in pc.hyperparameters:
+                pc.hyperparameters[p.name] = p.to_dict()
+                added.append(p.name)
+    return added
+
+
+def apply_hyper_overrides(problem, pc: ProblemConfig) -> None:
+    """Apply the config's persisted hyper/hierarchical bounds onto the
+    freshly-built problem's prior set."""
+    for name, d in pc.hyperparameters.items():
+        if name in problem.priors:
+            p = Parameter.from_dict(d if isinstance(d, dict) else d)
+            tgt = problem.priors[name]
+            tgt.lower = np.asarray(p.lower, dtype=float)
+            tgt.upper = np.asarray(p.upper, dtype=float)
+            tgt.testvalue = np.asarray(p.testvalue, dtype=float)
+
+
 def load_velocity_model(project_dir: str):
     """The project's 1-D model: ``velocity_model.npz`` (native) or
     ``velocity_model.nd`` (cake/TauP format), else the default crust
@@ -594,9 +683,11 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
     outfolder = os.path.join(project_dir, pc.mode)
     hyper_params = (config.hyper_sampler_config.get_params()
                     if config.hyper_sampler_config is not None else None)
-    return Problem(priors, composites, outfolder=outfolder,
-                   sampler_params=config.sampler_config.get_params(),
-                   hyper_sampler_params=hyper_params)
+    problem = Problem(priors, composites, outfolder=outfolder,
+                      sampler_params=config.sampler_config.get_params(),
+                      hyper_sampler_params=hyper_params)
+    apply_hyper_overrides(problem, pc)
+    return problem
 
 
 def ffi_seismic_grid_bounds(config: BEATconfig, fault):
@@ -730,9 +821,11 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
     outfolder = os.path.join(project_dir, pc.mode)
     hyper_params = (config.hyper_sampler_config.get_params()
                     if config.hyper_sampler_config is not None else None)
-    return Problem(priors, composites, outfolder=outfolder,
-                   sampler_params=config.sampler_config.get_params(),
-                   hyper_sampler_params=hyper_params)
+    problem = Problem(priors, composites, outfolder=outfolder,
+                      sampler_params=config.sampler_config.get_params(),
+                      hyper_sampler_params=hyper_params)
+    apply_hyper_overrides(problem, pc)
+    return problem
 
 
 def _build_corrections(gc: GeodeticConfig, datasets):

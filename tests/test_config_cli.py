@@ -422,3 +422,29 @@ class TestCLILifecycle:
         assert run_cli("clone", pdir, clone_dir) == 0
         assert os.path.exists(os.path.join(clone_dir, "config_geometry.yaml"))
         assert os.path.exists(os.path.join(clone_dir, "geodetic_data.npz"))
+
+        # results -> priors import (reference `beat import --results`,
+        # apps/beat.py:543-770): bounds narrow to the posterior HDI
+        import json
+
+        before = load_config(pdir)
+        b_lo = float(before.problem_config.priors["east_shift"]["lower"][0])
+        b_hi = float(before.problem_config.priors["east_shift"]["upper"][0])
+        assert run_cli("import", pdir, "--results",
+                       "--import_from_mode", "geometry") == 0
+        with open(os.path.join(pdir, "geometry", "summary.txt")) as f:
+            summary = json.load(f)
+        rec = summary["east_shift"]
+        hdi_lo = min(v for k, v in rec.items() if k.startswith("hdi_"))
+        hdi_hi = max(v for k, v in rec.items() if k.startswith("hdi_"))
+        after = load_config(pdir)
+        a = after.problem_config.priors["east_shift"]
+        a_lo, a_hi = float(a["lower"][0]), float(a["upper"][0])
+        # new bounds == posterior HDI (km, floor/ceil rounding), inside old
+        assert abs(a_lo - hdi_lo * 1e-3) < 0.02 and a_lo >= b_lo - 1e-9
+        assert abs(a_hi - hdi_hi * 1e-3) < 0.02 and a_hi <= b_hi + 1e-9
+        assert a_lo <= float(a["testvalue"][0]) <= a_hi
+        # hyperparameter priors imported into the hyperparameters section
+        hp = after.problem_config.hyperparameters
+        assert "h_SAR" in hp
+        assert float(hp["h_SAR"]["upper"][0]) - float(hp["h_SAR"]["lower"][0]) < 8.0
