@@ -177,6 +177,7 @@ class SeismicGFLibrary:
     starttime_sampling: float
     component: str = "uparr"
     reference_times: np.ndarray | None = None  # (ntargets,) trace start wrt event
+    data_tr: jnp.ndarray | None = None  # (T, P, N, D·S_pad) Pallas stacking layout
 
     @property
     def ntargets(self):
@@ -215,6 +216,22 @@ class SeismicGFLibrary:
         ceil = jnp.clip(jnp.ceil(s), 1, self.nstarttimes - 1).astype(jnp.int32)
         factors = ceil - s
         return ceil, factors
+
+    def with_stacking_layout(self) -> "SeismicGFLibrary":
+        """Return a copy carrying the Pallas stacking layout
+        ``data_tr`` (lane-gatherable (T, P, N, D·S_pad) transpose; see
+        :mod:`beat_tpu.ops.gfstack`).  Computed once, eagerly."""
+        if self.data_tr is not None:
+            return self
+        from beat_tpu.ops.gfstack import to_stacking_layout
+
+        return SeismicGFLibrary(
+            data=self.data, duration_min=self.duration_min,
+            duration_sampling=self.duration_sampling,
+            starttime_min=self.starttime_min,
+            starttime_sampling=self.starttime_sampling,
+            component=self.component, reference_times=self.reference_times,
+            data_tr=to_stacking_layout(self.data))
 
     def idxs2durations(self, idxs):
         return idxs * self.duration_sampling + self.duration_min
@@ -291,13 +308,13 @@ class SeismicGFLibrary:
 
 
 def _seislib_flatten(lib: "SeismicGFLibrary"):
-    """Pytree: the 5-D array is a child (jit argument, shardable over the
-    mesh); grid metadata static."""
+    """Pytree: the 5-D array and the stacking layout are children (jit
+    arguments, shardable over the mesh); grid metadata static."""
     rt = (None if lib.reference_times is None
           else tuple(map(float, np.asarray(lib.reference_times).ravel())))
     aux = (lib.duration_min, lib.duration_sampling, lib.starttime_min,
            lib.starttime_sampling, lib.component, rt)
-    return (lib.data,), aux
+    return (lib.data, lib.data_tr), aux
 
 
 def _seislib_unflatten(aux, children) -> "SeismicGFLibrary":
@@ -305,7 +322,8 @@ def _seislib_unflatten(aux, children) -> "SeismicGFLibrary":
     return SeismicGFLibrary(
         data=children[0], duration_min=dmin, duration_sampling=dsamp,
         starttime_min=smin, starttime_sampling=ssamp, component=component,
-        reference_times=None if rt is None else np.asarray(rt))
+        reference_times=None if rt is None else np.asarray(rt),
+        data_tr=children[1])
 
 
 jax.tree_util.register_pytree_node(SeismicGFLibrary, _seislib_flatten,

@@ -155,12 +155,16 @@ class SeismicDistributerComposite(Composite):
         self.interpolation = interpolation
         self.hp_specific = hp_specific
         self.use_pallas = use_pallas
+        from beat_tpu.ops.gfstack import want_pallas
+
+        stacking_layout = want_pallas(use_pallas)
         self._device = []
         for wmap, libs in self.wavemaps_libs:
             if wmap.datasets[0].covariance is None:
                 wmap.analyse_noise()
             self._device.append({
-                "libs": dict(libs),
+                "libs": {c: (lib.with_stacking_layout() if stacking_layout
+                             else lib) for c, lib in libs.items()},
                 "data": jnp.asarray(wmap.data_windows),
                 "weights": jnp.stack([
                     jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)

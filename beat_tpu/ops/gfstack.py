@@ -4,36 +4,47 @@ of kinematic FFI (reference ``SeismicGFLibrary.stack_all``
 ``beat/ffi/base.py:607``: pytensor ``batched_dot`` over a 5-D fancy
 gather).
 
-Computes, for the 5-D library ``data[target, patch, duration, start, t]``:
+Computes, for the library ``data[target, patch, duration, start, t]``
+and a lockstep batch of ``C`` chains:
 
-    out[target, t] = Σ_p data[target, p, didx[p], sidx[target, p], t] · slips[p]
+    out[c, target, t] = Σ_p Σ_corner w_corner ·
+        data[target, p, didx[c,p]±, sidx[c,target,p]±, t] · slips[c, p]
 
-Design: one grid step per target; the (duration, starttime) cell of each
-patch is DMA'd HBM→VMEM in blocks of 8 patches (sublane-aligned, loop
-unrolled so scratch indices are static for Mosaic) with double
-buffering, using scalar-prefetched indices
-(``PrefetchScalarGridSpec``); the weighted accumulation runs on the VPU
-while the next block is in flight, and the finished row is DMA'd back to
-the HBM output (dynamic row stores into VMEM blocks are not
-sublane-provable).  This avoids materialising the gathered
-(ntargets, npatches, nsamples) intermediate of the XLA gather path.
+TPU-first design (measured on v5e: the XLA gather materialises a
+(C, ntargets, npatches, nsamples) intermediate and runs at ~15 % of HBM
+peak — 4.7 ms at C=2000, T=8, P=12, N=256; 36 ms at Laquila-ish scale):
 
-The XLA fallback (:meth:`SeismicGFLibrary.stack_all`) remains the
-reference implementation; ``stack_all_pallas`` must match it exactly
-(tested in interpret mode on CPU).
+* the library is pre-transposed ONCE to the *stacking layout*
+  ``(T, P, N, D·S_pad)`` so each (duration, starttime) grid cell of a
+  patch is a **lane column**;
+* the kernel grid is ``(T, P₈/PATCH_BLOCK)`` — the library streams
+  HBM→VMEM exactly once per lockstep evaluation (speed-of-light
+  traffic), while the accumulators for ALL chains stay resident in
+  VMEM;
+* the per-chain (d, s) cell selection runs on the **MXU as one-hot
+  matmuls**: per 128-lane slab q and 128-chain block,
+  ``W[k, c] = Σ_corner (k == flat_corner[c] − q·128) · weight_corner[c]``
+  and the contribution is ``cell_slab @ W`` — all interpolation corners
+  fold into the same W, so multilinear costs the same matmuls as
+  nearest-neighbour.  (Alternatives measured on v5e and rejected:
+  per-row DMAs are descriptor-issue bound; the VPU lane
+  ``dynamic_gather`` is vreg-issue bound at ~26 µs/grid-step; the
+  gathered (C, T, P, N) HBM intermediate of the XLA path is the thing
+  we are deleting.)
 
-Deployment note: the current Mosaic compiler rejects single-row HBM
-slices along the tiled starttime axis ("slice shape along dimension 3
-must be aligned to tiling (8)"), so native TPU compilation of this
-kernel needs either an (ndur·nstart)-padded row layout or a newer
-Mosaic.  Until then the kernel is opt-in (``BEAT_TPU_USE_PALLAS=1``) and
-the default path is the XLA gather+einsum, whose gathered intermediate
-is small at FFI scales (tens of MB) and HBM-bandwidth bound either way.
+Batching: the public op is a :func:`jax.custom_batching.custom_vmap`,
+so a per-chain ``logp`` that calls it scalar-wise dispatches to the
+single fused all-chain kernel when the sampler vmaps over chains.
+
+The XLA gather (:meth:`SeismicGFLibrary.stack_all`) remains the
+reference implementation and the fallback off-TPU; the kernel must
+match it exactly (tested in interpret mode on CPU and natively on TPU).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,124 +52,305 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PATCH_BLOCK = 8  # sublane-aligned DMA block
+LANE = 128
 
 
-def _stack_kernel(didx_ref, sidx_ref, slips_ref, data_hbm, out_hbm,
-                  scratch, acc, sems, out_sem, *, npatches, nsamples, nblocks):
-    # didx/sidx/slips are scalar-prefetch (SMEM): arbitrary dynamic
-    # indexing is legal there, unlike VMEM lanes
-    t = pl.program_id(0)
-
-    def patch_dma(slot, j, block):
-        p = block * PATCH_BLOCK + j
-        p_safe = jnp.minimum(p, npatches - 1)
-        d = didx_ref[p_safe]
-        s = sidx_ref[t * npatches + p_safe]
-        return pltpu.make_async_copy(
-            data_hbm.at[t, p_safe, d, s],
-            scratch.at[slot, j],      # j static (unrolled) → provable offset
-            sems.at[slot, j],
-        )
-
-    def start_block(slot, block):
-        for j in range(PATCH_BLOCK):  # unrolled: static scratch indices
-            patch_dma(slot, j, block).start()
-
-    def wait_block(slot, block):
-        for j in range(PATCH_BLOCK):
-            patch_dma(slot, j, block).wait()
-
-    acc[...] = jnp.zeros((1, nsamples), dtype=acc.dtype)
-    start_block(0, 0)
-
-    def body(block, _):
-        slot = block % 2
-
-        @pl.when(block + 1 < nblocks)
-        def _():
-            start_block((block + 1) % 2, block + 1)
-
-        wait_block(slot, block)
-
-        # mask rows beyond npatches (they hold the clamped duplicate row);
-        # weights gathered elementwise from SMEM (unrolled, static shape)
-        base = block * PATCH_BLOCK
-        w = jnp.stack([jnp.where(base + j < npatches,
-                                 slips_ref[jnp.minimum(base + j, npatches - 1)],
-                                 0.0)
-                       for j in range(PATCH_BLOCK)])
-        acc[...] += jnp.sum(scratch[slot] * w[:, None], axis=0, keepdims=True)
-        return 0
-
-    jax.lax.fori_loop(0, nblocks, body, 0)
-
-    # ship the finished row to HBM (dynamic-row VMEM stores are not
-    # sublane-provable; HBM DMA offsets may be dynamic)
-    out_cp = pltpu.make_async_copy(acc.at[0], out_hbm.at[t], out_sem)
-    out_cp.start()
-    out_cp.wait()
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def stack_all_pallas(data, didx, sidx, slips, interpret: bool = False):
+PATCH_BLOCK = 8  # max patches per grid step (amortises per-step overhead)
+
+
+def to_stacking_layout(data5):
+    """(T, P, D, S, N) → (T, P₈, N, D·S padded to a lane multiple), with
+    the patch axis zero-padded to a PATCH_BLOCK multiple."""
+    T, P, D, S, N = data5.shape
+    ds = D * S
+    dsp = _ceil_to(ds, LANE)
+    pp = _ceil_to(P, PATCH_BLOCK)
+    a = jnp.transpose(jnp.reshape(jnp.asarray(data5, jnp.float32),
+                                  (T, P, ds, N)), (0, 1, 3, 2))
+    return jnp.pad(a, ((0, 0), (0, pp - P), (0, 0), (0, dsp - ds)))
+
+
+def _fits_vmem(N: int, DSP: int, Cp: int = 2048) -> bool:
+    """Conservative VMEM guard (~16 MB/core on v5e): out block (N, Cp)
+    + double-buffered cell (N, DSP) + gather temporaries, worst-case
+    lockstep batch Cp=2048."""
+    need = 4 * (N * Cp * 2 + 2 * N * DSP + 4 * N * LANE)
+    return need < 12 * 1024 * 1024
+
+
+def _onehot_mm(cell, corners, nslabs):
+    """Weighted cell-column selection as MXU one-hot matmuls.
+
+    The per-chain (duration, starttime) gather runs on the MXU: within a
+    128-lane slab q, ``W[k, c] = Σ_corner (k == flat_corner[c] − q·128) ·
+    weight_corner[c]`` and the contribution is ``cell_slab @ W``.  All
+    interpolation corners fold into the same W, so multilinear costs one
+    matmul per slab just like nearest-neighbour.  (Measured on v5e: the
+    VPU ``dynamic_gather`` variant is ~26 µs/grid-step — vreg-issue
+    bound — while one (N,128)×(128,128) matmul is ~0.1 µs of MXU time.)
+
+    cell : (N, nslabs·128) f32 — one (target, patch) grid cell
+    corners : iterable of (flat (128, 1) i32, weight (128, 1) f32) —
+        chains sublane-oriented so the one-hot build broadcasts along
+        lanes (Mosaic rejects sublane broadcasts of lane vectors)
+    returns (N, 128) f32
     """
-    Nearest-neighbour kinematic stack via the fused Pallas kernel.
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    acc = None
+    for q in range(nslabs):
+        Wt = None                               # (chain, k) one-hot
+        for flat, weight in corners:
+            Wc = jnp.where(k_iota == flat - q * LANE, weight, 0.0)
+            Wt = Wc if Wt is None else Wt + Wc
+        part = jnp.dot(cell[:, q * LANE:(q + 1) * LANE], Wt.T,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        acc = part if acc is None else acc + part
+    return acc
 
-    data : (ntargets, npatches, ndur, nstart, nsamples) float32 (HBM)
-    didx : (npatches,) int32 duration indexes
-    sidx : (ntargets, npatches) int32 starttime indexes
-    slips : (npatches,) float32
 
-    Returns (ntargets, nsamples) float32.
+def _nearest_kernel(didx_ref, sidx_ref, slips_ref, cell_ref, out_ref,
+                    *, S, nslabs, nCB, PB):
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    N = out_ref.shape[1]
+    for cb in range(nCB):
+        sl = slice(cb * LANE, (cb + 1) * LANE)
+
+        def body(j, acc, sl=sl):
+            cell = cell_ref[0, j]                     # (N, DSP)
+            flat = didx_ref[j] * S + sidx_ref[0, j]   # (Cp, 1) sublanes
+            w = slips_ref[j]
+            return acc + _onehot_mm(cell, ((flat[sl], w[sl]),), nslabs)
+
+        out_ref[0, :, sl] += jax.lax.fori_loop(
+            0, PB, body, jnp.zeros((N, LANE), jnp.float32))
+
+
+def _multilinear_kernel(didx_ref, rtf_ref, sidx_ref, stf_ref, slips_ref,
+                        cell_ref, out_ref, *, S, nslabs, nCB, PB):
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    N = out_ref.shape[1]
+    for cb in range(nCB):
+        sl = slice(cb * LANE, (cb + 1) * LANE)
+
+        def body(j, acc, sl=sl):
+            cell = cell_ref[0, j]
+            d = didx_ref[j]                   # ceil duration idx (Cp, 1)
+            s = sidx_ref[0, j]                # ceil starttime idx
+            rf = rtf_ref[j]                   # floor-duration weight
+            sf = stf_ref[0, j]                # floor-starttime weight
+            w = slips_ref[j]
+            # corner (dur_floor/ceil, start_floor/ceil) weights —
+            # reference ffi/base.py:680-698
+            corners = (((d - 1) * S + (s - 1), w * rf * sf),
+                       ((d - 1) * S + s, w * rf * (1.0 - sf)),
+                       (d * S + (s - 1), w * (1.0 - rf) * sf),
+                       (d * S + s, w * (1.0 - rf) * (1.0 - sf)))
+            return acc + _onehot_mm(
+                cell, [(f[sl], cw[sl]) for f, cw in corners], nslabs)
+
+        out_ref[0, :, sl] += jax.lax.fori_loop(
+            0, PB, body, jnp.zeros((N, LANE), jnp.float32))
+
+
+def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
+                         interpret: bool = False):
     """
-    ntargets, npatches, ndur, nstart, nsamples = data.shape
-    npatches_pad = ((npatches + PATCH_BLOCK - 1) // PATCH_BLOCK) * PATCH_BLOCK
-    nblocks = npatches_pad // PATCH_BLOCK
+    Fused all-chain kinematic stack.
 
-    kernel = functools.partial(_stack_kernel, npatches=npatches,
-                               nsamples=nsamples, nblocks=nblocks)
+    data_tr : (T, P, N, DSP) stacking layout (:func:`to_stacking_layout`)
+    S : nstarttimes (static)
+    didx : (C, P) i32 — duration indices (ceil for multilinear)
+    sidx : (C, T, P) i32 — starttime indices
+    slips : (C, P) f32
+    rtf, stf : floor-cell weights (C, P) / (C, T, P) — multilinear only
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,   # didx, sidx (flattened), slips
-        grid=(ntargets,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # data stays in HBM
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # written via DMA
-        scratch_shapes=[
-            pltpu.VMEM((2, PATCH_BLOCK, nsamples), jnp.float32),
-            pltpu.VMEM((1, nsamples), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, PATCH_BLOCK)),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-    )
+    Returns (C, T, N) f32.
+    """
+    T, Pp, N, DSP = data_tr.shape
+    C, P = didx.shape
+    nslabs = DSP // LANE
+    Cp = _ceil_to(max(C, 1), LANE)
+    nCB = Cp // LANE
+    # patches per grid step: amortise per-step pipeline overhead, bounded
+    # by VMEM (cell blocks are double-buffered)
+    PB = PATCH_BLOCK
+    while PB > 1 and 4 * (2 * PB * N * DSP + N * Cp) > 10 * 1024 * 1024:
+        PB //= 2
 
-    return pl.pallas_call(
+    def padc(x):
+        """Pad chains → Cp and patches → Pp.  Padded entries carry
+        index 1 / weight 0 so they gather in-bounds and contribute 0."""
+        fill = 1 if np.issubdtype(x.dtype, np.integer) else 0
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, Pp - P),),
+                    constant_values=fill)
+        return jnp.pad(x, ((0, Cp - C),) + ((0, 0),) * (x.ndim - 1))
+
+    # chains sublane-oriented (trailing singleton lane axis): the kernel
+    # reads (Cp, 1) index/weight columns, which broadcast along lanes in
+    # the one-hot build; block last-two dims equal the array dims
+    # (Mosaic block-shape constraint)
+    def per_patch(x):                                       # (Pp, Cp, 1)
+        return jnp.transpose(padc(x), (1, 0))[:, :, None]
+
+    def per_target_patch(x):                                # (T, Pp, Cp, 1)
+        return jnp.transpose(padc(x), (1, 2, 0))[:, :, :, None]
+
+    didxT = per_patch(didx.astype(jnp.int32))
+    sidxT = per_target_patch(sidx.astype(jnp.int32))
+    slipsT = per_patch(slips.astype(jnp.float32))
+
+    pp_spec = pl.BlockSpec((PB, Cp, 1), lambda t, p: (p, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tp_spec = pl.BlockSpec((1, PB, Cp, 1), lambda t, p: (t, p, 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    multilinear = rtf is not None
+    if multilinear:
+        rtfT = per_patch(rtf.astype(jnp.float32))
+        stfT = per_target_patch(stf.astype(jnp.float32))
+        kernel = functools.partial(_multilinear_kernel, S=S, nslabs=nslabs,
+                                   nCB=nCB, PB=PB)
+        idx_args = (didxT, rtfT, sidxT, stfT, slipsT)
+        idx_specs = [pp_spec, pp_spec, tp_spec, tp_spec, pp_spec]
+    else:
+        kernel = functools.partial(_nearest_kernel, S=S, nslabs=nslabs,
+                                   nCB=nCB, PB=PB)
+        idx_args = (didxT, sidxT, slipsT)
+        idx_specs = [pp_spec, tp_spec, pp_spec]
+
+    out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((ntargets, nsamples), jnp.float32),
+        grid=(T, Pp // PB),
+        in_specs=idx_specs + [
+            pl.BlockSpec((1, PB, N, DSP), lambda t, p: (t, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N, Cp), lambda t, p: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, N, Cp), jnp.float32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(didx.astype(jnp.int32), sidx.reshape(-1).astype(jnp.int32),
-      slips.astype(jnp.float32), data)
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(*idx_args, data_tr)
+
+    return jnp.moveaxis(out, 2, 0)[:C]        # (C, T, N)
+
+
+# ---------------------------------------------------------------------------
+# custom_vmap wrapper: per-chain logp calls dispatch to the fused kernel
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_stack_op(S: int, multilinear: bool, interpret: bool):
+    if multilinear:
+
+        @jax.custom_batching.custom_vmap
+        def op(data_tr, didx, sidx, slips, rtf, stf):
+            return stack_batched_pallas(data_tr, S, didx[None], sidx[None],
+                                        slips[None], rtf[None], stf[None],
+                                        interpret=interpret)[0]
+
+        @op.def_vmap
+        def _rule(axis_size, in_batched, data_tr, didx, sidx, slips, rtf, stf):
+            db, *rest = in_batched
+            if db:
+                raise NotImplementedError("batched GF library unsupported")
+
+            def bc(x, b):
+                return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+            args = [bc(a, b) for a, b in zip((didx, sidx, slips, rtf, stf), rest)]
+            return stack_batched_pallas(data_tr, S, *args,
+                                        interpret=interpret), True
+
+        return op
+
+    @jax.custom_batching.custom_vmap
+    def op(data_tr, didx, sidx, slips):
+        return stack_batched_pallas(data_tr, S, didx[None], sidx[None],
+                                    slips[None], interpret=interpret)[0]
+
+    @op.def_vmap
+    def _rule(axis_size, in_batched, data_tr, didx, sidx, slips):
+        db, *rest = in_batched
+        if db:
+            raise NotImplementedError("batched GF library unsupported")
+
+        def bc(x, b):
+            return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+
+        args = [bc(a, b) for a, b in zip((didx, sidx, slips), rest)]
+        return stack_batched_pallas(data_tr, S, *args,
+                                    interpret=interpret), True
+
+    return op
+
+
+def stack_all_pallas(lib, durations, starttimes, slips,
+                     interpolation="nearest_neighbor",
+                     interpret: bool = False):
+    """Per-chain entry point (use under ``vmap`` for the fused batch).
+
+    ``lib`` must carry the stacking layout
+    (:meth:`SeismicGFLibrary.with_stacking_layout`).
+    """
+    if lib.data_tr is None:
+        raise ValueError("library lacks stacking layout — call "
+                         "lib.with_stacking_layout() first")
+    didx, rtf = lib.durations2idxs(durations, interpolation)
+    sidx, stf = lib.starttimes2idxs(starttimes, interpolation)
+    op = _make_stack_op(lib.nstarttimes,
+                        interpolation == "multilinear", interpret)
+    if interpolation == "multilinear":
+        return op(jnp.asarray(lib.data_tr), didx, sidx, slips, rtf, stf)
+    return op(jnp.asarray(lib.data_tr), didx, sidx, slips)
+
+
+def want_pallas(use_pallas=None, interpret: bool = False) -> bool:
+    """Resolve the use_pallas default: env override, else on-TPU auto."""
+    env = os.environ.get("BEAT_TPU_USE_PALLAS")
+    if env == "0":
+        return False
+    if use_pallas is None:
+        return env == "1" or interpret or jax.devices()[0].platform == "tpu"
+    return bool(use_pallas)
+
+
+def pallas_ok(lib, use_pallas=None, interpret: bool = False) -> bool:
+    """Should this stack use the fused kernel?"""
+    if not want_pallas(use_pallas, interpret):
+        return False
+    if getattr(lib, "data_tr", None) is None:
+        return False
+    T, P, N, DSP = lib.data_tr.shape
+    return _fits_vmem(N, DSP, LANE)
 
 
 def stack_all_auto(lib, durations, starttimes, slips,
-                   interpolation="nearest_neighbor", use_pallas=None):
+                   interpolation="nearest_neighbor", use_pallas=None,
+                   interpret: bool = False):
     """
-    Dispatch between the Pallas kernel (TPU, nearest-neighbour) and the
-    XLA gather+einsum fallback.  The Pallas path is opt-in
-    (``use_pallas=True`` or ``BEAT_TPU_USE_PALLAS=1``) until validated on
-    the deployment's Mosaic version.
+    Dispatch between the fused Pallas kernel (default on TPU when the
+    library carries the stacking layout) and the XLA gather+einsum
+    fallback.  ``BEAT_TPU_USE_PALLAS=0/1`` overrides.
     """
-    import os
-
-    if use_pallas is None:
-        use_pallas = (os.environ.get("BEAT_TPU_USE_PALLAS") == "1"
-                      and interpolation == "nearest_neighbor"
-                      and jax.devices()[0].platform == "tpu")
-    if not use_pallas or interpolation != "nearest_neighbor":
-        return lib.stack_all(durations, starttimes, slips, interpolation)
-    didx, _ = lib.durations2idxs(durations, "nearest_neighbor")
-    sidx, _ = lib.starttimes2idxs(starttimes, "nearest_neighbor")
-    return stack_all_pallas(jnp.asarray(lib.data), didx, sidx, slips)
+    if pallas_ok(lib, use_pallas, interpret):
+        return stack_all_pallas(lib, durations, starttimes, slips,
+                                interpolation, interpret)
+    return lib.stack_all(durations, starttimes, slips, interpolation)

@@ -1,5 +1,6 @@
-"""Pallas kinematic-stack kernel vs the XLA reference (interpret mode on
-CPU; the same kernel compiles natively on TPU)."""
+"""Fused Pallas kinematic-stack kernel vs the XLA reference gather
+(interpret mode on CPU; the same kernel compiles natively on TPU —
+see STATUS.md for the on-chip timings)."""
 
 import numpy as np
 import pytest
@@ -8,41 +9,128 @@ import jax
 import jax.numpy as jnp
 
 from beat_tpu.ffi import SeismicGFLibrary
-from beat_tpu.ops.gfstack import stack_all_pallas
+from beat_tpu.ops.gfstack import (
+    stack_all_auto,
+    stack_all_pallas,
+    stack_batched_pallas,
+    to_stacking_layout,
+)
+
+
+def make_lib(nt=3, npch=11, nd=4, nst=9, ns=100, seed=0):
+    rng = np.random.default_rng(seed)
+    data = rng.normal(size=(nt, npch, nd, nst, ns)).astype(np.float32)
+    return SeismicGFLibrary(
+        data=jnp.asarray(data), duration_min=0.5, duration_sampling=0.5,
+        starttime_min=0.0, starttime_sampling=0.25).with_stacking_layout()
 
 
 @pytest.fixture
 def lib():
-    rng = np.random.default_rng(0)
-    nt, npch, nd, nst, ns = 3, 11, 4, 9, 128
-    data = rng.normal(size=(nt, npch, nd, nst, ns)).astype(np.float32)
-    return SeismicGFLibrary(
-        data=jnp.asarray(data), duration_min=0.5, duration_sampling=0.5,
-        starttime_min=0.0, starttime_sampling=0.25)
+    return make_lib()
 
 
-def test_pallas_matches_xla(lib):
-    rng = np.random.default_rng(1)
-    durations = rng.uniform(0.5, 2.0, lib.npatches)
-    starttimes = rng.uniform(0.0, 2.0, (lib.ntargets, lib.npatches))
-    slips = rng.uniform(0, 3, lib.npatches).astype(np.float32)
+def rand_point(lib, seed, nchains=None):
+    rng = np.random.default_rng(seed)
+    shp = () if nchains is None else (nchains,)
+    durations = rng.uniform(0.5, 2.0, shp + (lib.npatches,))
+    starttimes = rng.uniform(0.0, 2.0, shp + (lib.ntargets, lib.npatches))
+    slips = rng.uniform(0, 3, shp + (lib.npatches,)).astype(np.float32)
+    return jnp.asarray(durations), jnp.asarray(starttimes), jnp.asarray(slips)
 
-    want = np.asarray(lib.stack_all(jnp.asarray(durations), jnp.asarray(starttimes),
-                                    jnp.asarray(slips), "nearest_neighbor"))
-    didx, _ = lib.durations2idxs(jnp.asarray(durations))
-    sidx, _ = lib.starttimes2idxs(jnp.asarray(starttimes))
-    got = np.asarray(stack_all_pallas(jnp.asarray(lib.data), didx, sidx,
-                                      jnp.asarray(slips), interpret=True))
+
+@pytest.mark.parametrize("interpolation", ["nearest_neighbor", "multilinear"])
+def test_pallas_matches_xla_unbatched(lib, interpolation):
+    durations, starttimes, slips = rand_point(lib, 1)
+    want = np.asarray(lib.stack_all(durations, starttimes, slips, interpolation))
+    got = np.asarray(stack_all_pallas(lib, durations, starttimes, slips,
+                                      interpolation, interpret=True))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
-def test_pallas_nonmultiple_patch_block(lib):
-    """npatches=11 is not a multiple of the DMA block — padding must mask."""
-    slips = np.zeros(lib.npatches, dtype=np.float32)
-    slips[-1] = 2.0  # only the last patch contributes
-    didx = jnp.zeros(lib.npatches, dtype=jnp.int32)
-    sidx = jnp.ones((lib.ntargets, lib.npatches), dtype=jnp.int32)
-    got = np.asarray(stack_all_pallas(jnp.asarray(lib.data), didx, sidx,
-                                      jnp.asarray(slips), interpret=True))
-    want = 2.0 * np.asarray(lib.data)[:, -1, 0, 1, :]
+@pytest.mark.parametrize("interpolation", ["nearest_neighbor", "multilinear"])
+def test_pallas_matches_xla_vmapped(lib, interpolation):
+    """The custom_vmap rule must dispatch the lockstep batch to the fused
+    kernel and match per-chain XLA stacking."""
+    nchains = 5
+    durations, starttimes, slips = rand_point(lib, 2, nchains)
+
+    want = np.asarray(jax.vmap(
+        lambda d, s, w: lib.stack_all(d, s, w, interpolation))(
+            durations, starttimes, slips))
+    got = np.asarray(jax.vmap(
+        lambda d, s, w: stack_all_pallas(lib, d, s, w, interpolation,
+                                         interpret=True))(
+            durations, starttimes, slips))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_vmap_unbatched_slips(lib):
+    """Unbatched operands must broadcast inside the custom_vmap rule."""
+    nchains = 3
+    durations, starttimes, _ = rand_point(lib, 3, nchains)
+    slips = jnp.asarray(np.random.default_rng(4).uniform(
+        0, 1, lib.npatches).astype(np.float32))
+    want = np.asarray(jax.vmap(
+        lambda d, s: lib.stack_all(d, s, slips, "multilinear"))(
+            durations, starttimes))
+    got = np.asarray(jax.vmap(
+        lambda d, s: stack_all_pallas(lib, d, s, slips, "multilinear",
+                                      interpret=True))(
+            durations, starttimes))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_padding_masks_chains_and_patches(lib):
+    """Chain padding to the 128-lane block must not leak; only the
+    requested chains come back."""
+    durations, starttimes, slips = rand_point(lib, 5, 2)
+    out = stack_batched_pallas(
+        jnp.asarray(lib.data_tr), lib.nstarttimes,
+        lib.durations2idxs(durations)[0],
+        lib.starttimes2idxs(starttimes)[0], slips, interpret=True)
+    assert out.shape == (2, lib.ntargets, lib.nsamples)
+    want = np.asarray(jax.vmap(
+        lambda d, s, w: lib.stack_all(d, s, w, "nearest_neighbor"))(
+            durations, starttimes, slips))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-5, atol=2e-5)
+
+
+def test_stacking_layout_padding():
+    """D·S not a lane multiple → zero-padded lanes; patch axis padded to
+    the PATCH_BLOCK multiple."""
+    lib = make_lib(nt=2, npch=3, nd=5, nst=30, ns=16)  # DS=150 → 2 slabs
+    assert lib.data_tr.shape == (2, 8, 16, 256)
+    durations, starttimes, slips = rand_point(lib, 6, 4)
+    want = np.asarray(jax.vmap(
+        lambda d, s, w: lib.stack_all(d, s, w, "multilinear"))(
+            durations, starttimes, slips))
+    got = np.asarray(jax.vmap(
+        lambda d, s, w: stack_all_pallas(lib, d, s, w, "multilinear",
+                                         interpret=True))(
+            durations, starttimes, slips))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_stack_all_auto_fallback(lib):
+    """Off-TPU without interpret, auto dispatch must use the XLA path and
+    still be correct."""
+    durations, starttimes, slips = rand_point(lib, 7)
+    want = np.asarray(lib.stack_all(durations, starttimes, slips,
+                                    "multilinear"))
+    got = np.asarray(stack_all_auto(lib, durations, starttimes, slips,
+                                    "multilinear"))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_to_stacking_layout_roundtrip():
+    lib = make_lib(nt=1, npch=2, nd=2, nst=3, ns=8)
+    tr = np.asarray(to_stacking_layout(lib.data))
+    assert tr.shape == (1, 8, 8, 128)           # P→8, DS=6→128
+    data = np.asarray(lib.data)
+    for d in range(2):
+        for s in range(3):
+            np.testing.assert_array_equal(tr[0, 1, :, d * 3 + s],
+                                          data[0, 1, d, s, :])
+    np.testing.assert_array_equal(tr[0, 0, :, 6:], 0.0)
+    np.testing.assert_array_equal(tr[0, 2:], 0.0)
