@@ -160,23 +160,33 @@ def non_toeplitz_covariance(data: np.ndarray, window_size: int) -> np.ndarray:
     return toep * np.outer(stds, stds)
 
 
-def k_nearest_neighbor_rms(coords: np.ndarray, data: np.ndarray, max_dist_perc: float = 0.2) -> np.ndarray:
+def k_nearest_neighbor_rms(coords: np.ndarray, data: np.ndarray,
+                           k: int | None = None,
+                           max_dist_perc: float | None = 0.2) -> np.ndarray:
     """
-    Per-point RMS over all neighbours within ``max_dist_perc`` of the scene
-    extent (reference ``covariance.py:774-812``).
+    Per-point RMS over neighbours — either the ``k`` nearest or all
+    within ``max_dist_perc`` of the scene extent (reference
+    ``covariance.py:774-812``; KDTree, not the O(N²) scan).
     """
-    dists = distances(coords, coords)
-    radius = dists.max() * max_dist_perc
+    from scipy.spatial import cKDTree
+
+    if (k is None) == (max_dist_perc is None):
+        raise ValueError("Define either k or max_dist_perc (exactly one)")
+    tree = cKDTree(coords)
     rms = np.empty(data.size)
-    for i in range(data.size):
-        neighbors = data[dists[i] <= radius]
-        rms[i] = np.sqrt(np.mean(neighbors**2))
+    if k is not None:
+        _, idxs = tree.query(coords, k=k)
+        return np.sqrt(np.mean(data[idxs] ** 2, axis=-1))
+    span = coords.max(axis=0) - coords.min(axis=0)
+    radius = float(np.linalg.norm(span)) * max_dist_perc
+    for i, idxs in enumerate(tree.query_ball_point(coords, r=radius)):
+        rms[i] = np.sqrt(np.mean(data[idxs] ** 2))
     return rms
 
 
 def toeplitz_covariance_2d(coords: np.ndarray, data: np.ndarray, max_dist_perc: float = 0.2):
     """2-d analogue: autocovariance over distance bins (reference :814)."""
-    stds = k_nearest_neighbor_rms(coords, data, max_dist_perc)
+    stds = k_nearest_neighbor_rms(coords, data, max_dist_perc=max_dist_perc)
     acov = autocovariance(data / stds)
     return scipy.linalg.toeplitz(acov), stds
 

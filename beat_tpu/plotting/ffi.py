@@ -46,7 +46,9 @@ def plot_slip_distribution(problem, po: PlotOptions | None = None, point=None,
         slc = fault.ordering.slices[i]
         grid = slip[slc].reshape(sf.n_dip, sf.n_strike)
         ax = axes[i][0]
-        im = ax.imshow(grid, cmap="hot_r", aspect="auto",
+        from beat_tpu.plotting.colormap import slip_colormap
+
+        im = ax.imshow(grid, cmap=slip_colormap(), aspect="auto",
                        extent=[0, sf.plane.length / 1e3, sf.plane.width / 1e3, 0])
         fig.colorbar(im, ax=ax, label="slip [m]")
         # rupture-onset contours if kinematic variables sampled

@@ -82,6 +82,22 @@ def test_non_toeplitz_2d_psd():
     assert np.all(np.linalg.eigvalsh(C) > -1e-8)
 
 
+def test_k_nearest_neighbor_rms_variants():
+    from beat_tpu.covariance import k_nearest_neighbor_rms
+
+    rng = np.random.default_rng(5)
+    coords = rng.uniform(0, 10, size=(80, 2))
+    data = rng.normal(size=80) * np.linspace(0.5, 3.0, 80)
+    # radius mode tracks the local scale
+    r = k_nearest_neighbor_rms(coords, data, max_dist_perc=0.15)
+    assert r.shape == (80,) and np.all(r > 0)
+    # k mode: k=data.size reproduces the global RMS at every point
+    rk = k_nearest_neighbor_rms(coords, data, k=80, max_dist_perc=None)
+    np.testing.assert_allclose(rk, np.sqrt(np.mean(data**2)), rtol=1e-12)
+    with pytest.raises(ValueError):
+        k_nearest_neighbor_rms(coords, data, k=5, max_dist_perc=0.2)
+
+
 def test_variance_noise_analyser():
     rng = np.random.default_rng(4)
     noise = rng.normal(size=50) * 0.3

@@ -101,7 +101,7 @@ GEO_PLOTS = ["stage_posteriors", "correlation_hist", "scene_fits",
              "station_map", "geodetic_covariances"]
 MT_PLOTS = ["hudson", "lune", "fuzzy_beachball", "fuzzy_mt_decomp",
             "waveform_fits", "station_variance_reductions"]
-FFI_PLOTS = ["slip_distribution", "moment_rate"]
+FFI_PLOTS = ["slip_distribution", "moment_rate", "slip_distribution_3d"]
 
 
 @pytest.mark.parametrize("name", GEO_PLOTS)
@@ -119,4 +119,39 @@ def test_mt_plots(mt_problem, name):
 @pytest.mark.parametrize("name", FFI_PLOTS)
 def test_ffi_plots(ffi_problem, name):
     path = plots_catalog[name](ffi_problem, PlotOptions())
+    assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_colormaps():
+    from beat_tpu.plotting.colormap import roma_colormap, slip_colormap
+
+    sc = slip_colormap(64, return_numpy=True)
+    assert sc.shape == (64, 3)
+    np.testing.assert_allclose(sc[0], [1, 1, 1], atol=1e-6)  # zero slip white
+    rc = roma_colormap(64, return_numpy=True)
+    assert rc[0][0] > rc[-1][0]          # red end → blue end
+    rcr = roma_colormap(64, return_numpy=True, reverse=True)
+    np.testing.assert_allclose(rcr, rc[::-1], atol=1e-6)
+
+
+def test_bem_slip_distribution_3d(tmp_path):
+    from beat_tpu.bem import BEMEngine, BoundaryCondition, DiskBEMSource
+    from beat_tpu.models.bem import GeodeticBEMComposite
+
+    rng = np.random.default_rng(3)
+    coords = rng.uniform(-5e3, 5e3, (12, 2))
+    los = np.tile([0.0, 0.0, 1.0], (12, 1))
+    ds = GeodeticDataset(name="v", typ="SAR", coords=coords,
+                         displacement=rng.normal(0, 0.01, 12), los_vector=los,
+                         covariance=Covariance(data=np.eye(12) * 1e-4))
+    engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=10.0)],
+                       mesh_size=900.0, check_mesh_intersection=False,
+                       quadrature_level=1, near_quadrature_level=5)
+    comp = GeodeticBEMComposite([ds], [DiskBEMSource(a_half_axis=1000.0)],
+                                engine)
+    priors = PriorSet().add(Parameter("depth", [2e3], [4e3]))
+    problem = Problem(priors, {"geodetic": comp},
+                      outfolder=str(tmp_path / "bem"))
+    fake_trace(problem, n_rec=3, n_chains=2)
+    path = plots_catalog["slip_distribution_3d"](problem, PlotOptions())
     assert os.path.exists(path) and os.path.getsize(path) > 1000
