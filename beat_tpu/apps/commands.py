@@ -9,6 +9,7 @@ implemented incrementally as the config/model layers land
 from __future__ import annotations
 
 import logging
+import os
 
 logger = logging.getLogger("beat_tpu.cli")
 
@@ -405,12 +406,17 @@ def register_sample(sub):
     p.add_argument("project_dir")
     p.add_argument("--mode", default="geometry", choices=["geometry", "ffi", "bem"])
     p.add_argument("--hypers", action="store_true", help="sample hyperparameters only")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a JAX profiler trace (TensorBoard) to DIR and "
+                        "print per-stage timings after sampling")
     p.set_defaults(handler=_cmd_sample)
 
 
 def _cmd_sample(args):
     from beat_tpu.models import load_model
 
+    if getattr(args, "profile", None):
+        os.environ["BEAT_TPU_PROFILE_DIR"] = args.profile
     problem = load_model(args.project_dir, args.mode)
     if args.hypers:
         problem.estimate_hypers()
@@ -422,6 +428,10 @@ def _cmd_sample(args):
             == "non-toeplitz"
             for c in problem.composites.values())
         problem.sample(update_weights=update)
+    if getattr(args, "profile", None):
+        from beat_tpu.profiling import timings
+
+        print(timings.summary())
     return 0
 
 

@@ -29,6 +29,7 @@ preserves detailed balance per segment and mixes at least as fast.
 from __future__ import annotations
 
 import logging
+import time
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable
@@ -181,6 +182,9 @@ def pt_sample(
     # uniform in swap_interval); quantized to 3 values so the jitted
     # segment compiles at most 3 variants
     seg_choices = sorted({int(seg_lo), int((seg_lo + seg_hi) // 2), int(seg_hi)})
+    from beat_tpu.profiling import timings
+
+    t0_sampling = time.perf_counter()
     for seg in range(n_segments):
         seg_len = int(rng.choice(seg_choices))
         # Per-replica tempered Metropolis segment: run_metropolis_stage
@@ -230,6 +234,9 @@ def pt_sample(
             acc_matrix_accepted = acc_matrix_proposed = 0
             logger.info("PT retune: swap acceptance %.3f -> t_scale %.4f", acc_rate, t_scale)
 
+    jax.block_until_ready(state.q)
+    timings.add("pt_sampling", time.perf_counter() - t0_sampling,
+                n_evals=params.n_samples * n)
     q_trace = np.concatenate(post_q)     # (n_draws, n_post, dim)
     llk_trace = np.concatenate(post_llk)
     history = {"scale_history": np.asarray(scale_history),

@@ -21,6 +21,7 @@ Stage loop (reference ``smc_sample`` ``sampler/smc.py:333``):
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -30,6 +31,7 @@ import numpy as np
 
 from beat_tpu.backend import SampleStage
 from beat_tpu.covariance import init_proposal_covariance
+from beat_tpu.profiling import jax_trace, stage_timer, timings
 from beat_tpu.samplers.metropolis import init_metropolis_state, run_metropolis_stage, MetropolisState
 from beat_tpu.utility import ensure_cov_psd
 
@@ -195,7 +197,9 @@ def smc_sample(
 
     betas = [beta]
     acceptance = []
-    # ---- stage loop ----
+    # ---- stage loop (per-stage timings recorded in profiling.timings;
+    # BEAT_TPU_PROFILE_DIR additionally writes a JAX profiler trace of
+    # each stage's device work) ----
     while beta < 1.0 and stage < params.max_stages:
         new_beta, old_beta, weights = calc_beta(beta, likelihoods, params.coef_variation)
         final_stage = new_beta >= 1.0
@@ -223,13 +227,17 @@ def smc_sample(
             key=sub,
         )
         cov_chol = jnp.asarray(np.linalg.cholesky(cov), dtype=jnp.float32)
-        final, (q_tr, llk_tr) = run_metropolis_stage(
-            logp_fn, state, jnp.float32(new_beta), cov_chol, lo, hi,
-            n_steps=n_steps, proposal_name=params.proposal_name,
-            tune_interval=params.tune_interval, tune=True,
-            record_every=params.buffer_thinning,
-            logp_args=logp_args,
-        )
+        with stage_timer(f"smc_stage_{-1 if final_stage else stage}",
+                         n_evals=n_steps * params.n_chains,
+                         beta=round(float(new_beta), 6)), jax_trace():
+            final, (q_tr, llk_tr) = run_metropolis_stage(
+                logp_fn, state, jnp.float32(new_beta), cov_chol, lo, hi,
+                n_steps=n_steps, proposal_name=params.proposal_name,
+                tune_interval=params.tune_interval, tune=True,
+                record_every=params.buffer_thinning,
+                logp_args=logp_args,
+            )
+            jax.block_until_ready(final.q)
         population = np.asarray(final.q, dtype=np.float64)
         likelihoods = np.asarray(final.llk, dtype=np.float64)
         acc_rate = float(np.mean(np.asarray(final.acc_total)) / n_steps)
@@ -263,6 +271,8 @@ def smc_sample(
             likelihoods = np.asarray(st.llk, dtype=np.float64)
 
         if final_stage:
+            if handler is not None:
+                timings.dump(os.path.join(homepath, "timings.json"))
             return np.asarray(q_tr), np.asarray(llk_tr)
         stage += 1
 
