@@ -21,6 +21,59 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 logger = logging.getLogger("beat_tpu.parallel")
 
 CHAIN_AXIS = "chains"
+TARGET_AXIS = "targets"
+
+
+def make_gf_mesh(n_chain_devices: int, n_target_devices: int) -> Mesh:
+    """2-D ``(chains, targets)`` mesh: data-parallel chains × model-
+    parallel GF targets.  The targets axis is the HBM-budget path — a
+    GF library larger than one chip's HBM is split along its station/
+    target axis, each device stacks its local block and the partial
+    log-likelihoods are ``psum``-reduced over the axis (the TPU analogue
+    of the reference's RawArray GF sharing, ``beat/parallel.py:305-358``,
+    where N workers share one host copy; here N chips each hold 1/N)."""
+    devices = jax.devices()
+    need = n_chain_devices * n_target_devices
+    if len(devices) < need:
+        raise ValueError(
+            f"requested a {n_chain_devices}x{n_target_devices} mesh but only "
+            f"{len(devices)} device(s) are available")
+    return Mesh(np.array(devices[:need]).reshape(n_chain_devices,
+                                                 n_target_devices),
+                (CHAIN_AXIS, TARGET_AXIS))
+
+
+def target_sharding(mesh: Mesh, axis: int = 0) -> NamedSharding:
+    """Split an array's ``axis`` (default leading = targets/stations)
+    over the mesh's targets axis; other dims replicated."""
+    return NamedSharding(mesh, P(*([None] * axis + [TARGET_AXIS])))
+
+
+def sharded_gf_logp(mesh: Mesh, partial_llk, in_specs):
+    """
+    Wrap a *per-target-block* partial log-likelihood into a shard_map
+    over the ``(chains, targets)`` mesh.
+
+    ``partial_llk(*local_args) -> (local_chains,)`` computes the llk
+    contribution of this device's target block for its chain block;
+    the wrapper ``psum``s over the targets axis so every chain's full
+    llk materialises chain-sharded.  ``in_specs`` is a pytree of
+    ``PartitionSpec``s matching the arguments (use ``P('chains')`` for
+    chain-batched parameters, ``P('targets')``/``P('chains','targets')``
+    for per-target arrays, ``P()`` for replicated).
+    """
+    try:
+        from jax import shard_map
+        kw = {"check_vma": False}
+    except ImportError:  # pre-0.8 spelling
+        from jax.experimental.shard_map import shard_map
+        kw = {"check_rep": False}
+
+    def local(*args):
+        return jax.lax.psum(partial_llk(*args), TARGET_AXIS)
+
+    return shard_map(local, mesh=mesh, in_specs=in_specs,
+                     out_specs=P(CHAIN_AXIS), **kw)
 
 
 def make_chain_mesh(n_devices: int | None = None) -> Mesh:
