@@ -380,6 +380,14 @@ source_geometry_vars = {
     "DCSource": ["east_shift", "north_shift", "depth",
                  "strike", "dip", "rake", "magnitude"],
     "ExplosionSource": ["east_shift", "north_shift", "depth", "volume_change"],
+    "CLVDSource": ["east_shift", "north_shift", "depth",
+                   "azimuth", "dip", "magnitude"],
+    "DoubleDCSource": ["east_shift", "north_shift", "depth",
+                       "strike1", "dip1", "rake1", "strike2", "dip2", "rake2",
+                       "mix", "delta_time", "delta_depth", "distance",
+                       "azimuth", "magnitude"],
+    "RingfaultSource": ["east_shift", "north_shift", "depth",
+                        "strike", "dip", "diameter", "sign", "magnitude"],
 }
 
 #: extra temporal variables when seismic data participates

@@ -65,6 +65,8 @@ parameter_info: dict[str, Bounds] = {
     "slip": Bounds((0.0, 150.0), (0.1, 8.0), u_m),
     "opening_fraction": Bounds(_moff, (0.0, 0.0), u_hyp),
     "diameter": Bounds((0.0, 100.0), (5.0, 10.0), u_km),
+    "sign": Bounds((-1.0, 1.0), (-1.0, 1.0), u_hyp),
+    "delta_depth": Bounds((0.0, 1000.0), (0.0, 10.0), u_km),
     "volume_change": Bounds((-1e12, 1e12), (1e8, 1e10), u_v),
     "azimuth": Bounds((0.0, 360.0), (0.0, 180.0), u_deg),
     "amplitude": Bounds((1.0, 10e25), (1e10, 1e20), u_nm),

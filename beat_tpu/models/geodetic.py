@@ -214,7 +214,8 @@ class GeodeticGeometryComposite(GeodeticComposite):
         """LOS-projected synthetic displacement, pure JAX (Ntot,)."""
         from beat_tpu.heart.okada import mogi_surface_displacement, mt_surface_displacement
         from beat_tpu.sources import (CLVDSource, DCSource, DoubleDCSource,
-                                      ExplosionSource, MTQTSource, MTSource)
+                                      ExplosionSource, MTQTSource, MTSource,
+                                      RingfaultSource)
 
         data = self._device if data is None else data
         coords = data["coords"]
@@ -243,6 +244,20 @@ class GeodeticGeometryComposite(GeodeticComposite):
                     coords, m6, east_shift=get("east_shift"),
                     north_shift=get("north_shift"), depth=get("depth"),
                     nu=self.nu, shear_modulus=self.shear_modulus)
+            elif isinstance(src, RingfaultSource):
+                import jax
+
+                m6s, de, dn, dz = src.sub_sources(get)
+
+                def one_sub(m6_k, de_k, dn_k, dz_k):
+                    return mt_surface_displacement(
+                        coords, m6_k, east_shift=get("east_shift") + de_k,
+                        north_shift=get("north_shift") + dn_k,
+                        depth=get("depth") + dz_k,
+                        nu=self.nu, shear_modulus=self.shear_modulus)
+
+                disp = disp + jnp.sum(jax.vmap(one_sub)(m6s, de, dn, dz),
+                                      axis=0)
             elif isinstance(src, RectangularSource):
                 kw = self._source_kwargs(point, i)
                 opening_frac = kw.pop("opening_fraction")
@@ -262,8 +277,8 @@ class GeodeticGeometryComposite(GeodeticComposite):
         one gather each, rectangles as patch grids of point MTs with the
         local shear modulus (pscmp patch integration, ref heart.py:4158)."""
         from beat_tpu.models.seismic import point_getter, source_m6
-        from beat_tpu.sources import (rectangular_patch_grid, sdr_to_m6,
-                                      tensile_m6)
+        from beat_tpu.sources import (RingfaultSource, rectangular_patch_grid,
+                                      sdr_to_m6, tensile_m6)
 
         table = data["static_table"]
         coords = data["coords"]
@@ -297,6 +312,15 @@ class GeodeticGeometryComposite(GeodeticComposite):
 
                 disp = disp + jnp.sum(
                     jax.vmap(one_patch)(east_p, north_p, depth_p), axis=0)
+            elif isinstance(src, RingfaultSource):
+                import jax
+
+                m6s, de, dn, dz = src.sub_sources(get)
+                disp = disp + jnp.sum(jax.vmap(
+                    lambda m6_k, de_k, dn_k, dz_k: table.synthesize_enu(
+                        m6_k, get("east_shift") + de_k,
+                        get("north_shift") + dn_k, get("depth") + dz_k,
+                        obs_e, obs_n))(m6s, de, dn, dz), axis=0)
             else:
                 m6 = source_m6(src, point, i, len(self.sources))
                 disp = disp + table.synthesize_enu(

@@ -21,7 +21,7 @@ from beat_tpu.models.base import Composite
 from beat_tpu.ops.cplx import from_np_complex as _pair
 from beat_tpu.sources import (CLVDSource, DCSource, DoubleDCSource,
                               ExplosionSource, MTQTSource, MTSource,
-                              RectangularSource, sdr_to_m6)
+                              RectangularSource, RingfaultSource, sdr_to_m6)
 
 logger = logging.getLogger("beat_tpu.models.seismic")
 
@@ -273,6 +273,23 @@ class SeismicGeometryComposite(Composite):
                         dev["station_east"], dev["station_north"],
                         dev["comp_idx"], stf_type=self.stf_type,
                         filter_response=dev["filter"])
+            elif isinstance(src, RingfaultSource):
+                # ring of tangent vertical DCs (caldera collapse) — one
+                # point synthesis per sub-source, shared time/duration
+                m6s, de, dn, dz = src.sub_sources(get)
+                dur = jnp.maximum(self._source_scalar(
+                    point, "duration", i, getattr(src, "duration", 0.0) or 1.0), 1e-3)
+
+                def one_sub(m6_k, de_k, dn_k, dz_k):
+                    return table.synthesize_spectra(
+                        m6_k, get("east_shift") + de_k,
+                        get("north_shift") + dn_k, get("depth") + dz_k,
+                        get("time"), dur,
+                        dev["station_east"], dev["station_north"],
+                        dev["comp_idx"], stf_type=self.stf_type,
+                        filter_response=dev["filter"])
+
+                spec = jnp.sum(jax.vmap(one_sub)(m6s, de, dn, dz), axis=0)
             else:
                 m6 = source_m6(src, point, i, len(self.sources))
                 spec = table.synthesize_spectra(

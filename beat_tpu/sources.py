@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass, field
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -426,6 +427,78 @@ class DoubleDCSource(BaseSource):
         return m1 + m2  # co-located approximation (delta offsets small)
 
 
+@dataclass
+class RingfaultSource(BaseSource):
+    """
+    Ring fault (caldera collapse): ``npointsources`` double couples on a
+    circle of ``diameter``, each tangent to the ring with vertical slip
+    whose direction is set by ``sign`` (+1 = inner block down).  The
+    ring plane can be tilted by (``strike``, ``dip``): rotation about
+    the horizontal axis at azimuth ``strike``.  Reference catalog entry
+    ``RingfaultSource`` (``beat/sources.py:694-721``, pyrocko
+    ``gf.RingfaultSource`` semantics).
+    """
+
+    strike: float = 0.0       # [deg] tilt-axis azimuth of the ring plane
+    dip: float = 0.0          # [deg] ring-plane tilt (0 = horizontal ring)
+    diameter: float = 1000.0  # [m]
+    sign: float = 1.0         # +1 collapse (inner side down), -1 uplift
+    magnitude: float = 6.0
+    npointsources: int = 8    # static discretization (not sampled)
+
+    parameter_names = ("east_shift", "north_shift", "depth", "time",
+                       "strike", "dip", "diameter", "sign", "magnitude")
+
+    def sub_sources(self, get=None):
+        """Traced decomposition into point double couples.
+
+        get : name -> traced value (defaults to template attributes).
+        Returns ``(m6s (n, 6) NED, de (n,), dn (n,), dz (n,))`` —
+        offsets relative to (east_shift, north_shift, depth).
+        """
+        if get is None:
+            def get(name):
+                return jnp.asarray(getattr(self, name))
+
+        n = int(self.npointsources)
+        m0_each = magnitude_to_moment(get("magnitude")) / n
+        r = get("diameter") / 2.0
+        phis = jnp.arange(n) * (2.0 * jnp.pi / n)
+
+        # ring-plane tilt: Rodrigues rotation about the horizontal axis
+        # at azimuth `strike` (NED), by `dip`
+        s = jnp.deg2rad(get("strike"))
+        di = jnp.deg2rad(get("dip"))
+        ax, ay = jnp.cos(s), jnp.sin(s)          # horizontal axis, NED
+        zero = jnp.zeros(())
+        K = jnp.stack([jnp.stack([zero, zero, ay]),
+                       jnp.stack([zero, zero, -ax]),
+                       jnp.stack([-ay, ax, zero])])
+        R = (jnp.eye(3) + jnp.sin(di) * K
+             + (1.0 - jnp.cos(di)) * (K @ K))
+
+        def one(phi):
+            p = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), jnp.zeros(())])
+            p = R @ p                                  # NED offsets
+            # tangent vertical fault: strike along the tangent, slip
+            # vertical; sign=+1 -> inner block down (rake -90 on a
+            # plane whose hanging wall faces the ring centre)
+            strike_i = jnp.rad2deg(phi) + 90.0
+            m = m6_to_matrix(sdr_to_m6(strike_i, 90.0, -90.0 * get("sign"),
+                                       m0_each))
+            m = R @ m @ R.T
+            return matrix_to_m6(m), p[1], p[0], p[2]   # de, dn, dz
+
+        m6s, de, dn, dz = jax.vmap(one)(phis)
+        return m6s, de, dn, dz
+
+    def m6(self):
+        """Net moment tensor (sub-tensors largely cancel for a full ring —
+        the composite dispatches the sub-sources individually)."""
+        m6s, *_ = self.sub_sources()
+        return jnp.sum(m6s, axis=0)
+
+
 source_catalog = {
     "RectangularSource": RectangularSource,
     "MTSource": MTSource,
@@ -434,6 +507,7 @@ source_catalog = {
     "ExplosionSource": ExplosionSource,
     "CLVDSource": CLVDSource,
     "DoubleDCSource": DoubleDCSource,
+    "RingfaultSource": RingfaultSource,
 }
 
 

@@ -205,3 +205,74 @@ class TestPointCatalogSources:
             comp = GeodeticGeometryComposite([ds], [src])
             synth = np.asarray(comp.synthetics_los({}))
             assert np.isfinite(synth).all() and np.abs(synth).max() > 0
+
+
+class TestRingfault:
+    def test_sub_sources_geometry(self):
+        from beat_tpu.sources import RingfaultSource
+
+        src = RingfaultSource(depth=2e3, diameter=2000.0, magnitude=5.0,
+                              npointsources=16)
+        m6s, de, dn, dz = src.sub_sources()
+        assert m6s.shape == (16, 6)
+        # full-ring moment tensors cancel (tangent DCs around the circle)
+        net = np.asarray(src.m6())
+        assert np.abs(net).max() < 1e-3 * magnitude_to_moment(5.0)
+        np.testing.assert_allclose(np.sqrt(np.asarray(de)**2
+                                           + np.asarray(dn)**2),
+                                   1000.0, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(dz), 0.0, atol=1e-3)
+        # tilted ring picks up depth offsets
+        tilted = RingfaultSource(depth=2e3, diameter=2000.0, dip=30.0,
+                                 strike=0.0, npointsources=4)
+        _, de2, _, dz2 = tilted.sub_sources()
+        np.testing.assert_allclose(np.asarray(dz2),
+                                   [0.0, 500.0, 0.0, -500.0], atol=1.0)
+
+    def test_waveforms_informative(self, table):
+        """Ringfault is dispatched in the seismic composite; collapse
+        sign and diameter change the wavefield."""
+        from beat_tpu.sources import RingfaultSource
+
+        wavemap = make_wavemap(table, seed=9)
+        pt = {"duration": jnp.asarray(1.5)}
+
+        def windows(**kw):
+            comp = SeismicGeometryComposite(
+                [wavemap], [RingfaultSource(depth=9e3, magnitude=5.8,
+                                            duration=1.5, **kw)])
+            return np.asarray(comp.synthetics_windows(pt, 0))
+
+        w = windows(diameter=2000.0, sign=1.0)
+        assert np.isfinite(w).all() and np.abs(w).max() > 0
+        w_flip = windows(diameter=2000.0, sign=-1.0)
+        np.testing.assert_allclose(w_flip, -w, atol=1e-5 * np.abs(w).max())
+        w_big = windows(diameter=8000.0, sign=1.0)
+        assert np.abs(w_big - w).max() > 0.2 * np.abs(w).max()
+
+    def test_geodetic_statics_caldera(self):
+        """Collapse ring (sign=+1) subsides the caldera floor."""
+        from beat_tpu.covariance import Covariance
+        from beat_tpu.heart.geodesy import GeodeticDataset
+        from beat_tpu.models.geodetic import GeodeticGeometryComposite
+        from beat_tpu.sources import RingfaultSource
+
+        e = np.linspace(-6e3, 6e3, 13)
+        coords = np.stack(np.meshgrid(e, e), -1).reshape(-1, 2)
+        los = np.tile([0.0, 0.0, 1.0], (coords.shape[0], 1))  # vertical LOS
+        ds = GeodeticDataset(name="c", typ="SAR", coords=coords,
+                             displacement=np.zeros(coords.shape[0]),
+                             los_vector=los,
+                             covariance=Covariance(
+                                 data=np.eye(coords.shape[0]) * 1e-4))
+        comp = GeodeticGeometryComposite(
+            [ds], [RingfaultSource(depth=1.5e3, diameter=4000.0,
+                                   magnitude=5.5, sign=1.0,
+                                   npointsources=16)])
+        uz = np.asarray(comp.synthetics_los({}))
+        r = np.sqrt((coords**2).sum(1))
+        inner = uz[r < 1.2e3].mean()
+        outer = np.abs(uz[r > 5e3]).mean()
+        assert np.isfinite(uz).all()
+        assert inner < 0, "caldera floor should subside for sign=+1"
+        assert abs(inner) > 3 * outer, "subsidence should focus inside the ring"
