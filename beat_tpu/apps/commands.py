@@ -25,21 +25,65 @@ def register_init(sub):
     p.add_argument("--datatypes", default="geodetic",
                    help="comma-separated: geodetic,seismic,polarity")
     p.add_argument("--sampler", default="SMC", choices=["SMC", "PT", "Metropolis"])
+    p.add_argument("--gcmt_ndk", default=None, metavar="FILE",
+                   help="GlobalCMT NDK file: fill the event (and MT prior "
+                        "test values) from a catalog solution — offline "
+                        "analogue of the reference's GCMT catalog search")
+    p.add_argument("--event_name", default=None,
+                   help="event to pick from the NDK file (substring)")
+    p.add_argument("--event_date", default=None,
+                   help="event date prefix to pick from the NDK file "
+                        "(YYYY-MM-DD)")
     p.set_defaults(handler=_cmd_init)
 
 
 def _cmd_init(args):
     import os
 
-    from beat_tpu.config import init_config
+    from beat_tpu.config import EventConfig, init_config
+
+    event = None
+    gcmt = None
+    if args.gcmt_ndk:
+        import calendar
+        import time as _time
+
+        from beat_tpu.inputf import read_gcmt_ndk, select_gcmt_event
+
+        gcmt = select_gcmt_event(read_gcmt_ndk(args.gcmt_ndk),
+                                 name=args.event_name, date=args.event_date)
+        epoch = calendar.timegm(_time.strptime(gcmt["date"], "%Y-%m-%d")) \
+            + gcmt["time_s"]
+        event = EventConfig(name=gcmt["name"], lat=gcmt["lat"],
+                            lon=gcmt["lon"], depth=gcmt["depth"],
+                            time=epoch, magnitude=float(gcmt["magnitude"]))
+        print(f"GCMT event {gcmt['name']}: lat {gcmt['lat']}, lon "
+              f"{gcmt['lon']}, depth {gcmt['depth'] / 1e3:.1f} km, "
+              f"Mw {gcmt['magnitude']:.2f}")
 
     project_dir = args.project_dir or os.path.join(os.getcwd(), args.name)
-    init_config(
+    config = init_config(
         args.name, project_dir, mode=args.mode,
         source_types=args.source_types.split(","),
         n_sources=[int(x) for x in args.n_sources.split(",")],
         datatypes=args.datatypes.split(","),
-        sampler=args.sampler)
+        sampler=args.sampler, event=event)
+
+    if gcmt is not None:
+        # seed MT prior test values with the catalog mechanism
+        from beat_tpu.config import dump_config
+
+        priors = config.problem_config.priors
+        changed = False
+        for i, comp in enumerate(("mnn", "mee", "mdd", "mne", "mnd", "med")):
+            if comp in priors:
+                priors[comp]["testvalue"] = [float(gcmt["m6"][i])]
+                changed = True
+        if "magnitude" in priors:
+            priors["magnitude"]["testvalue"] = [float(gcmt["magnitude"])]
+            changed = True
+        if changed:
+            dump_config(config, project_dir)
     print(f"Initialised project in {project_dir}")
     return 0
 
@@ -506,6 +550,43 @@ def _cmd_check(args):
                 ok = handler.check_stage(s)
                 print(f"stage_{s}: {'OK' if ok else 'CORRUPT'}")
         return 0
+
+    if args.what == "stores":
+        # validate every GF store of the project: NaN/Inf and empty
+        # (all-zero) traces (reference check_problem_stores,
+        # apps/beat.py:2027 + heart.py)
+        import glob
+
+        candidates = (
+            [os.path.join(args.project_dir, "gf_table.npz"),
+             os.path.join(args.project_dir, "static_gf_table.npz")]
+            + sorted(glob.glob(os.path.join(args.project_dir, "ffi",
+                                            "linear_gfs", "*.npz"))))
+        found = corrupted = 0
+        for path in candidates:
+            if not os.path.exists(path):
+                continue
+            found += 1
+            with np.load(path) as z:
+                bad = []
+                for key in z.files:
+                    arr = z[key]
+                    if not np.issubdtype(arr.dtype, np.number):
+                        continue
+                    if arr.size and not np.isfinite(arr).all():
+                        bad.append(f"{key}: NaN/Inf")
+                    elif arr.ndim >= 2 and arr.size and \
+                            not np.abs(arr).sum():
+                        bad.append(f"{key}: empty traces")
+            if bad:
+                corrupted += 1
+                print(f"{path}: CORRUPT ({'; '.join(bad)})")
+            else:
+                print(f"{path}: OK")
+        if not found:
+            print("No GF stores found — run build_gfs (or place gf_table.npz)")
+            return 1
+        return 1 if corrupted else 0
 
     if args.what == "library":
         from beat_tpu.ffi import GeodeticGFLibrary

@@ -670,11 +670,21 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
         gc = config.geodetic_config
         datasets = load_geodetic_datasets(project_dir, gc)
         corrections = _build_corrections(gc, datasets)
+        # layered statics: a psgrn-analogue table in the project dir
+        # switches the composite from homogeneous Okada/MT to table
+        # synthesis (reference layered stores, heart.py:2426)
+        static_table = None
+        st_path = os.path.join(project_dir, "static_gf_table.npz")
+        if os.path.exists(st_path):
+            from beat_tpu.heart.statictable import StaticGFTable
+
+            static_table = StaticGFTable.load(st_path)
+            logger.info("Using layered static GF table %s", st_path)
         composites["geodetic"] = GeodeticGeometryComposite(
             datasets, sources,
             noise_structure=gc.noise_estimator.structure,
             hp_specific=gc.dataset_specific_residual_noise_estimation,
-            corrections=corrections)
+            corrections=corrections, static_table=static_table)
     if "seismic" in pc.datatypes and config.seismic_config is not None:
         from beat_tpu.models.seismic import build_seismic_composite
 

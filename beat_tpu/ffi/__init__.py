@@ -3,7 +3,8 @@ Finite-fault inversion (FFI) machinery: fault discretization, linear
 Green's-function libraries and slip-stacking kernels.
 """
 
-from beat_tpu.ffi.fault import FaultGeometry, FaultOrdering, discretize_sources  # noqa: F401
+from beat_tpu.ffi.fault import (FaultGeometry, FaultOrdering,  # noqa: F401
+                                discretize_sources, write_fault_to_pscmp)
 from beat_tpu.ffi.gflibrary import (  # noqa: F401
     GeodeticGFLibrary,
     SeismicGFLibrary,

@@ -244,6 +244,71 @@ class FaultGeometry:
         return scipy.linalg.block_diag(*blocks)
 
 
+_PSCMP_HEADER = """\
+# beat_tpu complex fault geometry
+# for use with PSCMP from Wang et al. 2008
+#-----------------------------------------
+#===============================================================================
+# RECTANGULAR SUBFAULTS: n, lat0, lon0 then per subfault
+#   n  O_lat  O_lon  O_depth[km]  length[km]  width[km]  strike  dip  np_st  np_di  start_time[day]
+# followed by one line per patch:
+#   pos_s[km]  pos_d[km]  slip_along_strike[m]  slip_along_dip[m]  opening[m]
+#===============================================================================
+"""
+
+_DEG_PER_M = 1.0 / 111194.9  # spherical-earth metres -> degrees latitude
+
+
+def write_fault_to_pscmp(filename: str, fault: "FaultGeometry", point: dict,
+                         lat0: float = 0.0, lon0: float = 0.0,
+                         force: bool = False) -> str:
+    """
+    Dump the discretized fault + slip solution in PSCMP's rectangular-
+    subfault ascii format (reference ``write_fault_to_pscmp``
+    ``beat/ffi/fault.py:957``; format of Wang et al. 2008).
+
+    point : result point with ``uparr`` (along-strike slip) and
+        optionally ``uperp`` (down-dip) / ``utens`` (opening).
+    lat0, lon0 : geographic reference of the local ENU origin.
+    """
+    import os
+
+    if os.path.exists(filename) and not force:
+        raise IOError(f"File {filename} exists — pass force=True to overwrite")
+
+    uparr = np.asarray(point["uparr"], dtype=float)
+    uperp = np.asarray(point.get("uperp", np.zeros_like(uparr)), dtype=float)
+    utens = np.asarray(point.get("utens", np.zeros_like(uparr)), dtype=float)
+
+    lines = [_PSCMP_HEADER, f"{fault.nsubfaults}  {lat0:.6f}  {lon0:.6f}\n"]
+    for i in range(fault.nsubfaults):
+        sf = fault.get_subfault(i)
+        plane = sf.plane
+        # top-center anchor -> upper-left (strike-start) corner
+        sv = plane.strikevector
+        ul_e = plane.east_shift - sv[0] * plane.length / 2.0
+        ul_n = plane.north_shift - sv[1] * plane.length / 2.0
+        ul_lat = lat0 + ul_n * _DEG_PER_M
+        ul_lon = lon0 + ul_e * _DEG_PER_M / max(
+            np.cos(np.deg2rad(lat0)), 1e-12)
+        lines.append(
+            f"{i + 1}  {ul_lat:.6f}  {ul_lon:.6f}  {plane.depth / 1e3:.4f}  "
+            f"{plane.length / 1e3:.4f}  {plane.width / 1e3:.4f}  "
+            f"{plane.strike:.2f}  {plane.dip:.2f}  "
+            f"{sf.n_strike}  {sf.n_dip}  0.0\n")
+        slc = fault.ordering.slices[i]
+        centers = sf.patch_centers_local() / 1e3          # km
+        for (pos_s, pos_d), us, ud, op in zip(centers, uparr[slc],
+                                              uperp[slc], utens[slc]):
+            lines.append(f"  {pos_s:.4f}  {pos_d:.4f}  "
+                         f"{us:.5f}  {ud:.5f}  {op:.5f}\n")
+
+    with open(filename, "w") as f:
+        f.writelines(lines)
+    logger.info("Wrote PSCMP fault geometry to %s", filename)
+    return filename
+
+
 def extend_plane(source: RectangularSource, extension_width: float = 0.1,
                  extension_length: float = 0.1) -> RectangularSource:
     """

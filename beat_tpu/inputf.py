@@ -253,3 +253,71 @@ def load_seismic_datasets(project_dir: str, datadir: str = "./") -> list:
                 east=float(coords[0]), north=float(coords[1]),
                 ydata=z[f"{key}:ydata"]))
     return out
+
+
+# ---------------------------------------------------------------------------
+# GCMT catalog (NDK files)
+# ---------------------------------------------------------------------------
+
+
+def read_gcmt_ndk(path: str) -> list:
+    """
+    Parse a GlobalCMT NDK file (5 lines per event) into event dicts —
+    the zero-egress analogue of the reference's on-line GCMT catalog
+    search at ``beat init`` (``beat/apps/beat.py:341`` pyrocko
+    ``backend_catalog``).
+
+    Returns per event: ``name, date, time_s (within day), lat, lon,
+    depth [m], magnitude (Mw from the scalar moment), m6`` — the tensor
+    rotated from Harvard USE (r=up, t=south, p=east) to NED
+    ``(mnn, mee, mdd, mne, mnd, med)`` and normalised to unit Frobenius/√2.
+    """
+    events = []
+    with open(path) as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    if len(lines) % 5:
+        raise ValueError(f"{path}: NDK files hold 5 lines per event, "
+                         f"got {len(lines)} lines")
+    for i in range(0, len(lines), 5):
+        l1, l2, _, l4, l5 = lines[i:i + 5]
+        date = l1[5:15].strip()
+        hh, mm, ss = l1[16:26].strip().split(":")
+        fields4 = l4.split()
+        exponent = int(fields4[0])
+        # value/std pairs: Mrr Mtt Mpp Mrt Mrp Mtp
+        mrr, mtt, mpp, mrt, mrp, mtp = (float(v) for v in fields4[1::2])
+        # Harvard USE -> NED (Aki & Richards): nn=tt ee=pp dd=rr
+        # ne=-tp nd=rt ed=-rp
+        m6 = np.array([mtt, mpp, mrr, -mtp, mrt, -mrp])
+        norm = np.sqrt(np.sum(m6[:3] ** 2) + 2 * np.sum(m6[3:] ** 2)) / np.sqrt(2)
+        sc_mom = float(l5.split()[-7]) * 10.0 ** exponent   # dyne-cm
+        m0 = sc_mom * 1e-7                                  # N m
+        events.append({
+            "name": l2[:16].strip(),
+            "date": date.replace("/", "-"),
+            "time_s": int(hh) * 3600 + int(mm) * 60 + float(ss),
+            "lat": float(l1[27:33]),
+            "lon": float(l1[34:41]),
+            "depth": float(l1[42:47]) * 1e3,
+            "magnitude": 2.0 / 3.0 * (np.log10(max(m0, 1.0)) - 9.1),
+            "m6": m6 / max(norm, 1e-30),
+        })
+    return events
+
+
+def select_gcmt_event(events: list, name: str | None = None,
+                      date: str | None = None) -> dict:
+    """Pick one event by (partial) name or date string."""
+    if name:
+        hits = [e for e in events if name.lower() in e["name"].lower()]
+    elif date:
+        hits = [e for e in events if e["date"].startswith(date)]
+    else:
+        hits = events
+    if not hits:
+        raise ValueError(f"No NDK event matches name={name!r} date={date!r}; "
+                         f"available: {[e['name'] for e in events[:10]]}")
+    if len(hits) > 1:
+        logger.warning("%i NDK events match — taking the first (%s)",
+                       len(hits), hits[0]["name"])
+    return hits[0]

@@ -448,3 +448,32 @@ class TestCLILifecycle:
         hp = after.problem_config.hyperparameters
         assert "h_SAR" in hp
         assert float(hp["h_SAR"]["upper"][0]) - float(hp["h_SAR"]["lower"][0]) < 8.0
+
+
+class TestCheckStores:
+    def test_check_stores(self, tmp_path, capsys):
+        pdir = str(tmp_path / "storeproj")
+        assert run_cli("init", "storeproj", pdir, "--datatypes", "seismic") == 0
+
+        # no stores yet
+        assert run_cli("check", pdir, "--what", "stores") == 1
+        assert "No GF stores" in capsys.readouterr().out
+
+        # a healthy store
+        from beat_tpu.heart.gftable import build_homogeneous_table
+
+        table = build_homogeneous_table(np.linspace(20e3, 60e3, 3),
+                                        np.linspace(2e3, 8e3, 2), nt=64, dt=0.5)
+        table.save(os.path.join(pdir, "gf_table.npz"))
+        assert run_cli("check", pdir, "--what", "stores") == 0
+        assert "OK" in capsys.readouterr().out
+
+        # corrupt it: NaN traces must be flagged
+        with np.load(os.path.join(pdir, "gf_table.npz")) as z:
+            arrs = {k: z[k].copy() for k in z.files}
+        key = max((k for k in arrs if arrs[k].ndim >= 2),
+                  key=lambda k: arrs[k].size)
+        arrs[key][..., 0] = np.nan
+        np.savez(os.path.join(pdir, "gf_table.npz"), **arrs)
+        assert run_cli("check", pdir, "--what", "stores") == 1
+        assert "CORRUPT" in capsys.readouterr().out

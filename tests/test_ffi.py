@@ -231,3 +231,41 @@ class TestSeismicGFStacking:
         lib2 = SeismicGFLibrary.load(str(tmp_path), "seis_gf")
         np.testing.assert_allclose(np.asarray(lib2.data), np.asarray(lib.data))
         assert lib2.duration_sampling == lib.duration_sampling
+
+
+class TestPSCMPExport:
+    def test_write_fault_to_pscmp(self, tmp_path):
+        from beat_tpu.ffi import discretize_sources, write_fault_to_pscmp
+
+        ref = RectangularSource(east_shift=2e3, north_shift=-1e3, depth=1e3,
+                                strike=30.0, dip=60.0, length=6e3, width=4e3)
+        fault = discretize_sources([ref], patch_length=2e3, patch_width=2e3)
+        rng = np.random.default_rng(0)
+        point = {"uparr": rng.uniform(0, 2, fault.npatches),
+                 "uperp": rng.uniform(-0.5, 0.5, fault.npatches)}
+        path = str(tmp_path / "fault.pscmp")
+        write_fault_to_pscmp(path, fault, point, lat0=10.0, lon0=20.0)
+
+        text = open(path).read()
+        assert "PSCMP" in text
+        rows = [ln for ln in text.splitlines()
+                if ln and not ln.startswith("#")]
+        # header row: n_faults lat0 lon0
+        n_sf, lat0, lon0 = rows[0].split()
+        assert int(n_sf) == 1 and float(lat0) == 10.0
+        # subfault row: index, ul_lat, ul_lon, depth, L, W, strike, dip, np_st, np_di, t
+        sf_row = rows[1].split()
+        assert int(sf_row[8]) == 3 and int(sf_row[9]) == 2  # 3x2 patches
+        np.testing.assert_allclose(float(sf_row[4]), 6.0)   # length km
+        np.testing.assert_allclose(float(sf_row[7]), 60.0)  # dip
+        # patch rows: pos_s pos_d slip_strike slip_dip opening
+        patch_rows = rows[2:]
+        assert len(patch_rows) == fault.npatches
+        first = [float(x) for x in patch_rows[0].split()]
+        np.testing.assert_allclose(first[:2], [1.0, 1.0])   # center of 2km patch
+        np.testing.assert_allclose(first[2], point["uparr"][0], rtol=1e-4)
+        np.testing.assert_allclose(first[4], 0.0)
+
+        with pytest.raises(IOError):
+            write_fault_to_pscmp(path, fault, point)
+        write_fault_to_pscmp(path, fault, point, force=True)

@@ -205,3 +205,67 @@ class TestImportCLI:
         assert names == ["asc", "gnss_east", "gnss_north", "gnss_up"]
         gnss = next(d for d in datasets if d.name == "gnss_east")
         assert gnss.displacement.size == 1  # BBBB blacklisted
+
+
+NDK_FIXTURE = (
+    "PDE  2005/01/01 01:20:05.4  13.78  -88.78 193.1 5.0 5.0 EL SALVADOR\n"
+    "B010105A         B:  4    4  40 S: 27   33  95 M:  0    0   0 CMT: 1 TRIHD: 0.6\n"
+    "CENTROID:     -0.3 0.9  13.76 0.06  -89.08 0.09 162.8 12.5 FREE S-20050322125201\n"
+    "24  0.838 0.201  0.005 0.231 -0.843 0.270  1.050 0.121 -0.369 0.161  0.044 0.240\n"
+    "V10   1.581 56  12  -0.537 23 140  -1.044 24 241   1.312  9 29  142 133 66  80\n"
+    "PDE  2005/01/02 13:58:23.3  -5.55  151.20  38.0 6.4 6.1 NEW BRITAIN REGION, P\n"
+    "C200501021358A   B: 80  141  17 S:123  240  96 M:  0    0   0 CMT: 1 TRIHD: 0.7\n"
+    "CENTROID:      2.8 0.1  -5.62 0.01  151.12 0.01  41.4  0.7 FREE S-20050322130importa\n"
+    "25  1.250 0.011 -0.306 0.012 -0.944 0.012  0.470 0.206  2.600 0.262 -0.867 0.009\n"
+    "V10   3.197 45 136   0.288 3 232  -3.484 45 325   3.340 100 21  70 278 69  97\n"
+)
+
+
+class TestGCMTNDK:
+    def test_read_and_select(self, tmp_path):
+        from beat_tpu.inputf import read_gcmt_ndk, select_gcmt_event
+
+        path = tmp_path / "cat.ndk"
+        path.write_text(NDK_FIXTURE)
+        events = read_gcmt_ndk(str(path))
+        assert len(events) == 2
+        ev = events[0]
+        assert ev["name"] == "B010105A"
+        assert ev["date"] == "2005-01-01"
+        np.testing.assert_allclose(ev["lat"], 13.78)
+        np.testing.assert_allclose(ev["lon"], -88.78)
+        np.testing.assert_allclose(ev["depth"], 193.1e3)
+        # M0 = 1.312e24 dyne-cm = 1.312e17 Nm -> Mw ~ 5.35
+        np.testing.assert_allclose(ev["magnitude"], 5.34, atol=0.02)
+        # unit Frobenius/sqrt(2) normalisation of the NED tensor
+        m6 = ev["m6"]
+        np.testing.assert_allclose(
+            np.sqrt(np.sum(m6[:3] ** 2) + 2 * np.sum(m6[3:] ** 2)) / np.sqrt(2),
+            1.0, rtol=1e-6)
+        # USE->NED: mdd = Mrr sign carried through
+        assert np.sign(m6[2]) == np.sign(0.838)
+        sel = select_gcmt_event(events, name="C200501021358A")
+        assert sel["date"] == "2005-01-02"
+        sel2 = select_gcmt_event(events, date="2005-01-01")
+        assert sel2["name"] == "B010105A"
+        with pytest.raises(ValueError):
+            select_gcmt_event(events, name="nonexistent")
+
+    def test_init_from_ndk_cli(self, tmp_path):
+        from beat_tpu.apps.cli import main
+        from beat_tpu.config import load_config
+
+        path = tmp_path / "cat.ndk"
+        path.write_text(NDK_FIXTURE)
+        pdir = str(tmp_path / "proj")
+        rc = main(["init", "gcmtproj", pdir, "--datatypes", "seismic",
+                   "--source_types", "MTSource",
+                   "--gcmt_ndk", str(path), "--event_name", "B010105A"])
+        assert rc == 0
+        config = load_config(pdir)
+        assert config.event.name == "B010105A"
+        np.testing.assert_allclose(config.event.lat, 13.78)
+        np.testing.assert_allclose(config.event.depth, 193.1e3)
+        # MT prior test values seeded from the catalog mechanism
+        tv = config.problem_config.priors["mdd"]["testvalue"]
+        assert abs(float(tv[0])) > 0
