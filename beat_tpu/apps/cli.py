@@ -21,11 +21,21 @@ SUBCOMMANDS = [
 ]
 
 
+class _VersionAction(argparse.Action):
+    def __call__(self, parser, *a, **kw):
+        from beat_tpu.info import runtime_info
+
+        print(runtime_info())
+        parser.exit(0)
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="beat-tpu",
         description="TPU-native Bayesian earthquake-source inversion",
     )
+    parser.add_argument("--version", nargs=0, action=_VersionAction,
+                        help="framework + backend versions")
     sub = parser.add_subparsers(dest="command")
 
     from beat_tpu.apps import commands
@@ -34,7 +44,16 @@ def build_parser() -> argparse.ArgumentParser:
         register = getattr(commands, f"register_{name}", None)
         if register is not None:
             register(sub)
+    p = sub.add_parser("completions", help="print the bash completion script")
+    p.set_defaults(handler=_cmd_completions)
     return parser
+
+
+def _cmd_completions(args) -> int:
+    from beat_tpu.apps.completion import completion_script
+
+    print(completion_script())
+    return 0
 
 
 def main(argv=None) -> int:

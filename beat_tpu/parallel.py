@@ -122,3 +122,51 @@ def shard_chain_state(state, mesh: Mesh):
 def pad_chains(n_chains: int, n_devices: int) -> int:
     """Round the chain count up to a multiple of the device count."""
     return ((n_chains + n_devices - 1) // n_devices) * n_devices
+
+
+# ---------------------------------------------------------------------------
+# multi-host (the reference's MPI tier, ``beat/sampler/distributed.py``)
+# ---------------------------------------------------------------------------
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """
+    Join a multi-host JAX runtime (ICI/DCN pod slices): the TPU-native
+    replacement of the reference's MPI launcher
+    (``beat/sampler/distributed.py:95-146`` mpirun + SIGINT cleanup).
+
+    On TPU pods all arguments auto-resolve from the environment; on CPU
+    /GPU clusters pass them explicitly (or set ``JAX_COORDINATOR_ADDRESS``
+    / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID``).  After this call
+    ``jax.devices()`` is GLOBAL across hosts, so :func:`make_chain_mesh`
+    / :func:`make_gf_mesh` build pod-wide meshes unchanged — the chain
+    axis rides DCN between slices, targets stay intra-slice on ICI.
+
+    Returns this host's process index.  Call once, before any other
+    backend-initializing JAX call.
+    """
+    import os
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address
+        or os.environ.get("JAX_COORDINATOR_ADDRESS"),
+        num_processes=num_processes
+        or _int_env("JAX_NUM_PROCESSES"),
+        process_id=process_id or _int_env("JAX_PROCESS_ID"))
+    idx = jax.process_index()
+    logger.info("Distributed runtime: process %i/%i, %i global devices",
+                idx, jax.process_count(), len(jax.devices()))
+    return idx
+
+
+def _int_env(name: str):
+    val = __import__("os").environ.get(name)
+    return int(val) if val is not None else None
+
+
+def is_io_process() -> bool:
+    """True on the process that should write checkpoints/traces
+    (process 0; trivially true single-host)."""
+    return jax.process_index() == 0

@@ -243,7 +243,9 @@ def pt_sample(
                "swap_acceptance": np.asarray(swap_acc_history),
                "betas": betas}
 
-    if homepath is not None:
+    from beat_tpu.parallel import is_io_process
+
+    if homepath is not None and is_io_process():
         handler = SampleStage(homepath, ordering=ordering)
         state_extra = {"beta": 1.0, "cov": cov, "population": np.asarray(state.q),
                        "likelihoods": np.asarray(state.llk),

@@ -145,7 +145,12 @@ def smc_sample(
     rng = np.random.default_rng(params.seed)
     key = jax.random.PRNGKey(params.seed)
 
-    handler = SampleStage(homepath, ordering=ordering) if homepath else None
+    # multi-host: only process 0 writes checkpoints (others share the
+    # filesystem view or have none)
+    from beat_tpu.parallel import is_io_process
+
+    handler = (SampleStage(homepath, ordering=ordering)
+               if homepath and is_io_process() else None)
 
     # ---- resume logic (reference init_stage, sampler/base.py:618) ----
     stage = params.stage

@@ -477,3 +477,18 @@ class TestCheckStores:
         np.savez(os.path.join(pdir, "gf_table.npz"), **arrs)
         assert run_cli("check", pdir, "--what", "stores") == 1
         assert "CORRUPT" in capsys.readouterr().out
+
+
+def test_version_and_completions(capsys):
+    from beat_tpu.apps.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["--version"])
+    out = capsys.readouterr().out
+    assert "beat_tpu" in out and "jax" in out
+
+    assert main(["completions"]) == 0
+    script = capsys.readouterr().out
+    for word in ("sample", "build_gfs", "--mode", "RingfaultSource",
+                 "complete -F _beat_tpu beat-tpu"):
+        assert word in script
