@@ -147,6 +147,41 @@ def plot_station_map(problem, po: PlotOptions | None = None):
     for src in sources:
         ax.scatter([src.east_shift / 1e3], [src.north_shift / 1e3],
                    marker="*", s=200, color="gold", edgecolor="k", zorder=4)
+    # epicentral distance rings (GMT-map analogue)
+    if seis is not None and hasattr(seis, "wavemaps"):
+        dmax = max((float(np.hypot(wmap.station_east,
+                                   wmap.station_north).max())
+                    for wmap in seis.wavemaps), default=0.0) / 1e3
+        if dmax > 0:
+            step = max(np.round(dmax / 3 / 10) * 10, 10)
+            for rkm in np.arange(step, dmax + step, step):
+                ring = plt.Circle((0, 0), rkm, fill=False, color="grey",
+                                  lw=0.5, ls="--", zorder=1)
+                ax.add_patch(ring)
+                ax.annotate(f"{rkm:.0f} km", (0, rkm), fontsize=6,
+                            color="grey", ha="center")
+    # focal-mechanism inset for MT-family sources
+    m6s = []
+    for src in sources:
+        m6 = getattr(src, "m6", None)
+        if callable(m6):
+            try:
+                arr = np.asarray(m6())
+                if np.abs(arr).max() > 0:
+                    m6s.append(arr)
+            except Exception:
+                pass
+    if m6s:
+        from beat_tpu.plotting.mt import beachball_image
+
+        inset = ax.inset_axes([0.01, 0.01, 0.22, 0.22])
+        inset.imshow(beachball_image(m6s, grid_n=101),
+                     extent=[-1, 1, -1, 1], origin="lower",
+                     cmap="RdGy_r", vmin=-1, vmax=1)
+        inset.add_patch(plt.Circle((0, 0), 1.0, fill=False, color="k",
+                                   lw=0.8))
+        inset.set_aspect("equal")
+        inset.axis("off")
     ax.set_xlabel("east [km]")
     ax.set_ylabel("north [km]")
     ax.set_aspect("equal")

@@ -101,19 +101,9 @@ def plot_fuzzy_mt_decomp(problem, po: PlotOptions | None = None, n_samples=500):
     return save_figure(fig, problem.outfolder, "fuzzy_mt_decomp", po)
 
 
-def plot_fuzzy_beachball(problem, po: PlotOptions | None = None, n_samples=200,
-                         grid_n: int = 151):
-    """
-    Posterior-averaged P-polarity beachball: lower-hemisphere
-    (Lambert azimuthal) image of the mean radiation sign over posterior
-    MT samples (reference ``fuzzy_beachball``).
-    """
-    import matplotlib.pyplot as plt
-
-    po = po or PlotOptions()
-    m6s = _posterior_m6s(problem, po, n_samples)
-
-    # lower-hemisphere grid in Lambert equal-area projection
+def beachball_image(m6s, grid_n: int = 151) -> np.ndarray:
+    """Lower-hemisphere (Lambert equal-area) mean P-polarity image of a
+    set of NED m6 tensors; NaN outside the unit circle."""
     x = np.linspace(-1, 1, grid_n)
     X, Y = np.meshgrid(x, x)
     R2 = X**2 + Y**2
@@ -130,10 +120,25 @@ def plot_fuzzy_beachball(problem, po: PlotOptions | None = None, n_samples=200,
 
     acc = np.zeros(gamma.shape[0])
     for m6 in m6s:
-        amp = radiation_amplitude(m6 / np.abs(m6).max(), gamma)
+        amp = radiation_amplitude(np.asarray(m6) / np.abs(m6).max(), gamma)
         acc += np.sign(amp)
     img = np.full(X.shape, np.nan)
-    img[mask] = acc / len(m6s)
+    img[mask] = acc / max(len(m6s), 1)
+    return img
+
+
+def plot_fuzzy_beachball(problem, po: PlotOptions | None = None, n_samples=200,
+                         grid_n: int = 151):
+    """
+    Posterior-averaged P-polarity beachball: lower-hemisphere
+    (Lambert azimuthal) image of the mean radiation sign over posterior
+    MT samples (reference ``fuzzy_beachball``).
+    """
+    import matplotlib.pyplot as plt
+
+    po = po or PlotOptions()
+    m6s = _posterior_m6s(problem, po, n_samples)
+    img = beachball_image(m6s, grid_n)
 
     fig, ax = plt.subplots(figsize=(5, 5))
     im = ax.imshow(img, extent=[-1, 1, -1, 1], origin="lower",

@@ -16,9 +16,29 @@ def _map_point(problem, po):
     return problem.ordering.to_point(pop[int(np.argmax(llks))])
 
 
-def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None):
-    """Observed vs synthetic windows per station/channel
-    (reference ``waveform_fits``)."""
+def _posterior_draws(problem, po, n_draws):
+    """Random posterior points for fuzzy plot ensembles."""
+    from beat_tpu.backend import SampleStage
+
+    handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+    trace = handler.load_trace(po.load_stage)
+    flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
+    rng = np.random.default_rng(po.load_stage + 17)
+    idx = rng.choice(flat.shape[0], size=min(n_draws, flat.shape[0]),
+                     replace=False)
+    return [problem.ordering.to_point(q) for q in flat[idx]]
+
+
+def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
+                       n_ensemble: int = 25):
+    """
+    Per-station waveform-fit pages (reference ``seismic_fits``
+    ``beat/plotting/seismic.py``): observed (black) vs MAP synthetic
+    (red) with the posterior-ensemble envelope (grey band, ``nensemble``
+    analogue), per-trace variance reduction, epicentral distance/azimuth
+    annotations and amplitude scale; spectrum-domain wavemaps plot
+    amplitude spectra.  One figure per wavemap; returns the last path.
+    """
     import matplotlib.pyplot as plt
 
     po = po or PlotOptions()
@@ -29,31 +49,69 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None):
         point = _map_point(problem, po)
 
     synths = comp.get_synthetics(point)
+    ens_points = _posterior_draws(problem, po, n_ensemble) if n_ensemble else []
+    ens_synths = [comp.get_synthetics(p) for p in ens_points]
+
     wavemaps = getattr(comp, "wavemaps", None) or [w for w, _ in comp.wavemaps_libs]
+    path = None
     for wmap in wavemaps:
-        syn = synths[wmap.name]
-        obs = wmap.data_windows
+        syn = np.asarray(synths[wmap.name])
+        obs = np.asarray(wmap.data_windows)
+        spectral = getattr(wmap, "domain", "time") == "spectrum"
+        if ens_synths:
+            ens = np.stack([np.asarray(s[wmap.name]) for s in ens_synths])
+            lo_env, hi_env = ens.min(axis=0), ens.max(axis=0)
         nt = wmap.ntargets
         ncols = 2
         nrows = (nt + ncols - 1) // ncols
-        fig, axes = plt.subplots(nrows, ncols, figsize=(10, 1.6 * nrows),
+        fig, axes = plt.subplots(nrows, ncols, figsize=(10, 1.8 * nrows),
                                  squeeze=False)
-        t = np.arange(wmap.nsamples_win) * wmap.table.dt + wmap.taper.a
+        if spectral:
+            t = np.arange(obs.shape[1]) / (obs.shape[1] * wmap.table.dt * 2)
+            xlabel = "frequency [Hz]"
+        else:
+            t = np.arange(wmap.nsamples_win) * wmap.table.dt + wmap.taper.a
+            xlabel = "time since arrival taper [s]"
+        dists = np.hypot(np.asarray(wmap.station_east),
+                         np.asarray(wmap.station_north))
+        azis = np.rad2deg(np.arctan2(np.asarray(wmap.station_east),
+                                     np.asarray(wmap.station_north))) % 360
         for i in range(nt):
             ax = axes[i // ncols][i % ncols]
+            if ens_synths:
+                ax.fill_between(t, lo_env[i], hi_env[i], color="grey",
+                                alpha=0.35, lw=0, label="posterior")
             ax.plot(t, obs[i], "k", lw=0.8, label="data")
-            ax.plot(t, syn[i], "r", lw=0.8, label="synth")
+            ax.plot(t, syn[i], "r", lw=0.8, label="MAP")
             ds = wmap.datasets[i]
-            ax.text(0.02, 0.85, f"{ds.station}.{ds.channel}", fontsize=7,
-                    transform=ax.transAxes)
+            vr = max(1.0 - ((obs[i] - syn[i]) ** 2).sum() / max(
+                (obs[i] ** 2).sum(), 1e-30), -9.99)
+            ax.text(0.02, 0.82, f"{ds.station}.{ds.channel}", fontsize=7,
+                    transform=ax.transAxes, weight="bold")
+            ax.text(0.02, 0.04,
+                    f"{dists[i] / 1e3:.0f} km  {azis[i]:.0f}°  "
+                    f"VR {100 * vr:.0f}%",
+                    fontsize=6, transform=ax.transAxes)
+            ax.text(0.98, 0.82, f"|max| {np.abs(obs[i]).max():.2e}",
+                    fontsize=6, ha="right", transform=ax.transAxes)
+            if not spectral:
+                # taper flanks (reference plots the arrival taper)
+                for x in (wmap.taper.b, wmap.taper.c):
+                    ax.axvline(x, color="#2c7fb8", lw=0.5, ls=":")
             format_axes(ax)
             ax.set_yticks([])
-        axes[0][0].legend(fontsize=7, loc="upper right")
+            if i // ncols == nrows - 1:
+                ax.set_xlabel(xlabel, fontsize=7)
+            ax.tick_params(labelsize=6)
+        axes[0][0].legend(fontsize=6, loc="upper right")
         for j in range(nt, nrows * ncols):
             axes[j // ncols][j % ncols].axis("off")
-        fig.suptitle(f"waveform fits — {wmap.name}", fontsize=10)
+        fig.suptitle(f"waveform fits — {wmap.name}"
+                     + (" (spectra)" if spectral else ""), fontsize=10)
         fig.tight_layout()
-        return save_figure(fig, problem.outfolder, f"waveform_fits_{wmap.name}", po)
+        path = save_figure(fig, problem.outfolder,
+                           f"waveform_fits_{wmap.name}", po)
+    return path
 
 
 def plot_station_variance_reductions(problem, po: PlotOptions | None = None, point=None):
