@@ -127,6 +127,7 @@ def pt_sample(
     ordering=None,
     start: np.ndarray | None = None,
     logp_args: tuple = (),
+    mesh=None,
 ):
     """
     Run parallel tempering; returns the posterior trace
@@ -137,6 +138,12 @@ def pt_sample(
     ``params.record_worker_chains`` the tempered replicas' draws are
     saved to the stage handler too (reference ``record_worker_chains``
     worker traces).
+
+    mesh : optional :class:`jax.sharding.Mesh` — shards the temperature
+        ladder (replica rows) across devices; the even/odd swap becomes
+        an XLA cross-device permute (the TPU analogue of the reference's
+        MPI master/worker swaps, ``pt.py:258``).  Results are identical
+        to the single-device run.
     """
     lower64 = np.asarray(lower, dtype=np.float64)
     upper64 = np.asarray(upper, dtype=np.float64)
@@ -162,6 +169,17 @@ def pt_sample(
     scaling = jnp.ones((n,))
     state = MetropolisState(q=q, llk=llk, scaling=scaling,
                             accepted=jnp.zeros((n,)), acc_total=jnp.zeros((n,)), key=sub)
+    if mesh is not None:
+        from beat_tpu.parallel import replicated, shard_chain_state
+
+        if n % mesh.devices.size:
+            raise ValueError(
+                f"n_chains={n} must be a multiple of the mesh size "
+                f"{mesh.devices.size} for temperature-axis sharding")
+        state = shard_chain_state(state, mesh)
+        cov_chol = jax.device_put(cov_chol, replicated(mesh))
+        lo = jax.device_put(lo, replicated(mesh))
+        hi = jax.device_put(hi, replicated(mesh))
 
     seg_lo, seg_hi = params.swap_interval
     mean_seg = (seg_lo + seg_hi) // 2

@@ -88,6 +88,37 @@ class TestChainMesh:
         dryrun_multichip(8)
 
 
+class TestPTTemperatureSharding:
+    def test_pt_sharded_equals_unsharded(self):
+        """The temperature ladder sharded over the mesh must reproduce
+        the single-device PT run exactly (swaps become cross-device
+        permutes)."""
+        from beat_tpu.samplers.pt import PTParams, pt_sample
+
+        def pt_logp(x):
+            return -0.5 * jnp.sum((x - 1.0) ** 2) / 0.09
+
+        lo = np.zeros(2)
+        hi = np.full(2, 3.0)
+        params = PTParams(n_chains=16, n_chains_posterior=4, n_samples=400,
+                          swap_interval=(6, 10), seed=5)
+        q1, llk1, hist1 = pt_sample(pt_logp, lo, hi, params)
+        mesh = make_chain_mesh()
+        q2, llk2, hist2 = pt_sample(pt_logp, lo, hi, params, mesh=mesh)
+        np.testing.assert_allclose(q2, q1, atol=1e-6)
+        np.testing.assert_allclose(llk2, llk1, atol=1e-5)
+        np.testing.assert_allclose(hist2["betas"], hist1["betas"])
+
+    def test_pt_mesh_size_guard(self):
+        from beat_tpu.samplers.pt import PTParams, pt_sample
+
+        mesh = make_chain_mesh()
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            pt_sample(lambda x: -jnp.sum(x**2), np.zeros(2), np.ones(2),
+                      PTParams(n_chains=10, n_chains_posterior=2,
+                               n_samples=40), mesh=mesh)
+
+
 class TestGFTargetSharding:
     """GF-library model parallelism (HBM-budget path): the 5-D kinematic
     library is split along its targets axis over a (chains, targets)
