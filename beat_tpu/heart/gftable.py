@@ -126,11 +126,16 @@ class GreensTable:
 
     # -- the forward kernel --------------------------------------------------
 
-    def gather_spectra(self, distance, depth):
+    def gather_spectra(self, distance, depth, comp_idx=None):
         """
         Bilinear (distance, depth) interpolation of the table for a batch
         of targets: distance (ntargets,), depth scalar/() traced.
-        Returns (ntargets, 6, 3, nfreq, 2) float32.
+
+        With ``comp_idx`` (ntargets,) the per-target channel selection is
+        FUSED into the gather — each target reads only its own Z/R/T
+        block, cutting the HBM traffic of the sampler's hottest gather
+        3×.  Returns (ntargets, 6, nfreq, 2); without it,
+        (ntargets, 6, 3, nfreq, 2).
         """
         d_grid = jnp.asarray(self.distances)
         z_grid = jnp.asarray(self.depths)
@@ -141,10 +146,23 @@ class GreensTable:
                       0.0, z_grid.size - 1.001)
         d0 = jnp.floor(di).astype(jnp.int32)
         z0 = jnp.floor(zi).astype(jnp.int32)
-        fd = (di - d0)[..., None, None, None, None]
-        fz = (zi - z0)[..., None, None, None, None]
 
         sp = self.spectra  # (6, 3, nd, nz, nf, 2)
+        if comp_idx is not None:
+            c = comp_idx.astype(jnp.int32)
+            fd = (di - d0)[..., None, None, None]
+            fz = (zi - z0)[..., None, None, None]
+            g00 = sp[:, c, d0, z0]      # (6, ntargets, nf, 2)
+            g10 = sp[:, c, d0 + 1, z0]
+            g01 = sp[:, c, d0, z0 + 1]
+            g11 = sp[:, c, d0 + 1, z0 + 1]
+            return ((1 - fd) * (1 - fz) * jnp.moveaxis(g00, 1, 0)
+                    + fd * (1 - fz) * jnp.moveaxis(g10, 1, 0)
+                    + (1 - fd) * fz * jnp.moveaxis(g01, 1, 0)
+                    + fd * fz * jnp.moveaxis(g11, 1, 0))  # (nt, 6, nf, 2)
+
+        fd = (di - d0)[..., None, None, None, None]
+        fz = (zi - z0)[..., None, None, None, None]
         g00 = sp[:, :, d0, z0]      # (6, 3, ntargets, nf, 2)
         g10 = sp[:, :, d0 + 1, z0]
         g01 = sp[:, :, d0, z0 + 1]
@@ -168,12 +186,11 @@ class GreensTable:
         distance = jnp.sqrt(de**2 + dn**2)
         azimuth = jnp.arctan2(de, dn)
 
-        g = self.gather_spectra(distance, depth)               # (nt, 6, 3, nf, 2)
+        # channel selection fused into the gather (3× less HBM traffic
+        # than gathering all Z/R/T and discarding two after the einsum)
+        g = self.gather_spectra(distance, depth, comp_idx)     # (nt, 6, nf, 2)
         m6_ray = rotate_m6_to_ray_frame(m6[None, :], azimuth)  # (nt, 6)
-        spec_zrt = jnp.einsum("tk,tkcfr->tcfr", m6_ray.astype(g.dtype), g)
-        spec = jnp.take_along_axis(
-            spec_zrt, comp_idx[:, None, None, None].astype(jnp.int32),
-            axis=1)[:, 0]
+        spec = jnp.einsum("tk,tkfr->tfr", m6_ray.astype(g.dtype), g)
         if filter_response is not None:
             spec = cmul(spec, filter_response[None])
         return spec
@@ -244,6 +261,32 @@ class GreensTable:
 
         wins = jax.vmap(cut)(traces, window_starts)
         return wins * window_taper[None, :]
+
+    def windowed_ibasis(self, window_starts, window_taper, nsamples_win):
+        """
+        Per-target inverse-DFT basis restricted to each target's taper
+        window WITH the taper folded in: (ICw, ISw), each
+        (ntargets, nfreq, nsamples_win).
+
+        ``wins = einsum('tf,tfw->tw', re, ICw) + …(im, ISw)`` then equals
+        :meth:`synthesize_windows` in one fused matmul — the hot-loop
+        version: no full-length traces, ~nt/nsamples_win fewer iDFT
+        FLOPs, no dynamic slices, taper free.  Precompute once per
+        wavemap (window starts are chain-invariant).
+        """
+        IC, IS = self.ibasis
+        starts = np.asarray(window_starts, dtype=int)
+        ICw = np.stack([np.asarray(IC)[:, s:s + nsamples_win] for s in starts])
+        ISw = np.stack([np.asarray(IS)[:, s:s + nsamples_win] for s in starts])
+        taper = np.asarray(window_taper, dtype=np.float32)[None, None, :]
+        return jnp.asarray(ICw * taper), jnp.asarray(ISw * taper)
+
+    @staticmethod
+    def synthesize_windows_fused(spec, ICw, ISw):
+        """Tapered windows from pair spectra via the per-target windowed
+        basis of :meth:`windowed_ibasis` → (ntargets, nsamples_win)."""
+        return (jnp.einsum("tf,tfw->tw", spec[..., 0], ICw)
+                + jnp.einsum("tf,tfw->tw", spec[..., 1], ISw))
 
 
 def _table_flatten(t: "GreensTable"):

@@ -199,6 +199,10 @@ class SeismicGeometryComposite(Composite):
             "comp_idx": jnp.asarray(wmap.comp_idx),
             "window_starts": jnp.asarray(wmap.window_starts),
             "taper": jnp.asarray(wmap.taper_window, dtype=jnp.float32),
+            # fused per-target windowed iDFT basis (taper folded in) —
+            # the hot-loop path; see GreensTable.windowed_ibasis
+            "win_basis": wmap.table.windowed_ibasis(
+                wmap.window_starts, wmap.taper_window, wmap.nsamples_win),
             # device filter response as a real (re, im) pair
             "filter": jnp.asarray(_pair(wmap.filter_response)),
             "weights": jnp.stack([jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
@@ -316,8 +320,7 @@ class SeismicGeometryComposite(Composite):
             spec_total = cmul(spec_total,
                               cexp(-2 * jnp.pi * freqs[None, :] * shifts[:, None]))
 
-        return table.synthesize_windows(
-            spec_total, dev["window_starts"], dev["taper"], wmap.nsamples_win)
+        return table.synthesize_windows_fused(spec_total, *dev["win_basis"])
 
     def synthetics_fit(self, point: dict, wmap_idx: int, data=None):
         """Synthetics in fit space: windows, or amplitude spectra when the
