@@ -5,6 +5,8 @@ Green's-function libraries and slip-stacking kernels.
 
 from beat_tpu.ffi.fault import (FaultGeometry, FaultOrdering,  # noqa: F401
                                 discretize_sources, write_fault_to_pscmp)
+from beat_tpu.ffi.transd import (TransDParams, masked_voronoi_slips,  # noqa: F401
+                                 transd_sample)
 from beat_tpu.ffi.gflibrary import (  # noqa: F401
     GeodeticGFLibrary,
     SeismicGFLibrary,
