@@ -261,7 +261,7 @@ class ProblemConfig:
 class SamplerConfig:
     """Reference ``SamplerConfig`` (``config.py:1836``)."""
 
-    name: str = "SMC"  # SMC | Metropolis | PT
+    name: str = "SMC"  # SMC | Metropolis | PT | TransD (ffi slip mode)
     backend: str = "npz"
     progressbar: bool = True
     buffer_thinning: int = 1
@@ -274,6 +274,10 @@ class SamplerConfig:
             return PTParams(**self.parameters)
         elif self.name == "Metropolis":
             return MetropolisParams(**self.parameters)
+        elif self.name == "TransD":
+            from beat_tpu.ffi.transd import TransDParams
+
+            return TransDParams(**self.parameters)
         raise ValueError(f"Unknown sampler {self.name}")
 
 

@@ -280,3 +280,60 @@ class SeismicDistributerComposite(Composite):
             res = obs - synths[wmap.name]
             out[wmap.name] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
         return out
+
+
+def transd_sample_ffi(composite, params, slip_varname: str | None = None,
+                      value_bounds: tuple | None = None,
+                      homepath: str | None = None, logp_args=None):
+    """
+    Trans-dimensional Voronoi slip inversion on a distributer composite
+    (the reference's reserved-but-unimplemented trans-d mode,
+    ``beat/config.py:88`` ``voronoi_locations``): node birth/death RJ-MCMC
+    over the fault plane with patch slips = nearest-active-node values
+    (:mod:`beat_tpu.ffi.transd`).
+
+    composite : GeodeticDistributerComposite (single-subfault fault).
+    value_bounds : slip prior bounds; defaults to the registry bounds of
+        the slip component.
+    homepath : optional stage dir — saves the thinned slip trace as a
+        final stage so summarize/plot work unchanged.
+
+    Returns the transd output dict (k_trace, slip_trace, …).
+    """
+    from beat_tpu.ffi.transd import transd_sample
+
+    fault = composite.fault
+    if fault.nsubfaults != 1:
+        raise NotImplementedError(
+            "trans-d Voronoi sampling currently supports a single subfault "
+            f"(got {fault.nsubfaults}); sample each subfault separately")
+    comp = slip_varname or composite.gflibrary.component_names[0]
+    if value_bounds is None:
+        from beat_tpu.parameter import Parameter
+
+        par = Parameter.from_defaults(comp)
+        value_bounds = (float(np.atleast_1d(par.lower)[0]),
+                        float(np.atleast_1d(par.upper)[0]))
+
+    sf = fault.get_subfault(0)
+    centers = sf.patch_centers_local()
+
+    def logp(slips):
+        return composite.loglike({comp: slips})
+
+    out = transd_sample(
+        logp, centers[:, 0], centers[:, 1],
+        extent_s=(0.0, sf.plane.length), extent_d=(0.0, sf.plane.width),
+        value_bounds=value_bounds, params=params)
+
+    if homepath is not None:
+        from beat_tpu.backend import SampleStage
+        from beat_tpu.utility import Ordering
+
+        ordering = Ordering([(comp, (fault.npatches,))])
+        handler = SampleStage(homepath, ordering=ordering)
+        handler.save_stage(-1, {"q": out["slip_trace"],
+                                "llk": out["llk_trace"]},
+                           {"beta": 1.0, "k_trace": out["k_trace"],
+                            "accept_rate": out["accept_rate"]})
+    return out

@@ -127,6 +127,18 @@ class Problem:
                 # refreshed covariances → refreshed device weights
                 return (self.logp_data(),)
 
+        from beat_tpu.ffi.transd import TransDParams
+
+        if isinstance(params, TransDParams):
+            from beat_tpu.models.distributer import (
+                GeodeticDistributerComposite, transd_sample_ffi)
+
+            comp = next((c for c in self.composites.values()
+                         if isinstance(c, GeodeticDistributerComposite)), None)
+            if comp is None:
+                raise ValueError("TransD sampling needs a geodetic "
+                                 "distributer composite (ffi mode)")
+            return transd_sample_ffi(comp, params, homepath=self.outfolder)
         if isinstance(params, SMCParams):
             return smc_sample(logp_fn, lower, upper, params,
                               homepath=self.outfolder, ordering=self.ordering,

@@ -86,3 +86,50 @@ def test_recovers_piecewise_slip():
     np.testing.assert_allclose(mean_slip[ps >= 6.0].mean(), 2.0, atol=0.35)
     # parsimony: data needs ~2 nodes, posterior k stays far below k_max
     assert out["k_trace"].mean() < 8.0
+
+
+def test_transd_ffi_composite(tmp_path):
+    """transd_sample_ffi drives a real distributer composite end-to-end
+    and saves a plottable final stage."""
+    from beat_tpu.backend import SampleStage
+    from beat_tpu.covariance import Covariance
+    from beat_tpu.ffi import discretize_sources, geo_construct_gf_linear
+    from beat_tpu.heart.geodesy import GeodeticDataset
+    from beat_tpu.models.distributer import (GeodeticDistributerComposite,
+                                             transd_sample_ffi)
+    from beat_tpu.sources import RectangularSource
+
+    rng = np.random.default_rng(4)
+    ref = RectangularSource(depth=1e3, dip=60.0, length=6e3, width=4e3)
+    fault = discretize_sources([ref], patch_length=1e3, patch_width=1e3)
+    coords = rng.uniform(-8e3, 8e3, (60, 2))
+    los = np.tile([0.0, 0.0, 1.0], (60, 1))
+    lib = geo_construct_gf_linear(fault, coords, los, components=("uparr",))
+
+    # true slip: deep half slips 1.5 m, shallow half 0.3 m
+    sf = fault.get_subfault(0)
+    centers = sf.patch_centers_local()
+    true = np.where(centers[:, 1] > 2e3, 1.5, 0.3)
+    synth = np.asarray(lib.stack_all(uparr=jnp.asarray(true)))
+    sd = 0.03 * np.abs(synth).max()
+    ds = GeodeticDataset(name="ifg", typ="SAR", coords=coords,
+                         displacement=synth + rng.normal(0, sd, synth.shape),
+                         los_vector=los,
+                         covariance=Covariance(data=np.eye(60) * sd**2))
+    comp = GeodeticDistributerComposite([ds], lib, fault)
+
+    out = transd_sample_ffi(
+        comp, TransDParams(k_max=10, n_chains=96, n_steps=3000,
+                           record_every=20, seed=5),
+        value_bounds=(0.0, 3.0), homepath=str(tmp_path / "run"))
+    mean_slip = out["slip_trace"].reshape(-1, fault.npatches).mean(axis=0)
+    corr = np.corrcoef(mean_slip, true)[0, 1]
+    assert corr > 0.7, f"slip correlation {corr:.3f}"
+
+    # the saved stage is loadable with the per-patch ordering
+    from beat_tpu.utility import Ordering
+
+    handler = SampleStage(str(tmp_path / "run"),
+                          ordering=Ordering([("uparr", (fault.npatches,))]))
+    tr = handler.load_trace(-1)
+    assert tr.q_trace.shape[-1] == fault.npatches
