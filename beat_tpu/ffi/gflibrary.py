@@ -178,26 +178,32 @@ class SeismicGFLibrary:
     component: str = "uparr"
     reference_times: np.ndarray | None = None  # (ntargets,) trace start wrt event
     data_tr: jnp.ndarray | None = None  # (T, P, N, D·S_pad) Pallas stacking layout
+    #: 5-D grid shape, kept when ``data`` is dropped (stacking-only mode)
+    shape5: tuple | None = None
+
+    @property
+    def _shape(self):
+        return self.shape5 if self.data is None else tuple(self.data.shape)
 
     @property
     def ntargets(self):
-        return self.data.shape[0]
+        return self._shape[0]
 
     @property
     def npatches(self):
-        return self.data.shape[1]
+        return self._shape[1]
 
     @property
     def ndurations(self):
-        return self.data.shape[2]
+        return self._shape[2]
 
     @property
     def nstarttimes(self):
-        return self.data.shape[3]
+        return self._shape[3]
 
     @property
     def nsamples(self):
-        return self.data.shape[4]
+        return self._shape[4]
 
     # -- index quantisation (reference ffi/base.py:486-568) -----------------
 
@@ -217,21 +223,31 @@ class SeismicGFLibrary:
         factors = ceil - s
         return ceil, factors
 
-    def with_stacking_layout(self) -> "SeismicGFLibrary":
+    def with_stacking_layout(self, keep_data: bool = True) -> "SeismicGFLibrary":
         """Return a copy carrying the Pallas stacking layout
         ``data_tr`` (lane-gatherable (T, P, N, D·S_pad) transpose; see
-        :mod:`beat_tpu.ops.gfstack`).  Computed once, eagerly."""
+        :mod:`beat_tpu.ops.gfstack`).  Computed once, eagerly.
+
+        keep_data=False drops the 5-D array — HALVES the HBM footprint
+        for production-scale libraries where only the Pallas path runs
+        (the transpose is then built host-side to avoid a device temp;
+        ``stack_all``'s XLA fallback becomes unavailable)."""
         if self.data_tr is not None:
             return self
-        from beat_tpu.ops.gfstack import to_stacking_layout
+        from beat_tpu.ops.gfstack import to_stacking_layout, to_stacking_layout_np
 
+        if keep_data:
+            data_tr = to_stacking_layout(self.data)
+        else:
+            data_tr = jnp.asarray(to_stacking_layout_np(np.asarray(self.data)))
         return SeismicGFLibrary(
-            data=self.data, duration_min=self.duration_min,
+            data=self.data if keep_data else None,
+            duration_min=self.duration_min,
             duration_sampling=self.duration_sampling,
             starttime_min=self.starttime_min,
             starttime_sampling=self.starttime_sampling,
             component=self.component, reference_times=self.reference_times,
-            data_tr=to_stacking_layout(self.data))
+            data_tr=data_tr, shape5=tuple(self.data.shape))
 
     def idxs2durations(self, idxs):
         return idxs * self.duration_sampling + self.duration_min
@@ -254,6 +270,11 @@ class SeismicGFLibrary:
 
         Returns (ntargets, nsamples).
         """
+        if self.data is None:
+            raise ValueError(
+                "5-D data was dropped (with_stacking_layout(keep_data="
+                "False)) — only the Pallas stack (stack_all_pallas/"
+                "stack_all_auto) is available for this library")
         data = jnp.asarray(self.data)
         t_idx = jnp.arange(self.ntargets)[:, None]
         p_idx = jnp.arange(self.npatches)[None, :]
@@ -313,17 +334,17 @@ def _seislib_flatten(lib: "SeismicGFLibrary"):
     rt = (None if lib.reference_times is None
           else tuple(map(float, np.asarray(lib.reference_times).ravel())))
     aux = (lib.duration_min, lib.duration_sampling, lib.starttime_min,
-           lib.starttime_sampling, lib.component, rt)
+           lib.starttime_sampling, lib.component, rt, lib.shape5)
     return (lib.data, lib.data_tr), aux
 
 
 def _seislib_unflatten(aux, children) -> "SeismicGFLibrary":
-    dmin, dsamp, smin, ssamp, component, rt = aux
+    dmin, dsamp, smin, ssamp, component, rt, shape5 = aux
     return SeismicGFLibrary(
         data=children[0], duration_min=dmin, duration_sampling=dsamp,
         starttime_min=smin, starttime_sampling=ssamp, component=component,
         reference_times=None if rt is None else np.asarray(rt),
-        data_tr=children[1])
+        data_tr=children[1], shape5=shape5)
 
 
 jax.tree_util.register_pytree_node(SeismicGFLibrary, _seislib_flatten,

@@ -74,6 +74,18 @@ def to_stacking_layout(data5):
     return jnp.pad(a, ((0, 0), (0, pp - P), (0, 0), (0, dsp - ds)))
 
 
+def to_stacking_layout_np(data5: np.ndarray) -> np.ndarray:
+    """Host-side :func:`to_stacking_layout` — for production-scale
+    libraries where the on-device transpose temp would not fit HBM."""
+    T, P, D, S, N = data5.shape
+    ds = D * S
+    dsp = _ceil_to(ds, LANE)
+    pp = _ceil_to(P, PATCH_BLOCK)
+    a = np.transpose(np.reshape(np.asarray(data5, np.float32),
+                                (T, P, ds, N)), (0, 1, 3, 2))
+    return np.pad(a, ((0, 0), (0, pp - P), (0, 0), (0, dsp - ds)))
+
+
 def _fits_vmem(N: int, DSP: int, Cp: int = 2048) -> bool:
     """Conservative VMEM guard (~16 MB/core on v5e): out block (N, Cp)
     + double-buffered cell (N, DSP) + gather temporaries, worst-case

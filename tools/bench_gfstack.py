@@ -24,14 +24,18 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_problem(C, T, P, D, S, N, seed=0):
+def make_problem(C, T, P, D, S, N, seed=0, keep_data=None):
     from beat_tpu.ffi import SeismicGFLibrary
 
     rng = np.random.default_rng(seed)
     data = rng.normal(size=(T, P, D, S, N)).astype(np.float32)
+    if keep_data is None:
+        # big libraries: stacking layout only (halves the HBM footprint)
+        keep_data = data.nbytes < 2 << 30
     lib = SeismicGFLibrary(
         data=jnp.asarray(data), duration_min=0.5, duration_sampling=0.5,
-        starttime_min=0.0, starttime_sampling=0.25).with_stacking_layout()
+        starttime_min=0.0,
+        starttime_sampling=0.25).with_stacking_layout(keep_data=keep_data)
     durations = jnp.asarray(rng.uniform(0.5, 2.0, (C, P)).astype(np.float32))
     starttimes = jnp.asarray(rng.uniform(0.0, 2.0, (C, T, P)).astype(np.float32))
     slips = jnp.asarray(rng.uniform(0, 3, (C, P)).astype(np.float32))
