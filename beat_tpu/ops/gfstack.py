@@ -88,9 +88,10 @@ def to_stacking_layout_np(data5: np.ndarray) -> np.ndarray:
 
 def _fits_vmem(N: int, DSP: int, Cp: int = 2048) -> bool:
     """Conservative VMEM guard (~16 MB/core on v5e): out block (N, Cp)
-    + double-buffered cell (N, DSP) + gather temporaries, worst-case
-    lockstep batch Cp=2048."""
-    need = 4 * (N * Cp * 2 + 2 * N * DSP + 4 * N * LANE)
+    + double-buffered cell (N, DSP) + double-buffered index rows
+    (5 × (8, Cp) worst case) + gather temporaries, worst-case lockstep
+    batch Cp=2048."""
+    need = 4 * (N * Cp * 2 + 2 * N * DSP + 10 * 8 * Cp + 4 * N * LANE)
     return need < 12 * 1024 * 1024
 
 
@@ -106,19 +107,21 @@ def _onehot_mm(cell, corners, nslabs):
     bound — while one (N,128)×(128,128) matmul is ~0.1 µs of MXU time.)
 
     cell : (N, nslabs·128) f32 — one (target, patch) grid cell
-    corners : iterable of (flat (128, 1) i32, weight (128, 1) f32) —
-        chains sublane-oriented so the one-hot build broadcasts along
-        lanes (Mosaic rejects sublane broadcasts of lane vectors)
+    corners : iterable of (flat (1, 128) i32, weight (1, 128) f32) —
+        chain ROWS; the one-hot build broadcasts them along sublanes
+        against a sublane iota.  (Row orientation keeps the HBM layout
+        of the (…, 1, Cp) index arrays 8×-padded instead of the 128×
+        blow-up of a trailing singleton lane axis.)
     returns (N, 128) f32
     """
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 0)
     acc = None
     for q in range(nslabs):
-        Wt = None                               # (chain, k) one-hot
+        W = None                                # (k, chain) one-hot
         for flat, weight in corners:
             Wc = jnp.where(k_iota == flat - q * LANE, weight, 0.0)
-            Wt = Wc if Wt is None else Wt + Wc
-        part = jnp.dot(cell[:, q * LANE:(q + 1) * LANE], Wt.T,
+            W = Wc if W is None else W + Wc
+        part = jnp.dot(cell[:, q * LANE:(q + 1) * LANE], W,
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
         acc = part if acc is None else acc + part
@@ -136,15 +139,15 @@ def _nearest_kernel(didx_ref, sidx_ref, slips_ref, cell_ref, out_ref,
     N = out_ref.shape[1]
     for cb in range(nCB):
         sl = slice(cb * LANE, (cb + 1) * LANE)
-
-        def body(j, acc, sl=sl):
+        acc = jnp.zeros((N, LANE), jnp.float32)
+        for j in range(PB):                           # static unroll
             cell = cell_ref[0, j]                     # (N, DSP)
-            flat = didx_ref[j] * S + sidx_ref[0, j]   # (Cp, 1) sublanes
-            w = slips_ref[j]
-            return acc + _onehot_mm(cell, ((flat[sl], w[sl]),), nslabs)
-
-        out_ref[0, :, sl] += jax.lax.fori_loop(
-            0, PB, body, jnp.zeros((N, LANE), jnp.float32))
+            # (1, LANE) slab rows at lane-offset 0 (Mosaic-broadcastable)
+            flat = (didx_ref[j, cb:cb + 1, :] * S
+                    + sidx_ref[0, j, cb:cb + 1, :])
+            w = slips_ref[j, cb:cb + 1, :]
+            acc = acc + _onehot_mm(cell, ((flat, w),), nslabs)
+        out_ref[0, :, sl] += acc
 
 
 def _multilinear_kernel(didx_ref, rtf_ref, sidx_ref, stf_ref, slips_ref,
@@ -158,25 +161,23 @@ def _multilinear_kernel(didx_ref, rtf_ref, sidx_ref, stf_ref, slips_ref,
     N = out_ref.shape[1]
     for cb in range(nCB):
         sl = slice(cb * LANE, (cb + 1) * LANE)
-
-        def body(j, acc, sl=sl):
+        acc = jnp.zeros((N, LANE), jnp.float32)
+        for j in range(PB):                   # static unroll
             cell = cell_ref[0, j]
-            d = didx_ref[j]                   # ceil duration idx (Cp, 1)
-            s = sidx_ref[0, j]                # ceil starttime idx
-            rf = rtf_ref[j]                   # floor-duration weight
-            sf = stf_ref[0, j]                # floor-starttime weight
-            w = slips_ref[j]
+            cbs = slice(cb, cb + 1)
+            d = didx_ref[j, cbs, :]           # ceil duration idx (1, LANE)
+            s = sidx_ref[0, j, cbs, :]        # ceil starttime idx
+            rf = rtf_ref[j, cbs, :]           # floor-duration weight
+            sf = stf_ref[0, j, cbs, :]        # floor-starttime weight
+            w = slips_ref[j, cbs, :]
             # corner (dur_floor/ceil, start_floor/ceil) weights —
             # reference ffi/base.py:680-698
             corners = (((d - 1) * S + (s - 1), w * rf * sf),
                        ((d - 1) * S + s, w * rf * (1.0 - sf)),
                        (d * S + (s - 1), w * (1.0 - rf) * sf),
                        (d * S + s, w * (1.0 - rf) * (1.0 - sf)))
-            return acc + _onehot_mm(
-                cell, [(f[sl], cw[sl]) for f, cw in corners], nslabs)
-
-        out_ref[0, :, sl] += jax.lax.fori_loop(
-            0, PB, body, jnp.zeros((N, LANE), jnp.float32))
+            acc = acc + _onehot_mm(cell, corners, nslabs)
+        out_ref[0, :, sl] += acc
 
 
 def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
@@ -212,23 +213,27 @@ def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
                     constant_values=fill)
         return jnp.pad(x, ((0, Cp - C),) + ((0, 0),) * (x.ndim - 1))
 
-    # chains sublane-oriented (trailing singleton lane axis): the kernel
-    # reads (Cp, 1) index/weight columns, which broadcast along lanes in
-    # the one-hot build; block last-two dims equal the array dims
-    # (Mosaic block-shape constraint)
-    def per_patch(x):                                       # (Pp, Cp, 1)
-        return jnp.transpose(padc(x), (1, 0))[:, :, None]
+    # chains as (nCB, LANE) slab rows: the kernel statically indexes one
+    # (1, LANE) full-width row per 128-chain block — lane offset 0, which
+    # Mosaic can broadcast along sublanes in the one-hot build — and the
+    # HBM layout is exactly tile-shaped (zero padding).  (A trailing
+    # (…, Cp, 1) sublane orientation pads the minor axis 128× — at
+    # production scale that blew a 47 MB index array up to 5.9 GB and
+    # OOM'd the chip; a (…, 1, Cp) row layout fixes HBM but its
+    # lane-offset slab slices are layouts Mosaic refuses to broadcast.)
+    def per_patch(x):                                   # (Pp, nCB, LANE)
+        return jnp.transpose(padc(x), (1, 0)).reshape(Pp, nCB, LANE)
 
-    def per_target_patch(x):                                # (T, Pp, Cp, 1)
-        return jnp.transpose(padc(x), (1, 2, 0))[:, :, :, None]
+    def per_target_patch(x):                            # (T, Pp, nCB, LANE)
+        return jnp.transpose(padc(x), (1, 2, 0)).reshape(T, Pp, nCB, LANE)
 
     didxT = per_patch(didx.astype(jnp.int32))
     sidxT = per_target_patch(sidx.astype(jnp.int32))
     slipsT = per_patch(slips.astype(jnp.float32))
 
-    pp_spec = pl.BlockSpec((PB, Cp, 1), lambda t, p: (p, 0, 0),
+    pp_spec = pl.BlockSpec((PB, nCB, LANE), lambda t, p: (p, 0, 0),
                            memory_space=pltpu.VMEM)
-    tp_spec = pl.BlockSpec((1, PB, Cp, 1), lambda t, p: (t, p, 0, 0),
+    tp_spec = pl.BlockSpec((1, PB, nCB, LANE), lambda t, p: (t, p, 0, 0),
                            memory_space=pltpu.VMEM)
 
     multilinear = rtf is not None
