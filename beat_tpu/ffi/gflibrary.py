@@ -223,7 +223,8 @@ class SeismicGFLibrary:
         factors = ceil - s
         return ceil, factors
 
-    def with_stacking_layout(self, keep_data: bool = True) -> "SeismicGFLibrary":
+    def with_stacking_layout(self, keep_data: bool = True,
+                             dtype=None) -> "SeismicGFLibrary":
         """Return a copy carrying the Pallas stacking layout
         ``data_tr`` (lane-gatherable (T, P, N, D·S_pad) transpose; see
         :mod:`beat_tpu.ops.gfstack`).  Computed once, eagerly.
@@ -231,15 +232,20 @@ class SeismicGFLibrary:
         keep_data=False drops the 5-D array — HALVES the HBM footprint
         for production-scale libraries where only the Pallas path runs
         (the transpose is then built host-side to avoid a device temp;
-        ``stack_all``'s XLA fallback becomes unavailable)."""
+        ``stack_all``'s XLA fallback becomes unavailable).
+        dtype=jnp.bfloat16 stores the stacking layout lossily (~1e-2
+        relative per GF sample, f32 accumulation) for another 2×
+        footprint/bandwidth."""
         if self.data_tr is not None:
             return self
         from beat_tpu.ops.gfstack import to_stacking_layout, to_stacking_layout_np
 
+        dtype = dtype or jnp.float32
         if keep_data:
-            data_tr = to_stacking_layout(self.data)
+            data_tr = to_stacking_layout(self.data, dtype)
         else:
-            data_tr = jnp.asarray(to_stacking_layout_np(np.asarray(self.data)))
+            data_tr = jnp.asarray(
+                to_stacking_layout_np(np.asarray(self.data), dtype))
         return SeismicGFLibrary(
             data=self.data if keep_data else None,
             duration_min=self.duration_min,

@@ -62,26 +62,30 @@ def _ceil_to(x: int, m: int) -> int:
 PATCH_BLOCK = 8  # max patches per grid step (amortises per-step overhead)
 
 
-def to_stacking_layout(data5):
+def to_stacking_layout(data5, dtype=jnp.float32):
     """(T, P, D, S, N) → (T, P₈, N, D·S padded to a lane multiple), with
-    the patch axis zero-padded to a PATCH_BLOCK multiple."""
+    the patch axis zero-padded to a PATCH_BLOCK multiple.
+
+    ``dtype=jnp.bfloat16`` stores the library lossily at half the HBM
+    footprint/traffic (~1e-2 relative per sample; accumulation stays
+    f32) — an opt-in for HBM-bound production libraries."""
     T, P, D, S, N = data5.shape
     ds = D * S
     dsp = _ceil_to(ds, LANE)
     pp = _ceil_to(P, PATCH_BLOCK)
-    a = jnp.transpose(jnp.reshape(jnp.asarray(data5, jnp.float32),
+    a = jnp.transpose(jnp.reshape(jnp.asarray(data5, dtype),
                                   (T, P, ds, N)), (0, 1, 3, 2))
     return jnp.pad(a, ((0, 0), (0, pp - P), (0, 0), (0, dsp - ds)))
 
 
-def to_stacking_layout_np(data5: np.ndarray) -> np.ndarray:
+def to_stacking_layout_np(data5: np.ndarray, dtype=np.float32) -> np.ndarray:
     """Host-side :func:`to_stacking_layout` — for production-scale
     libraries where the on-device transpose temp would not fit HBM."""
     T, P, D, S, N = data5.shape
     ds = D * S
     dsp = _ceil_to(ds, LANE)
     pp = _ceil_to(P, PATCH_BLOCK)
-    a = np.transpose(np.reshape(np.asarray(data5, np.float32),
+    a = np.transpose(np.reshape(np.asarray(data5).astype(dtype),
                                 (T, P, ds, N)), (0, 1, 3, 2))
     return np.pad(a, ((0, 0), (0, pp - P), (0, 0), (0, dsp - ds)))
 
@@ -141,7 +145,7 @@ def _nearest_kernel(didx_ref, sidx_ref, slips_ref, cell_ref, out_ref,
         sl = slice(cb * LANE, (cb + 1) * LANE)
         acc = jnp.zeros((N, LANE), jnp.float32)
         for j in range(PB):                           # static unroll
-            cell = cell_ref[0, j]                     # (N, DSP)
+            cell = cell_ref[0, j].astype(jnp.float32)  # (N, DSP)
             # (1, LANE) slab rows at lane-offset 0 (Mosaic-broadcastable)
             flat = (didx_ref[j, cb:cb + 1, :] * S
                     + sidx_ref[0, j, cb:cb + 1, :])
@@ -163,7 +167,7 @@ def _multilinear_kernel(didx_ref, rtf_ref, sidx_ref, stf_ref, slips_ref,
         sl = slice(cb * LANE, (cb + 1) * LANE)
         acc = jnp.zeros((N, LANE), jnp.float32)
         for j in range(PB):                   # static unroll
-            cell = cell_ref[0, j]
+            cell = cell_ref[0, j].astype(jnp.float32)
             cbs = slice(cb, cb + 1)
             d = didx_ref[j, cbs, :]           # ceil duration idx (1, LANE)
             s = sidx_ref[0, j, cbs, :]        # ceil starttime idx
