@@ -28,6 +28,17 @@ logger = logging.getLogger("beat_tpu.bem.base")
 slip_comp_to_idx = {"strike": 0, "dip": 1, "normal": 2}
 
 
+def lstsq_robust(G: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Least-squares solve with a ``gelss`` fallback — LAPACK's default
+    ``gelsd`` SVD occasionally fails to converge on valid matrices."""
+    try:
+        return np.linalg.lstsq(G, b, rcond=None)[0]
+    except np.linalg.LinAlgError:
+        import scipy.linalg
+
+        return scipy.linalg.lstsq(G, b, lapack_driver="gelss")[0]
+
+
 @dataclass
 class BoundaryCondition:
     """Traction boundary condition linking source/receiver meshes
@@ -109,7 +120,7 @@ class BEMEngine:
         # G·s = -t_applied — so a positive normal traction (pressurized
         # crack) OPENS the crack and uplifts the surface, matching the
         # reference convention (``bem/base.py:230`` + Fernandina example)
-        slips, *_ = np.linalg.lstsq(G_tractions, -rhs, rcond=None)
+        slips = lstsq_robust(G_tractions, -rhs)
         disp = self._surface_displacements(meshes, slips, coords)
         return BEMResponse(sources=sources, meshes=meshes,
                            displacements=disp, slips=slips, is_valid=True)

@@ -43,6 +43,27 @@ import numpy as np
 logger = logging.getLogger("beat_tpu.bem.tde")
 
 
+import contextlib
+
+
+def _assembly_scope():
+    """float64 on the HOST CPU backend for the BEM quadrature.
+
+    BEM assembly is a host-side precompute by design; pinning it to the
+    CPU device matters beyond speed: the deployment TPU backend's
+    emulated float64 returns NaN for the nested-jacfwd second
+    derivatives in :func:`element_stress` (verified on v5e via the axon
+    tunnel), while the identical program is exact on CPU."""
+    stack = contextlib.ExitStack()
+    stack.enter_context(jax.enable_x64(True))
+    try:
+        cpus = jax.devices("cpu")
+        stack.enter_context(jax.default_device(cpus[0]))
+    except RuntimeError:  # no CPU platform registered — use the default
+        pass
+    return stack
+
+
 def kelvin_displacement(x, xi, mu=33e9, nu=0.25):
     """Kelvin solution U (3, 3): displacement component k at ``x`` per
     unit point force in direction i at ``xi`` (full space)."""
@@ -170,7 +191,7 @@ def element_displacement(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2
     n_vec = n_vec / np.linalg.norm(n_vec)
     cents, dA = _subdivide(tri_np, level)
 
-    with jax.enable_x64(True):
+    with _assembly_scope():
         m = moment_density(jnp.asarray(b, dtype=jnp.float64),
                            jnp.asarray(n_vec), mu, lam) * dA
 
@@ -194,7 +215,7 @@ def element_stress(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2,
     n_vec = n_vec / np.linalg.norm(n_vec)
     cents, dA = _subdivide(tri_np, level)
 
-    with jax.enable_x64(True):
+    with _assembly_scope():
         m = moment_density(jnp.asarray(b, dtype=jnp.float64),
                            jnp.asarray(n_vec), mu, lam) * dA
 
@@ -270,7 +291,7 @@ def element_surface_displacement_halfspace(obs_xy, tri, b, mu=33e9, nu=0.25,
     n_vec = n_vec / np.linalg.norm(n_vec)
     cents, dA = _subdivide(tri_np, level)
 
-    with jax.enable_x64(True):
+    with _assembly_scope():
         m = moment_density(jnp.asarray(b, dtype=jnp.float64),
                            jnp.asarray(n_vec), mu, lam) * dA
 

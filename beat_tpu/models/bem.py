@@ -73,7 +73,9 @@ class GeodeticBEMLinearComposite(GeodeticComposite):
             rhs[bc_rows[k]] = 1e6  # 1 MPa
             # traction-balance solve (see BEMEngine.process): slip relieves
             # the applied traction, so positive traction -> opening/slip
-            slips = np.linalg.lstsq(G, -rhs, rcond=None)[0]
+            from beat_tpu.bem.base import lstsq_robust
+
+            slips = lstsq_robust(G, -rhs)
             disp = (D @ slips).reshape(-1, 3)
             responses.append(np.einsum("ni,ni->n", disp, self.stack.los))
         self._unit_los = jnp.asarray(np.stack(responses, axis=1),
