@@ -371,6 +371,8 @@ def register_export(sub):
     p.add_argument("--csv", action="store_true",
                    help="also write the stage trace as chain CSV files "
                         "(reference TextChain interop)")
+    p.add_argument("--post_llk", default="max", choices=["max", "mean"],
+                   help="reference point: MAP ('max') or posterior mean")
     p.set_defaults(handler=_cmd_export)
 
 
@@ -386,16 +388,38 @@ def _cmd_export(args):
     handler = SampleStage(problem.outfolder, ordering=problem.ordering)
     trace = handler.load_trace(args.stage)
     pop, llks = trace.end_points()
-    point = problem.ordering.to_point(pop[int(np.argmax(llks))])
+    post_llk = getattr(args, "post_llk", "max")
+    if post_llk == "mean":
+        flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
+        q_ref = flat.mean(axis=0)
+    else:
+        q_ref = pop[int(np.argmax(llks))]
+    point = problem.ordering.to_point(q_ref)
     synths = problem.get_synthetics(point)
     vrs = problem.get_variance_reductions(point)
     out = os.path.join(problem.outfolder, "export.npz")
-    arrays = {"map_point": pop[int(np.argmax(llks))]}
+    arrays = {"map_point": q_ref}
     for comp, d in synths.items():
         for name, arr in d.items():
             arrays[f"synth:{comp}:{name}"] = np.asarray(arr)
+    # standardized residuals per composite (reference apps/beat.py:2422)
+    for cname, comp in problem.composites.items():
+        get_stdz = getattr(comp, "get_standardized_residuals", None)
+        if get_stdz is None:
+            continue
+        for name, arr in get_stdz(point).items():
+            arrays[f"stdz_res:{cname}:{name}"] = np.asarray(arr)
     np.savez_compressed(out, **arrays)
-    print(f"Exported MAP synthetics to {out}; variance reductions: {vrs}")
+
+    # solution point as YAML (reference solution_<post_llk>.yaml)
+    import yaml
+
+    sol_path = os.path.join(problem.outfolder, f"solution_{post_llk}.yaml")
+    with open(sol_path, "w") as f:
+        yaml.safe_dump({k: np.asarray(v).tolist() for k, v in point.items()},
+                       f, sort_keys=True)
+    print(f"Exported {post_llk}-point synthetics to {out}, solution to "
+          f"{sol_path}; variance reductions: {vrs}")
 
     if getattr(args, "csv", False):
         csvdir = os.path.join(problem.outfolder, "csv")

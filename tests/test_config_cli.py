@@ -417,6 +417,22 @@ class TestCLILifecycle:
 
         assert run_cli("export", pdir) == 0
         assert os.path.exists(os.path.join(pdir, "geometry", "export.npz"))
+        # solution yaml + standardized residuals (reference export extras)
+        import yaml as _yaml
+
+        with open(os.path.join(pdir, "geometry", "solution_max.yaml")) as f:
+            sol = _yaml.safe_load(f)
+        assert "east_shift" in sol
+        with np.load(os.path.join(pdir, "geometry", "export.npz")) as z:
+            stdz_keys = [k for k in z.files if k.startswith("stdz_res:")]
+            assert stdz_keys, "standardized residuals missing from export"
+            # whitened residuals are finite and of sane magnitude (~N(0,1)
+            # only for a converged fit; this smoke run is short)
+            r = z[stdz_keys[0]]
+            assert np.isfinite(r).all() and 0.05 < np.std(r) < 100.0
+        assert run_cli("export", pdir, "--post_llk", "mean") == 0
+        assert os.path.exists(os.path.join(pdir, "geometry",
+                                           "solution_mean.yaml"))
 
         clone_dir = str(tmp_path / "cliproj_clone")
         assert run_cli("clone", pdir, clone_dir) == 0
