@@ -55,6 +55,7 @@ class WaveformMapping:
     taper: ArrivalTaper
     filterer: Filter
     domain: str = "time"           # time | spectrum
+    quantity: str = "displacement"  # | velocity | acceleration
     station_corrections: bool = False
 
     # filled by prepare()
@@ -136,7 +137,18 @@ class WaveformMapping:
             np.round(start_times / dt).astype(np.int32),
             0, self.table.nt - self.nsamples_win - 1)
         self.taper_window = self.taper.window(dt)
-        self.filter_response = self.filterer.response(self.table.nt, dt)
+        # observed traces (assumed restituted to `quantity` already) see
+        # the plain bandpass; synthetics from the displacement GF tables
+        # additionally fold (iω)^n into their response — zero runtime
+        # cost (reference WaveformFitConfig.quantity, config.py:562)
+        self.filter_response_obs = self.filterer.response(self.table.nt, dt)
+        n_diff = {"displacement": 0, "velocity": 1,
+                  "acceleration": 2}.get(self.quantity)
+        if n_diff is None:
+            raise ValueError(f"Unknown quantity {self.quantity!r} "
+                             "(displacement|velocity|acceleration)")
+        w = 2.0 * np.pi * np.fft.rfftfreq(self.table.nt, dt)
+        self.filter_response = self.filter_response_obs * (1j * w) ** n_diff
         self._process_observed()
 
     def _process_observed(self) -> None:
@@ -146,7 +158,7 @@ class WaveformMapping:
         n_win = self.nsamples_win
         for ds, start in zip(self.datasets, self.window_starts):
             spec = np.fft.rfft(ds.ydata, n=self.table.nt)
-            filtered = np.fft.irfft(spec * self.filter_response, n=self.table.nt)
+            filtered = np.fft.irfft(spec * self.filter_response_obs, n=self.table.nt)
             win = filtered[start:start + n_win] * self.taper_window
             wins.append(win)
         self.data_windows = np.stack(wins).astype(np.float32)
@@ -159,7 +171,7 @@ class WaveformMapping:
         dt = self.table.dt
         for ds, start, arr in zip(self.datasets, self.window_starts, self.arrival_times):
             spec = np.fft.rfft(ds.ydata, n=self.table.nt)
-            filtered = np.fft.irfft(spec * self.filter_response, n=self.table.nt)
+            filtered = np.fft.irfft(spec * self.filter_response_obs, n=self.table.nt)
             pre_arrival_idx = max(int(round((arr - self.table.t0 - 1.0) / dt)), 2)
             noise = filtered[:pre_arrival_idx]
             var = float(np.var(noise)) if noise.size > 2 else float(np.var(filtered))

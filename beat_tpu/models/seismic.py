@@ -470,6 +470,7 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             filterer=Filter(wfc.filterer.lower_corner,
                             wfc.filterer.upper_corner, wfc.filterer.order),
             domain=wfc.domain,
+            quantity=getattr(wfc, "quantity", "displacement"),
             station_corrections=getattr(seismic_config, "station_corrections",
                                         False))
         if wfc.blacklist:

@@ -262,3 +262,51 @@ class TestSourceM6:
         # scalar moment of normalized MT = M0(6.0)
         m0 = np.sqrt((m6[:3] ** 2).sum() + 2 * (m6[3:] ** 2).sum()) / np.sqrt(2)
         np.testing.assert_allclose(m0, 10 ** (1.5 * 6.0 + 9.05), rtol=1e-4)
+
+
+def test_quantity_velocity_is_time_derivative():
+    """quantity='velocity' synthetics equal the time derivative of the
+    displacement synthetics (iω folded into the response)."""
+    import jax.numpy as jnp
+
+    from beat_tpu.heart.gftable import build_homogeneous_table
+    from beat_tpu.heart.seismic import SeismicDataset, WaveformMapping
+    from beat_tpu.heart.taper import ArrivalTaper, Filter
+    from beat_tpu.models.seismic import SeismicGeometryComposite
+    from beat_tpu.sources import DCSource
+
+    table = build_homogeneous_table(np.linspace(20e3, 60e3, 4),
+                                    np.linspace(2e3, 10e3, 3), nt=256, dt=0.25)
+    rng = np.random.default_rng(7)
+
+    def make(quantity):
+        datasets = [SeismicDataset(station=f"S{i}", channel="Z",
+                                   east=float(3e4 * np.sin(i + 0.4)),
+                                   north=float(3e4 * np.cos(i + 0.4)),
+                                   ydata=rng.normal(0, 1e-8, 256))
+                    for i in range(3)]
+        # keep the band low: the central-difference reference has a
+        # sin(ωΔt)/(ωΔt) rolloff (~4 % at 0.3 Hz for Δt=0.25 s)
+        wmap = WaveformMapping(name="any_P", datasets=datasets, table=table,
+                               taper=ArrivalTaper(-2, -1, 10, 12),
+                               filterer=Filter(0.05, 0.3, 3),
+                               quantity=quantity)
+        comp = SeismicGeometryComposite(
+            [wmap], [DCSource(depth=6e3, strike=30.0, dip=60.0, rake=20.0,
+                              magnitude=5.5, duration=1.0)])
+        return np.asarray(comp.synthetics_windows(
+            {"duration": jnp.asarray(1.0)}, 0))
+
+    disp = make("displacement")
+    vel = make("velocity")
+    # central-difference derivative of the displacement windows
+    dt = table.dt
+    ddt = np.gradient(disp, dt, axis=1)
+    scale = np.abs(vel).max()
+    # interior samples (gradient endpoints are one-sided)
+    err = np.abs(vel[:, 2:-2] - ddt[:, 2:-2]).max() / scale
+    assert err < 0.08, f"velocity vs d/dt displacement mismatch {err:.3f}"
+    assert np.abs(vel).max() > 0
+
+    with pytest.raises(ValueError, match="Unknown quantity"):
+        make("jerk")
