@@ -199,6 +199,9 @@ class ProblemConfig:
     n_sources: list = field(default_factory=lambda: [1])
     datatypes: list = field(default_factory=lambda: ["geodetic"])
     stf_type: str = "HalfSinusoid"
+    #: ffi-mode start population: 'random' (prior) or 'lsq' (around the
+    #: NNLS warm start; reference FFIConfig.initialization, config.py:1109)
+    initialization: str = "random"
     decimation_factors: dict = field(default_factory=dict)
     priors: dict = field(default_factory=dict)   # name -> Parameter dict
     #: hyperparameter (and hierarchical) prior overrides, persisted like
@@ -707,7 +710,8 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
                     if config.hyper_sampler_config is not None else None)
     problem = Problem(priors, composites, outfolder=outfolder,
                       sampler_params=config.sampler_config.get_params(),
-                      hyper_sampler_params=hyper_params)
+                      hyper_sampler_params=hyper_params,
+                      initialization=getattr(pc, "initialization", "random"))
     apply_hyper_overrides(problem, pc)
     return problem
 
@@ -845,7 +849,8 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
                     if config.hyper_sampler_config is not None else None)
     problem = Problem(priors, composites, outfolder=outfolder,
                       sampler_params=config.sampler_config.get_params(),
-                      hyper_sampler_params=hyper_params)
+                      hyper_sampler_params=hyper_params,
+                      initialization=getattr(pc, "initialization", "random"))
     apply_hyper_overrides(problem, pc)
     return problem
 

@@ -34,12 +34,14 @@ class Problem:
     """
 
     def __init__(self, priors: PriorSet, composites: dict, outfolder: str = "out",
-                 sampler_params=None, hyper_sampler_params=None):
+                 sampler_params=None, hyper_sampler_params=None,
+                 initialization: str = "random"):
         self.source_priors = priors
         self.composites = dict(composites)
         self.outfolder = outfolder
         self.sampler_params = sampler_params or SMCParams()
         self.hyper_sampler_params = hyper_sampler_params
+        self.initialization = initialization
 
         # full sampled space: source params + hierarchicals + hyperparams
         self.priors = PriorSet()
@@ -140,9 +142,14 @@ class Problem:
                                  "distributer composite (ffi mode)")
             return transd_sample_ffi(comp, params, homepath=self.outfolder)
         if isinstance(params, SMCParams):
+            start = None
+            if self.initialization == "lsq":
+                start = self._lsq_start(params.n_chains, lower, upper,
+                                        seed=params.seed)
             return smc_sample(logp_fn, lower, upper, params,
                               homepath=self.outfolder, ordering=self.ordering,
-                              update_weights=update_cb, logp_args=logp_args)
+                              update_weights=update_cb, logp_args=logp_args,
+                              start=start)
         elif isinstance(params, PTParams):
             return pt_sample(logp_fn, lower, upper, params,
                              homepath=self.outfolder, ordering=self.ordering,
@@ -158,6 +165,34 @@ class Problem:
                 tune_interval=params.tune_interval, seed=params.seed,
                 stage_handler=handler, logp_args=logp_args)
         raise TypeError(f"Unknown sampler params {type(params)}")
+
+    def _lsq_start(self, n_chains: int, lower, upper, seed: int = 0):
+        """Start population jittered around the NNLS warm start of the
+        slip components (reference ``FFIConfig.initialization='lsq'`` +
+        ``DistributionOptimizer.lsq_solution``, ``models/problems.py:753``);
+        non-slip parameters draw from the prior."""
+        rng = np.random.default_rng(seed)
+        start = rng.uniform(lower, upper, size=(n_chains, lower.size))
+        sol = None
+        for comp in self.composites.values():
+            get = getattr(comp, "lsq_solution", None)
+            if get is not None:
+                sol = get()
+                break
+        if sol is None:
+            logger.warning("initialization='lsq' but no composite has an "
+                           "lsq_solution — starting from the prior")
+            return start
+        for name, values in sol.items():
+            if name not in self.ordering:
+                continue
+            sl = self.ordering[name].slc
+            scale = 0.1 * (upper[sl] - lower[sl])
+            jitter = rng.normal(0.0, scale, size=(n_chains, values.size))
+            start[:, sl] = np.clip(values[None, :] + jitter,
+                                   lower[sl], upper[sl])
+            logger.info("LSQ start for %s: mean %.3f", name, values.mean())
+        return start
 
     def estimate_hypers(self, n_steps: int | None = None,
                         n_chains: int | None = None):

@@ -269,3 +269,45 @@ class TestPSCMPExport:
         with pytest.raises(IOError):
             write_fault_to_pscmp(path, fault, point)
         write_fault_to_pscmp(path, fault, point, force=True)
+
+
+class TestLSQInitialization:
+    def test_lsq_start_centers_on_solution(self):
+        """initialization='lsq' (reference FFIConfig) jitters the start
+        population around the NNLS warm start within the prior bounds."""
+        from beat_tpu.covariance import Covariance
+        from beat_tpu.ffi import discretize_sources, geo_construct_gf_linear
+        from beat_tpu.heart.geodesy import GeodeticDataset
+        from beat_tpu.models.distributer import GeodeticDistributerComposite
+        from beat_tpu.models.problem import Problem
+        from beat_tpu.parameter import Parameter, PriorSet
+
+        rng = np.random.default_rng(6)
+        ref = RectangularSource(depth=1e3, dip=60.0, length=6e3, width=4e3)
+        fault = discretize_sources([ref], patch_length=2e3, patch_width=2e3)
+        coords = rng.uniform(-8e3, 8e3, (40, 2))
+        los = np.tile([0.0, 0.0, 1.0], (40, 1))
+        lib = geo_construct_gf_linear(fault, coords, los, components=("uparr",))
+        true = rng.uniform(0.5, 1.5, fault.npatches)
+        synth = np.asarray(lib.stack_all(uparr=jnp.asarray(true)))
+        sd = 0.02 * np.abs(synth).max()
+        ds = GeodeticDataset(name="s", typ="SAR", coords=coords,
+                             displacement=synth + rng.normal(0, sd, 40),
+                             los_vector=los,
+                             covariance=Covariance(data=np.eye(40) * sd**2))
+        comp = GeodeticDistributerComposite([ds], lib, fault)
+        priors = PriorSet().add(Parameter("uparr", np.zeros(fault.npatches),
+                                          np.full(fault.npatches, 3.0)))
+        problem = Problem(priors, {"geodetic": comp},
+                          initialization="lsq")
+        lo, hi = problem.priors.bounds_arrays()
+        start = problem._lsq_start(64, lo, hi, seed=1)
+        assert start.shape == (64, lo.size)
+        assert (start >= lo).all() and (start <= hi).all()
+        sl = problem.ordering["uparr"].slc
+        # centered on the composite's NNLS solution (clipping at the
+        # lower bound biases zero-slip patches slightly upward)
+        sol = comp.lsq_solution()["uparr"]
+        np.testing.assert_allclose(start[:, sl].mean(axis=0), sol, atol=0.2)
+        # jitter sd = 10% of the bound range, far tighter than the prior
+        assert start[:, sl].std(axis=0).max() < 0.45  # prior sd ~0.87
