@@ -418,6 +418,36 @@ def _cmd_export(args):
     with open(sol_path, "w") as f:
         yaml.safe_dump({k: np.asarray(v).tolist() for k, v in point.items()},
                        f, sort_keys=True)
+
+    # ffi: rupture evolution at the reference point (reference
+    # rupture_evolution_<llk>.yaml, apps/beat.py:2381)
+    fault = next((c.fault for c in problem.composites.values()
+                  if hasattr(c, "fault")), None)
+    if fault is not None and "uparr" in point:
+        import jax.numpy as jnp
+
+        uparr = np.asarray(np.atleast_1d(point["uparr"]))
+        uperp = np.resize(np.asarray(point.get("uperp", 0.0)), uparr.shape)
+        evo = {"slip": np.sqrt(uparr**2 + uperp**2).tolist(),
+               "uparr": uparr.tolist(), "uperp": uperp.tolist(),
+               "magnitude": float(fault.magnitude(np.abs(uparr)))}
+        if "velocities" in point and "nucleation_strike" in point:
+            onsets = []
+            for i in range(fault.nsubfaults):
+                slc = fault.ordering.slices[i]
+                onsets.extend(np.asarray(fault.point2starttimes(
+                    i, jnp.asarray(np.asarray(point["velocities"])[slc]),
+                    float(np.atleast_1d(point["nucleation_strike"])[i]),
+                    float(np.atleast_1d(point["nucleation_dip"])[i]),
+                )).tolist())
+            evo["rupture_onsets"] = onsets
+            evo["durations"] = np.asarray(point["durations"]).tolist()
+        evo_path = os.path.join(problem.outfolder,
+                                f"rupture_evolution_{post_llk}.yaml")
+        with open(evo_path, "w") as f:
+            yaml.safe_dump(evo, f, sort_keys=True)
+        print(f"Exported rupture evolution to {evo_path}")
+
     print(f"Exported {post_llk}-point synthetics to {out}, solution to "
           f"{sol_path}; variance reductions: {vrs}")
 

@@ -271,6 +271,16 @@ class TestFFICLIWorkflow:
         # potency-equivalent mean slip in the right ballpark
         assert 0.3 < np.abs(uparr).mean() < 2.0
 
+        # export writes the rupture-evolution yaml for ffi problems
+        import yaml as _yaml
+
+        assert run_cli("export", pdir, "--mode", "ffi") == 0
+        with open(os.path.join(pdir, "ffi",
+                               "rupture_evolution_max.yaml")) as f:
+            evo = _yaml.safe_load(f)
+        assert len(evo["slip"]) == problem.composites["geodetic"].fault.npatches
+        assert np.isfinite(evo["magnitude"])
+
 
 class TestKinematicFFICLI:
     def test_seismic_ffi_workflow(self, tmp_path):
