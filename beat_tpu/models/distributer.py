@@ -158,13 +158,23 @@ class SeismicDistributerComposite(Composite):
         from beat_tpu.ops.gfstack import want_pallas
 
         stacking_layout = want_pallas(use_pallas)
+        # production-scale knobs (see STATUS.md): drop the 5-D array
+        # once the Pallas layout exists (halves HBM), optionally store
+        # the layout in bfloat16 (halves it again, ~2e-3 rel. error)
+        import os
+
+        keep_data = os.environ.get("BEAT_TPU_STACK_KEEP_DATA", "1") != "0"
+        dtype = (jnp.bfloat16
+                 if os.environ.get("BEAT_TPU_STACK_DTYPE") == "bfloat16"
+                 else None)
         self._device = []
         for wmap, libs in self.wavemaps_libs:
             if wmap.datasets[0].covariance is None:
                 wmap.analyse_noise()
             self._device.append({
-                "libs": {c: (lib.with_stacking_layout() if stacking_layout
-                             else lib) for c, lib in libs.items()},
+                "libs": {c: (lib.with_stacking_layout(keep_data, dtype)
+                             if stacking_layout else lib)
+                         for c, lib in libs.items()},
                 "data": jnp.asarray(wmap.data_windows),
                 "weights": jnp.stack([
                     jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
