@@ -62,3 +62,50 @@ class TestSourceTypeCoords:
     def test_lune_explosion_pole(self):
         g, d = lune_coords(np.array([1.0, 1.0, 1.0, 0, 0, 0]))
         assert d == pytest.approx(90.0)
+
+
+class TestMTQTConversion:
+    """MTQT (lune) parameterisation invariants (reference
+    ``test/test_sources.py::test_vs_mtpar`` intent, without mtpar)."""
+
+    def test_dc_limit_matches_sdr(self):
+        """w=v=0 (pure DC on the lune): m6 equals the (strike, dip, rake)
+        tensor with strike=κ, dip=arccos(h), rake=σ."""
+        from beat_tpu.sources import mtqt_to_m6, sdr_to_m6, magnitude_to_moment
+
+        for kappa_d, h, sigma_d in ((40.0, np.cos(np.deg2rad(55.0)), 20.0),
+                                    (310.0, np.cos(np.deg2rad(80.0)), -70.0)):
+            got = np.asarray(mtqt_to_m6(0.0, 0.0, np.deg2rad(kappa_d), np.deg2rad(sigma_d),
+                                        h, 5.5))
+            want = np.asarray(sdr_to_m6(kappa_d, np.rad2deg(np.arccos(h)),
+                                        sigma_d, magnitude_to_moment(5.5)))
+            scale = np.abs(want).max()
+            np.testing.assert_allclose(got / scale, want / scale, atol=5e-6)
+
+    def test_explosion_limit_isotropic(self):
+        """w at the lune pole (3π/8): purely isotropic tensor."""
+        from beat_tpu.sources import mtqt_to_m6
+
+        m6 = np.asarray(mtqt_to_m6(3.0 * np.pi / 8.0, 0.0, 0.7, 0.2, 0.6, 5.0))
+        iso = m6[:3].mean()
+        assert iso > 0
+        np.testing.assert_allclose(m6[:3], iso, rtol=1e-5)
+        np.testing.assert_allclose(m6[3:], 0.0, atol=1e-5 * iso)
+
+    def test_scalar_moment_preserved(self):
+        """Frobenius moment equals the requested magnitude's moment for
+        arbitrary lune points."""
+        from beat_tpu.sources import (m6_to_matrix, magnitude_to_moment,
+                                      mtqt_to_m6)
+
+        rng = np.random.default_rng(1)
+        for _ in range(5):
+            w = rng.uniform(-3 * np.pi / 8, 3 * np.pi / 8)
+            v = rng.uniform(-1 / 3, 1 / 3)
+            m6 = np.asarray(mtqt_to_m6(w, v, rng.uniform(0, 2 * np.pi),
+                                       rng.uniform(-np.pi / 2, np.pi / 2),
+                                       rng.uniform(0, 1), 5.8))
+            m = np.asarray(m6_to_matrix(m6))
+            rho = np.sqrt(np.sum(m * m))
+            np.testing.assert_allclose(
+                rho / np.sqrt(2.0), magnitude_to_moment(5.8), rtol=1e-5)
