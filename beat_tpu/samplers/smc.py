@@ -116,6 +116,7 @@ def smc_sample(
     update_weights: Callable | None = None,
     progress: bool = True,
     logp_args: tuple = (),
+    mesh=None,
 ):
     """
     Run the full SMC sampler.
@@ -134,14 +135,29 @@ def smc_sample(
         weight matrices).
     logp_args : traced pytree forwarded to ``logp_fn`` — GF tables and
         weights as jit arguments, never closure constants.
+    mesh : optional :class:`jax.sharding.Mesh` — shards the chain axis
+        across devices (GF tables/weights replicate); stage transitions
+        (β bisection, resampling) stay on host and gather implicitly.
+        ``n_chains`` must divide the mesh.
 
     Returns the final-stage (β=1) trace ``(q_trace, llk_trace)`` as numpy.
     """
+    if mesh is not None and params.n_chains % mesh.devices.size:
+        raise ValueError(
+            f"n_chains={params.n_chains} must be a multiple of the mesh "
+            f"size {mesh.devices.size} for chain sharding (see pad_chains)")
     lower64 = np.asarray(lower, dtype=np.float64)
     upper64 = np.asarray(upper, dtype=np.float64)
     dim = lower64.size
     lo = jnp.asarray(lower64, dtype=jnp.float32)
     hi = jnp.asarray(upper64, dtype=jnp.float32)
+    if mesh is not None:
+        from beat_tpu.parallel import replicated
+
+        rep = replicated(mesh)
+        lo = jax.device_put(lo, rep)
+        hi = jax.device_put(hi, rep)
+        logp_args = jax.device_put(logp_args, rep)
     rng = np.random.default_rng(params.seed)
     key = jax.random.PRNGKey(params.seed)
 
@@ -232,6 +248,11 @@ def smc_sample(
             key=sub,
         )
         cov_chol = jnp.asarray(np.linalg.cholesky(cov), dtype=jnp.float32)
+        if mesh is not None:
+            from beat_tpu.parallel import replicated, shard_chain_state
+
+            state = shard_chain_state(state, mesh)
+            cov_chol = jax.device_put(cov_chol, replicated(mesh))
         with stage_timer(f"smc_stage_{-1 if final_stage else stage}",
                          n_evals=n_steps * params.n_chains,
                          beta=round(float(new_beta), 6)), jax_trace():
@@ -269,7 +290,8 @@ def smc_sample(
             map_point = population[int(np.argmax(likelihoods))]
             new_args = update_weights(map_point)
             if new_args is not None:
-                logp_args = new_args
+                logp_args = (jax.device_put(new_args, rep)
+                             if mesh is not None else new_args)
             key, sub = jax.random.split(key)
             st = init_metropolis_state(logp_fn, jnp.asarray(population, dtype=jnp.float32), sub,
                                        logp_args=logp_args)

@@ -88,6 +88,35 @@ class TestChainMesh:
         dryrun_multichip(8)
 
 
+class TestSMCMeshSharding:
+    def test_smc_sharded_equals_unsharded(self, tmp_path):
+        """Full SMC with the chain axis sharded over the mesh reproduces
+        the single-device run (resampling gathers ride XLA collectives)."""
+        from beat_tpu.samplers import SMCParams, smc_sample
+
+        def smc_logp(x):
+            return -0.5 * jnp.sum((x - 1.5) ** 2) / 0.04
+
+        lo = np.zeros(2)
+        hi = np.full(2, 3.0)
+        params = SMCParams(n_chains=64, n_steps=15, seed=9)
+        q1, llk1 = smc_sample(smc_logp, lo, hi, params,
+                              homepath=str(tmp_path / "a"))
+        mesh = make_chain_mesh()
+        q2, llk2 = smc_sample(smc_logp, lo, hi, params,
+                              homepath=str(tmp_path / "b"), mesh=mesh)
+        np.testing.assert_allclose(q2, q1, atol=1e-6)
+        np.testing.assert_allclose(llk2, llk1, atol=1e-5)
+
+    def test_smc_mesh_size_guard(self):
+        from beat_tpu.samplers import SMCParams, smc_sample
+
+        mesh = make_chain_mesh()
+        with pytest.raises(ValueError, match="multiple of the mesh"):
+            smc_sample(lambda x: -jnp.sum(x**2), np.zeros(2), np.ones(2),
+                       SMCParams(n_chains=50, n_steps=5), mesh=mesh)
+
+
 class TestPTTemperatureSharding:
     def test_pt_sharded_equals_unsharded(self):
         """The temperature ladder sharded over the mesh must reproduce
