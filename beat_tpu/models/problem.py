@@ -141,6 +141,7 @@ class Problem:
                 raise ValueError("TransD sampling needs a geodetic "
                                  "distributer composite (ffi mode)")
             return transd_sample_ffi(comp, params, homepath=self.outfolder)
+        mesh = self._auto_mesh(params.n_chains)
         if isinstance(params, SMCParams):
             start = None
             if self.initialization == "lsq":
@@ -149,11 +150,11 @@ class Problem:
             return smc_sample(logp_fn, lower, upper, params,
                               homepath=self.outfolder, ordering=self.ordering,
                               update_weights=update_cb, logp_args=logp_args,
-                              start=start)
+                              start=start, mesh=mesh)
         elif isinstance(params, PTParams):
             return pt_sample(logp_fn, lower, upper, params,
                              homepath=self.outfolder, ordering=self.ordering,
-                             logp_args=logp_args)
+                             logp_args=logp_args, mesh=mesh)
         elif isinstance(params, MetropolisParams):
             from beat_tpu.backend import SampleStage
 
@@ -165,6 +166,28 @@ class Problem:
                 tune_interval=params.tune_interval, seed=params.seed,
                 stage_handler=handler, logp_args=logp_args)
         raise TypeError(f"Unknown sampler params {type(params)}")
+
+    @staticmethod
+    def _auto_mesh(n_chains: int):
+        """Shard chains over all local devices when more than one exists
+        and the chain count divides evenly (multi-chip engages with no
+        code changes; single-chip stays meshless)."""
+        import jax
+
+        n_dev = len(jax.devices())
+        if n_dev <= 1:
+            return None
+        if n_chains % n_dev:
+            logger.warning(
+                "%i chains do not divide %i devices — running single-"
+                "device (pad n_chains for chain parallelism)",
+                n_chains, n_dev)
+            return None
+        from beat_tpu.parallel import make_chain_mesh
+
+        logger.info("Chain-sharding %i chains over %i devices",
+                    n_chains, n_dev)
+        return make_chain_mesh()
 
     def _lsq_start(self, n_chains: int, lower, upper, seed: int = 0):
         """Start population jittered around the NNLS warm start of the
