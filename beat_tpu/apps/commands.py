@@ -428,9 +428,10 @@ def _cmd_export(args):
 
         uparr = np.asarray(np.atleast_1d(point["uparr"]))
         uperp = np.resize(np.asarray(point.get("uperp", 0.0)), uparr.shape)
-        evo = {"slip": np.sqrt(uparr**2 + uperp**2).tolist(),
+        slip_mag = np.sqrt(uparr**2 + uperp**2)
+        evo = {"slip": slip_mag.tolist(),
                "uparr": uparr.tolist(), "uperp": uperp.tolist(),
-               "magnitude": float(fault.magnitude(np.abs(uparr)))}
+               "magnitude": float(fault.magnitude(slip_mag))}
         if "velocities" in point and "nucleation_strike" in point:
             onsets = []
             for i in range(fault.nsubfaults):

@@ -176,6 +176,7 @@ def k_nearest_neighbor_rms(coords: np.ndarray, data: np.ndarray,
     rms = np.empty(data.size)
     if k is not None:
         _, idxs = tree.query(coords, k=k)
+        idxs = np.reshape(idxs, (data.size, -1))  # k=1 squeezes the axis
         return np.sqrt(np.mean(data[idxs] ** 2, axis=-1))
     span = coords.max(axis=0) - coords.min(axis=0)
     radius = float(np.linalg.norm(span)) * max_dist_perc

@@ -236,11 +236,29 @@ class SeismicGFLibrary:
         dtype=jnp.bfloat16 stores the stacking layout lossily (~1e-2
         relative per GF sample, f32 accumulation) for another 2×
         footprint/bandwidth."""
+        dtype = dtype or jnp.float32
         if self.data_tr is not None:
-            return self
+            if self.data_tr.dtype != dtype and self.data is None:
+                raise ValueError(
+                    f"existing stacking layout is {self.data_tr.dtype} and "
+                    "the 5-D data was dropped — cannot rebuild as "
+                    f"{jnp.dtype(dtype).name}")
+            if self.data_tr.dtype == dtype:
+                if keep_data or self.data is None:
+                    return self
+                # honor keep_data=False on an existing layout: drop data
+                return SeismicGFLibrary(
+                    data=None, duration_min=self.duration_min,
+                    duration_sampling=self.duration_sampling,
+                    starttime_min=self.starttime_min,
+                    starttime_sampling=self.starttime_sampling,
+                    component=self.component,
+                    reference_times=self.reference_times,
+                    data_tr=self.data_tr,
+                    shape5=self.shape5 or tuple(self.data.shape))
+            # dtype change requested: rebuild from the 5-D data below
         from beat_tpu.ops.gfstack import to_stacking_layout, to_stacking_layout_np
 
-        dtype = dtype or jnp.float32
         if keep_data:
             data_tr = to_stacking_layout(self.data, dtype)
         else:

@@ -182,6 +182,8 @@ def transd_sample(
         ok = pick(*[jnp.asarray(c[1]) for c in cands])
         return new_state, ok
 
+    record_every = params.record_every
+
     @partial(jax.jit, static_argnums=(3,))
     def run(state, llk, key, n_steps):
         def step(carry, key):
@@ -202,30 +204,40 @@ def transd_sample(
 
             state = jax.tree_util.tree_map(sel, prop, state)
             llk = jnp.where(accept, llk_prop, llk)
+            return (state, llk, n_acc + accept.sum()), None
+
+        def block(carry, block_key):
+            # record only once per block: trace memory is n_rec blocks,
+            # not n_steps (20k steps × 512 chains × 512 patches of
+            # per-step slips would be tens of GB of scan outputs)
+            carry, _ = jax.lax.scan(
+                step, carry, jax.random.split(block_key, record_every))
+            state, llk, _ = carry
             slips = jax.vmap(
                 lambda st: masked_voronoi_slips(*st, ps, pd))(state)
-            k_now = jnp.sum(state[3], axis=1)
-            return (state, llk, n_acc + accept.sum()), (k_now, slips, llk)
+            return carry, (jnp.sum(state[3], axis=1), slips, llk)
 
-        keys = jax.random.split(key, n_steps)
+        n_rec = n_steps // record_every
         (state, llk, n_acc), (k_tr, slip_tr, llk_tr) = jax.lax.scan(
-            step, (state, llk, jnp.zeros(())), keys)
+            block, (state, llk, jnp.zeros(())),
+            jax.random.split(key, n_rec))
         return state, llk, n_acc, k_tr, slip_tr, llk_tr
 
     state = (jnp.asarray(node_s0), jnp.asarray(node_d0),
              jnp.asarray(values0), jnp.asarray(active0))
     llk = v_logp(state)
     key, sub = jax.random.split(key)
+    n_sampled = (params.n_steps // params.record_every) * params.record_every
     state, llk, n_acc, k_tr, slip_tr, llk_tr = run(
         state, llk, sub, params.n_steps)
 
-    thin = slice(params.n_steps // 2, None, params.record_every)  # burn-in half
+    thin = slice(k_tr.shape[0] // 2, None)        # burn-in half
     out = {
         "k_trace": np.asarray(k_tr[thin]),
         "slip_trace": np.asarray(slip_tr[thin]),
         "llk_trace": np.asarray(llk_tr[thin]),
         "final_state": tuple(np.asarray(x) for x in state),
-        "accept_rate": float(n_acc) / (params.n_steps * C),
+        "accept_rate": float(n_acc) / (n_sampled * C),
     }
     logger.info("trans-d sampling done: accept %.3f, k mean %.2f",
                 out["accept_rate"], out["k_trace"].mean())

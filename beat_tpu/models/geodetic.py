@@ -168,18 +168,6 @@ class GeodeticComposite(Composite):
             out[ds.name] = 1.0 - (res @ res) / max(obs @ obs, 1e-30)
         return out
 
-    def get_standardized_residuals(self, point: dict) -> dict:
-        """Residuals whitened by the data-covariance Cholesky inverse —
-        ~N(0,1) when noise model and fit are consistent (reference
-        ``get_standardized_residuals`` ``models/geodetic.py`` /
-        ``apps/beat.py:2422``)."""
-        synth = np.asarray(self.synthetics_los_np(point))
-        out = {}
-        for ds, slc in zip(self.datasets, self.stack.slices):
-            res = self.stack.displacement[slc] - synth[slc]
-            out[ds.name] = np.asarray(ds.covariance.chol_inverse) @ res
-        return out
-
 
 class GeodeticGeometryComposite(GeodeticComposite):
     """

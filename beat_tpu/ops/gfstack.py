@@ -279,36 +279,16 @@ def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
 
 @functools.lru_cache(maxsize=None)
 def _make_stack_op(S: int, multilinear: bool, interpret: bool):
-    if multilinear:
-
-        @jax.custom_batching.custom_vmap
-        def op(data_tr, didx, sidx, slips, rtf, stf):
-            return stack_batched_pallas(data_tr, S, didx[None], sidx[None],
-                                        slips[None], rtf[None], stf[None],
-                                        interpret=interpret)[0]
-
-        @op.def_vmap
-        def _rule(axis_size, in_batched, data_tr, didx, sidx, slips, rtf, stf):
-            db, *rest = in_batched
-            if db:
-                raise NotImplementedError("batched GF library unsupported")
-
-            def bc(x, b):
-                return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
-
-            args = [bc(a, b) for a, b in zip((didx, sidx, slips, rtf, stf), rest)]
-            return stack_batched_pallas(data_tr, S, *args,
-                                        interpret=interpret), True
-
-        return op
+    """custom_vmap op over the per-chain args — (didx, sidx, slips) plus
+    (rtf, stf) when multilinear; one construction serves both modes."""
 
     @jax.custom_batching.custom_vmap
-    def op(data_tr, didx, sidx, slips):
-        return stack_batched_pallas(data_tr, S, didx[None], sidx[None],
-                                    slips[None], interpret=interpret)[0]
+    def op(data_tr, *args):
+        return stack_batched_pallas(data_tr, S, *(a[None] for a in args),
+                                    interpret=interpret)[0]
 
     @op.def_vmap
-    def _rule(axis_size, in_batched, data_tr, didx, sidx, slips):
+    def _rule(axis_size, in_batched, data_tr, *args):
         db, *rest = in_batched
         if db:
             raise NotImplementedError("batched GF library unsupported")
@@ -316,8 +296,8 @@ def _make_stack_op(S: int, multilinear: bool, interpret: bool):
         def bc(x, b):
             return x if b else jnp.broadcast_to(x, (axis_size,) + x.shape)
 
-        args = [bc(a, b) for a, b in zip((didx, sidx, slips), rest)]
-        return stack_batched_pallas(data_tr, S, *args,
+        bargs = [bc(a, b) for a, b in zip(args, rest)]
+        return stack_batched_pallas(data_tr, S, *bargs,
                                     interpret=interpret), True
 
     return op
@@ -360,7 +340,7 @@ def pallas_ok(lib, use_pallas=None, interpret: bool = False) -> bool:
     if getattr(lib, "data_tr", None) is None:
         return False
     T, P, N, DSP = lib.data_tr.shape
-    return _fits_vmem(N, DSP, LANE)
+    return _fits_vmem(N, DSP)   # guard at the worst-case chain batch
 
 
 def stack_all_auto(lib, durations, starttimes, slips,

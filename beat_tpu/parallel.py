@@ -149,12 +149,16 @@ def init_distributed(coordinator_address: str | None = None,
     """
     import os
 
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = _int_env("JAX_NUM_PROCESSES")
+    if process_id is None:  # NOT `or`: process 0 is falsy but valid
+        process_id = _int_env("JAX_PROCESS_ID")
     jax.distributed.initialize(
-        coordinator_address=coordinator_address
-        or os.environ.get("JAX_COORDINATOR_ADDRESS"),
-        num_processes=num_processes
-        or _int_env("JAX_NUM_PROCESSES"),
-        process_id=process_id or _int_env("JAX_PROCESS_ID"))
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
     idx = jax.process_index()
     logger.info("Distributed runtime: process %i/%i, %i global devices",
                 idx, jax.process_count(), len(jax.devices()))

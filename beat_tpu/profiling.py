@@ -147,13 +147,38 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+def slope_time(run, n_lo: int = 2, n_hi: int = 32, reps: int = 3) -> float:
+    """
+    Seconds per iteration via the two-length slope method — the one
+    reliable way to time device work over a remote/tunnelled backend
+    where per-dispatch RTT (~30-50 ms, jittery) can exceed device time
+    and same-argument replays may complete without a round-trip.
+
+    ``run(n, rep)`` must execute ``n`` iterations on device and
+    host-sync before returning; distinct ``rep`` values must vary the
+    arguments slightly (replay-cache workaround).  Both lengths are
+    invoked once first to absorb compilation.
+    """
+    run(n_lo, 0)
+    run(n_hi, 0)
+
+    def timed(n):
+        best = float("inf")
+        for r in range(reps):
+            t0 = time.perf_counter()
+            run(n, r + 1)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(n_hi) - timed(n_lo)) / (n_hi - n_lo), 1e-12)
+
+
 def time_per_sample(logp_fn, q, logp_args=(), n_lo: int = 2, n_hi: int = 32):
     """
-    Per-evaluation device time of a (chain-batched) logp via the slope
-    method: on-device ``lax.scan`` at two lengths, host-fetch sync, and
-    the difference isolates per-iteration time from dispatch/compile
-    (reference ``Metropolis.time_per_sample`` times 10 evals naively —
-    meaningless over a remote tunnel).
+    Per-evaluation device time of a (chain-batched) logp via
+    :func:`slope_time` over an on-device ``lax.scan`` (reference
+    ``Metropolis.time_per_sample`` times 10 evals naively — meaningless
+    over a remote tunnel).
 
     Returns seconds per lockstep evaluation (all chains in ``q``).
     """
@@ -163,22 +188,14 @@ def time_per_sample(logp_fn, q, logp_args=(), n_lo: int = 2, n_hi: int = 32):
     batched = jax.vmap(lambda x: logp_fn(x, *logp_args))
 
     @functools.partial(jax.jit, static_argnums=(1,))
-    def run(q, n):
+    def scan_evals(q, n):
         def body(eps, _):
             return jnp.float32(1e-20) * jnp.sum(batched(q + eps)), None
 
         eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return eps
 
-    def timed(n):
-        best = 1e9
-        for r in range(3):
-            qq = q + jnp.float32(1e-7 * (r + 1))
-            t0 = time.perf_counter()
-            float(run(qq, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run(n, rep):
+        float(scan_evals(q + jnp.float32(1e-7 * rep), n))
 
-    float(run(q, n_lo))
-    float(run(q, n_hi))
-    return max((timed(n_hi) - timed(n_lo)) / (n_hi - n_lo), 1e-12)
+    return slope_time(run, n_lo, n_hi)

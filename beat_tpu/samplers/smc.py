@@ -221,6 +221,7 @@ def smc_sample(
     # ---- stage loop (per-stage timings recorded in profiling.timings;
     # BEAT_TPU_PROFILE_DIR additionally writes a JAX profiler trace of
     # each stage's device work) ----
+    timings_mark = len(timings.records)   # this run's records only
     while beta < 1.0 and stage < params.max_stages:
         new_beta, old_beta, weights = calc_beta(beta, likelihoods, params.coef_variation)
         final_stage = new_beta >= 1.0
@@ -299,7 +300,10 @@ def smc_sample(
 
         if final_stage:
             if handler is not None:
-                timings.dump(os.path.join(homepath, "timings.json"))
+                from beat_tpu.profiling import TimingRegistry
+
+                TimingRegistry(records=timings.records[timings_mark:]).dump(
+                    os.path.join(homepath, "timings.json"))
             return np.asarray(q_tr), np.asarray(llk_tr)
         stage += 1
 

@@ -56,30 +56,22 @@ def bench_smc_evals():
     # distinct states per rep: same-argument replays can be served
     # without real device work on the tunnelled backend
     states = [init_metropolis_state(logp, q0, jax.random.PRNGKey(i),
-                                    logp_args=(data,)) for i in range(3)]
+                                    logp_args=(data,)) for i in range(4)]
 
     cov_chol = jnp.eye(dim, dtype=jnp.float32) * 0.01
     lo = jnp.asarray(lower, dtype=jnp.float32)
     hi = jnp.asarray(upper, dtype=jnp.float32)
 
-    def run(state, n_steps):
+    from beat_tpu.profiling import slope_time
+
+    def run(n_steps, rep):
         final, _ = run_metropolis_stage(
-            logp, state, jnp.float32(0.7), cov_chol, lo, hi,
+            logp, states[rep], jnp.float32(0.7), cov_chol, lo, hi,
             n_steps=n_steps, tune_interval=1_000_000, record_every=n_steps,
             logp_args=(data,))
-        return float(jnp.sum(final.llk)) * 0.0  # host fetch = real sync
+        float(jnp.sum(final.llk))  # host fetch = real sync
 
-    def timed(n_steps):
-        best = 1e9
-        for state in states:
-            t0 = time.perf_counter()
-            run(state, n_steps)
-            best = min(best, time.perf_counter() - t0)
-        return best
-
-    run(states[0], N_SMALL)   # compile
-    run(states[0], N_LARGE)   # compile
-    per_step = (timed(N_LARGE) - timed(N_SMALL)) / (N_LARGE - N_SMALL)
+    per_step = slope_time(run, N_SMALL, N_LARGE)
     return N_CHAINS / per_step
 
 

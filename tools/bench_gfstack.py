@@ -44,8 +44,10 @@ def make_problem(C, T, P, D, S, N, seed=0, keep_data=None):
 
 def bench_stack(lib, durations, starttimes, slips, interp, mode,
                 target_ms=600.0):
-    """Returns ms per lockstep stack evaluation (slope method)."""
+    """Returns ms per lockstep stack evaluation
+    (:func:`beat_tpu.profiling.slope_time`)."""
     from beat_tpu.ops.gfstack import stack_all_pallas
+    from beat_tpu.profiling import slope_time
 
     if mode == "pallas":
         def stack(lib, d, s, w):
@@ -57,35 +59,23 @@ def bench_stack(lib, durations, starttimes, slips, interp, mode,
                 dd, ss, ww, interp))(d, s, w)
 
     @partial(jax.jit, static_argnums=(4,))
-    def run(lib, d, s, w, n):
+    def scan_stacks(lib, d, s, w, n):
         def body(eps, _):
             out = stack(lib, d, s, w + eps)
             return jnp.float32(1e-20) * jnp.sum(out), 0
         eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return eps
 
-    def timed(n, reps=3):
-        # distinct slips per rep: same-argument replays can be served
-        # without real device work on the tunnelled backend
-        best = 1e9
-        for r in range(reps):
-            w = slips + jnp.float32(1e-7 * (r + 1))
-            t0 = time.perf_counter()
-            float(run(lib, durations, starttimes, w, n))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def run(n, rep):
+        w = slips + jnp.float32(1e-7 * rep)
+        float(scan_stacks(lib, durations, starttimes, w, n))
 
-    n_lo = 2
-    float(run(lib, durations, starttimes, slips, n_lo))
     # pilot estimate, then scale n_hi so slope·(n_hi−n_lo) ≳ target_ms
-    n_hi = 34
-    float(run(lib, durations, starttimes, slips, n_hi))
-    pilot = (timed(n_hi, 1) - timed(n_lo, 1)) / (n_hi - n_lo)
+    n_lo, n_hi = 2, 34
+    pilot = slope_time(run, n_lo, n_hi, reps=1)
     if pilot * (n_hi - n_lo) * 1e3 < target_ms:
         n_hi = n_lo + max(32, min(4096, int(target_ms / max(pilot * 1e3, 1e-3))))
-        float(run(lib, durations, starttimes, slips, n_hi))
-    dt = (timed(n_hi) - timed(n_lo)) / (n_hi - n_lo)
-    return dt * 1e3
+    return slope_time(run, n_lo, n_hi) * 1e3
 
 
 def main():
