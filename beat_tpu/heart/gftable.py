@@ -117,6 +117,23 @@ class GreensTable:
         """(IC, IS) inverse-rFFT basis matrices (nf, nt), device arrays."""
         return self._ibasis
 
+    def astype(self, dtype) -> "GreensTable":
+        """Copy with the spectra stored in ``dtype``.
+
+        ``jnp.bfloat16`` halves the HBM *footprint* — a capacity lever
+        for tables larger than the chip.  It is NOT a speed lever and
+        not recommended for production likelihoods: measured on v5e at
+        FullMT scale, the mixed-precision gather is ~20 % SLOWER
+        (conversion traffic) and whitened log-likelihoods shift by far
+        more than sampler noise (the ~1e-3 spectra rounding is amplified
+        by data-covariance whitening).  Validate with the
+        tests/test_float32_llk.py harness before using."""
+        return GreensTable(spectra=jnp.asarray(self.spectra, dtype),
+                           distances=self.distances, depths=self.depths,
+                           dt=self.dt, nt=self.nt, t0=self.t0,
+                           vp=self.vp, vs=self.vs, rho=self.rho,
+                           _ibasis=self._ibasis)
+
     def travel_time(self, phase: str, distance, depth):
         """First-arrival time [s].  Homogeneous straight-ray by default;
         store-converted tables override with their travel-time tables."""
