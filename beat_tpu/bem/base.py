@@ -107,14 +107,18 @@ class BEMEngine:
     def discretize(self, sources) -> list:
         return [src.discretize(self.mesh_size) for src in sources]
 
-    def process(self, sources, coords) -> BEMResponse:
+    def process(self, sources, coords, tractions=None) -> BEMResponse:
+        """``tractions``: optional per-BC driving tractions [MPa] overriding
+        the BCs' fixed values — the hook through which sampled
+        ``<component>_traction`` parameters enter (reference samples
+        tractions as free variables, ``defaults.py`` traction entries)."""
         meshes = self.discretize(sources)
         if self.check_mesh_intersection and check_intersection(meshes):
             # reference returns a -99-filled invalid response (bem/base.py:145)
             return BEMResponse(sources=sources, meshes=meshes,
                                displacements=None, slips=None, is_valid=False)
         G_tractions = self.get_interaction_matrix(meshes)
-        rhs = self._traction_rhs(meshes)
+        rhs = self._traction_rhs(meshes, tractions)
         # the crack slips until its faces are traction-balanced: the
         # slip-induced traction cancels the applied (driving) traction,
         # G·s = -t_applied — so a positive normal traction (pressurized
@@ -139,11 +143,12 @@ class BEMEngine:
                                       near_level=self.near_quadrature_level,
                                       medium=self.medium)
 
-    def _traction_rhs(self, meshes) -> np.ndarray:
+    def _traction_rhs(self, meshes, tractions=None) -> np.ndarray:
         rows = []
-        for bc in self.boundary_conditions:
+        for k, bc in enumerate(self.boundary_conditions):
             n = sum(meshes[i].ntriangles for i in bc.receiver_idxs)
-            rows.append(np.full(n, bc.traction * 1e6))  # MPa -> Pa
+            t = bc.traction if tractions is None else float(tractions[k])
+            rows.append(np.full(n, t * 1e6))  # MPa -> Pa
         return np.concatenate(rows)
 
     def _surface_displacements(self, meshes, slips, coords) -> np.ndarray:

@@ -153,6 +153,10 @@ class WaveformFitConfig:
 
     include: bool = True
     name: str = "any_P"           # phase
+    #: CSV of picked arrivals `station,time_s` (seconds after origin)
+    #: overriding predicted arrival times (reference
+    #: ``arrivals_marker_path``, ``config.py:540``)
+    arrivals_path: str | None = None
     channels: list = field(default_factory=lambda: ["Z"])
     filterer: FilterConfig = field(default_factory=FilterConfig)
     arrival_taper: ArrivalTaperConfig = field(default_factory=ArrivalTaperConfig)
@@ -183,6 +187,51 @@ class PolarityConfig:
     datadir: str = "./"
     waveforms: list = field(default_factory=list)
     gf_config: dict = field(default_factory=dict)
+
+
+@dataclass
+class BoundaryConditionConfig:
+    """One traction boundary condition linking source/receiver meshes
+    (reference ``BoundaryCondition`` ``config.py:1155-1199``).  The
+    driving traction itself is a *sampled* parameter
+    (``<slip_component>_traction`` prior, defaults-registry bounds)."""
+
+    slip_component: str = "normal"   # strike | dip | normal
+    source_idxs: list = field(default_factory=lambda: [0])
+    receiver_idxs: list = field(default_factory=lambda: [0])
+
+
+@dataclass
+class BEMConfig:
+    """bem-mode engine configuration (reference ``BEMConfig``
+    ``config.py:1202-1218``).  ``mesh_size`` in km (config units)."""
+
+    poissons_ratio: float = 0.25
+    shear_modulus: float = 33e9      # [Pa]
+    mesh_size: float = 0.5           # [km] target triangle size
+    check_mesh_intersection: bool = True
+    medium: str = "halfspace"        # halfspace (Mindlin) | fullspace (Kelvin)
+    #: far/near triangle-subdivision levels of the traction assembly
+    #: ((2, 6) ≈ 3 % penny-crack accuracy; (1, 4-5) ≈ 4x faster solves
+    #: for geometry sampling)
+    quadrature_level: int = 2
+    near_quadrature_level: int = 6
+    boundary_conditions: list = field(
+        default_factory=lambda: [BoundaryConditionConfig()])
+
+    def make_engine(self):
+        from beat_tpu.bem import BEMEngine, BoundaryCondition
+
+        bcs = [BoundaryCondition(bc.slip_component, list(bc.source_idxs),
+                                 list(bc.receiver_idxs))
+               for bc in self.boundary_conditions]
+        return BEMEngine(bcs, mesh_size=self.mesh_size * 1e3,
+                         poissons_ratio=self.poissons_ratio,
+                         shear_modulus=self.shear_modulus,
+                         check_mesh_intersection=self.check_mesh_intersection,
+                         medium=self.medium,
+                         quadrature_level=self.quadrature_level,
+                         near_quadrature_level=self.near_quadrature_level)
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +266,7 @@ class ProblemConfig:
                       "locking_depth", "depth_bottom", "distance",
                       "a_half_axis", "b_half_axis", "a_half_axis_bottom",
                       "b_half_axis_bottom", "delta_east_shift_bottom",
-                      "delta_north_shift_bottom", "velocities")
+                      "delta_north_shift_bottom", "velocities", "height")
 
     def get_prior_set(self, to_si: bool = False, skip_fixed: bool = False) -> PriorSet:
         """Priors in config (reference) units, or converted to SI for the
@@ -297,6 +346,7 @@ class BEATconfig:
     geodetic_config: GeodeticConfig | None = None
     seismic_config: SeismicConfig | None = None
     polarity_config: PolarityConfig | None = None
+    bem_config: BEMConfig | None = None
     sampler_config: SamplerConfig = field(default_factory=SamplerConfig)
     hyper_sampler_config: SamplerConfig | None = None
 
@@ -321,12 +371,14 @@ _NESTED = {
     "ramps": RampConfig,
     "filterer": FilterConfig,
     "arrival_taper": ArrivalTaperConfig,
+    "bem_config": BEMConfig,
 }
 
 _NESTED_LISTS = {
     "waveforms": WaveformFitConfig,
     "euler_poles": EulerPoleConfig,
     "strain_rates": StrainRateConfig,
+    "boundary_conditions": BoundaryConditionConfig,
 }
 
 
@@ -400,6 +452,25 @@ source_geometry_vars = {
 #: extra temporal variables when seismic data participates
 seismic_geometry_vars = ["time", "duration"]
 
+#: variables sampled per BEM source type in bem mode (geometry of the
+#: meshed crack; driving tractions are added per boundary condition)
+bem_source_geometry_vars = {
+    "TriangleBEMSource": ["east_shift", "north_shift", "depth"],
+    "RectangularBEMSource": ["east_shift", "north_shift", "depth",
+                             "strike", "dip", "length", "width"],
+    "EllipseBEMSource": ["east_shift", "north_shift", "depth",
+                         "a_half_axis", "b_half_axis", "strike", "dip",
+                         "plunge"],
+    "DiskBEMSource": ["east_shift", "north_shift", "depth",
+                      "a_half_axis", "b_half_axis", "strike", "dip", "plunge"],
+    "RingfaultBEMSource": ["east_shift", "north_shift", "depth",
+                           "diameter", "height", "strike"],
+    "CurvedBEMSource": ["east_shift", "north_shift", "depth",
+                        "strike", "dip", "length", "width",
+                        "bend_location", "bend_amplitude",
+                        "curv_amplitude_bottom", "curv_location_bottom"],
+}
+
 
 def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
                 source_types=("RectangularSource",), n_sources=(1,),
@@ -408,13 +479,31 @@ def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
     """
     Scaffold a new project (reference ``init_config`` ``config.py:2083``).
     """
+    if mode == bem_mode_str:
+        datatypes = ["geodetic"]   # reference: bem is geodetic-only
+        if all(st not in bem_source_geometry_vars for st in source_types):
+            source_types = ["DiskBEMSource"]
     pc = ProblemConfig(mode=mode, source_types=list(source_types),
                        n_sources=list(n_sources), datatypes=list(datatypes))
     variables: list[str] = []
+    bem_config = None
     if mode == ffi_mode_str:
         variables.extend(static_dist_vars[:2])  # uparr, uperp
         if "seismic" in datatypes:
             variables.extend(partial_kinematic_vars)
+    elif mode == bem_mode_str:
+        from collections import Counter
+
+        bem_config = BEMConfig()
+        for st, ns in zip(source_types, n_sources):
+            variables.extend(bem_source_geometry_vars[st])
+        # one traction prior per slip component, vector-valued over the
+        # BCs sharing it (linear-composite naming convention)
+        bc_counts = Counter(bc.slip_component
+                            for bc in bem_config.boundary_conditions)
+        for comp_name, n in sorted(bc_counts.items()):
+            p = Parameter.from_defaults(f"{comp_name}_traction", dimension=n)
+            pc.priors[f"{comp_name}_traction"] = p.to_dict()
     else:
         for st, ns in zip(source_types, n_sources):
             variables.extend(source_geometry_vars[st])
@@ -424,7 +513,7 @@ def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
     pc.set_default_priors(sorted(set(variables)), n_sources=total_sources)
 
     config = BEATconfig(name=name, project_dir=project_dir, event=event or EventConfig(),
-                        problem_config=pc,
+                        problem_config=pc, bem_config=bem_config,
                         sampler_config=SamplerConfig(name=sampler))
     if "geodetic" in datatypes:
         config.geodetic_config = GeodeticConfig()
@@ -656,6 +745,8 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
     pc = config.problem_config
     if pc.mode == ffi_mode_str:
         return _ffi_problem_from_config(config, project_dir)
+    if pc.mode == bem_mode_str:
+        return _bem_problem_from_config(config, project_dir)
     priors = pc.get_prior_set(to_si=True, skip_fixed=True)
     fixed = pc.get_fixed_params(to_si=True)
 
@@ -712,6 +803,73 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
                       sampler_params=config.sampler_config.get_params(),
                       hyper_sampler_params=hyper_params,
                       initialization=getattr(pc, "initialization", "random"))
+    apply_hyper_overrides(problem, pc)
+    return problem
+
+
+def _bem_problem_from_config(config: BEATconfig, project_dir: str):
+    """
+    bem-mode problem (reference ``GeometryOptimizer`` with
+    ``GeodeticBEMComposite``, ``models/problems.py:669`` +
+    ``models/geodetic.py:805``): engine from ``bem_config``, BEM source
+    templates with fixed parameters applied, and — when every geometry
+    parameter is fixed — the fully on-device linear unit-traction
+    composite instead of the per-draw meshing callback.
+    """
+    from beat_tpu.bem import source_catalog as bem_source_catalog
+    from beat_tpu.models.problem import Problem
+
+    pc = config.problem_config
+    if config.bem_config is None:
+        raise ValueError("bem mode needs a bem_config section")
+    engine = config.bem_config.make_engine()
+    priors = pc.get_prior_set(to_si=True, skip_fixed=True)
+    fixed = pc.get_fixed_params(to_si=True)
+
+    sources = []
+    i_src = 0
+    for st, ns in zip(pc.source_types, pc.n_sources):
+        if st not in bem_source_catalog:
+            raise ValueError(
+                f"bem mode needs BEM source types "
+                f"({sorted(bem_source_catalog)}), got {st!r}")
+        for _ in range(int(ns)):
+            src = bem_source_catalog[st](depth=config.event.depth)
+            for name, val in fixed.items():
+                if hasattr(src, name):
+                    v = np.atleast_1d(val)
+                    setattr(src, name, float(v[i_src] if v.size > 1 else v[0]))
+            sources.append(src)
+            i_src += 1
+
+    gc = config.geodetic_config or GeodeticConfig()
+    datasets = load_geodetic_datasets(project_dir, gc)
+    corrections = _build_corrections(gc, datasets)
+    kwargs = dict(noise_structure=gc.noise_estimator.structure,
+                  hp_specific=gc.dataset_specific_residual_noise_estimation,
+                  corrections=corrections)
+
+    geometry_sampled = [n for n in priors.names
+                        if any(hasattr(s, n) for s in sources)]
+    if geometry_sampled:
+        from beat_tpu.models.bem import GeodeticBEMComposite
+
+        logger.info("bem mode: sampling geometry %s via the BEM callback "
+                    "composite", geometry_sampled)
+        comp = GeodeticBEMComposite(datasets, sources, engine, **kwargs)
+    else:
+        from beat_tpu.models.bem import GeodeticBEMLinearComposite
+
+        logger.info("bem mode: fixed geometry — linear unit-traction "
+                    "composite (full on-device speed)")
+        comp = GeodeticBEMLinearComposite(datasets, sources, engine, **kwargs)
+
+    outfolder = os.path.join(project_dir, pc.mode)
+    hyper_params = (config.hyper_sampler_config.get_params()
+                    if config.hyper_sampler_config is not None else None)
+    problem = Problem(priors, {"geodetic": comp}, outfolder=outfolder,
+                      sampler_params=config.sampler_config.get_params(),
+                      hyper_sampler_params=hyper_params)
     apply_hyper_overrides(problem, pc)
     return problem
 

@@ -133,6 +133,7 @@ parameter_info: dict[str, Bounds] = {
     "curv_location_bottom": Bounds((0.0, 1.0), (0.0, 1.0), u_hyp),
     "bend_location": Bounds((0.0, 1.0), (0.0, 1.0), u_hyp),
     "bend_amplitude": Bounds(_moff, _moff, u_hyp),
+    "height": Bounds((0.0, 100.0), (0.1, 4.0), u_km),   # ring-fault vertical extent
     # --- misc ---
     "depth_bottom": Bounds((0.0, 300.0), (0.0, 10.0), u_km),
     "distance": Bounds((0.0, 300.0), (0.0, 10.0), u_km),

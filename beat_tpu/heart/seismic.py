@@ -57,6 +57,10 @@ class WaveformMapping:
     domain: str = "time"           # time | spectrum
     quantity: str = "displacement"  # | velocity | acceleration
     station_corrections: bool = False
+    #: picked arrival times per station [s after origin], overriding the
+    #: table's predicted arrivals (reference ``arrivals_marker_path``
+    #: custom picks, ``config.py:540``)
+    arrival_overrides: dict | None = None
 
     # filled by prepare()
     station_east: np.ndarray = field(default=None)
@@ -130,8 +134,13 @@ class WaveformMapping:
         dist = np.sqrt((self.station_east - e0) ** 2 + (self.station_north - n0) ** 2)
         # reference arrivals at the mid-depth of the table grid
         z_ref = float(np.mean(self.table.depths))
-        self.arrival_times = np.asarray(
+        self.arrival_times = np.array(
             self.table.travel_time(self.name, jnp.asarray(dist), z_ref))
+        if self.arrival_overrides:
+            for i, ds in enumerate(self.datasets):
+                if ds.station in self.arrival_overrides:
+                    self.arrival_times[i] = float(
+                        self.arrival_overrides[ds.station])
         start_times = self.arrival_times + self.taper.a - self.table.t0
         self.window_starts = np.clip(
             np.round(start_times / dt).astype(np.int32),

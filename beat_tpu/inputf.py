@@ -236,6 +236,31 @@ def save_seismic_datasets(datasets, project_dir: str, datadir: str = "./") -> st
     return path
 
 
+def load_arrivals_csv(path: str) -> dict:
+    """
+    Picked phase-arrival times: CSV lines ``station,time_s`` (seconds
+    after origin; optional header) → {station: time}.  The native
+    analogue of the reference's picked marker files
+    (``arrivals_marker_path``, ``config.py:540`` + ``heart.py:2532``).
+    """
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No arrivals file at {path}")
+    out = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = [p.strip() for p in line.split(",")]
+            try:
+                out[parts[0]] = float(parts[1])
+            except (IndexError, ValueError):
+                continue  # header or malformed line
+    if not out:
+        raise ValueError(f"No parsable 'station,time_s' rows in {path}")
+    return out
+
+
 def load_seismic_datasets(project_dir: str, datadir: str = "./") -> list:
     from beat_tpu.heart.seismic import SeismicDataset
 

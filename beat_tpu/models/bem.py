@@ -9,8 +9,15 @@ Architecture note: unlike the table-driven forwards, the BEM solve is
 inherently host-side (per-geometry meshing + dense LSQ) — exactly as in
 the reference, where a pytensor op calls pygmsh/cutde per draw.  The
 forward is exposed to the jitted sampler through ``jax.pure_callback``;
-under ``vmap`` the callback runs the chain batch as a host loop, so BEM
-problems favour modest chain counts (reference guidance is the same).
+under ``vmap`` the whole chain batch arrives in one host call and the
+per-chain solves run on a thread pool.  BEM problems favour modest
+chain counts (reference guidance is the same).
+
+Deployment note: remote TPU backends without host-callback support
+(axon) cannot run the geometry-sampling composite — use the CPU backend
+(``BEAT_TPU_PLATFORM=cpu``) for free-geometry BEM problems, or fix the
+geometry and sample tractions with the fully on-device
+:class:`GeodeticBEMLinearComposite`.
 """
 
 from __future__ import annotations
@@ -156,30 +163,76 @@ class GeodeticBEMComposite(GeodeticComposite):
             out.append(s)
         return out
 
+    def _point_tractions(self, point_np: dict):
+        """Per-BC driving tractions [MPa] from sampled
+        ``<component>_traction`` entries (occurrence-indexed like the
+        linear composite); None when no traction parameter is sampled."""
+        from collections import defaultdict
+
+        if not any(f"{bc.slip_component}_traction" in point_np
+                   for bc in self.engine.boundary_conditions):
+            return None
+        vals = []
+        idx = defaultdict(int)
+        for bc in self.engine.boundary_conditions:
+            name = f"{bc.slip_component}_traction"
+            if name in point_np:
+                v = np.atleast_1d(point_np[name])
+                vals.append(float(v[idx[name]] if v.size > 1 else v[0]))
+            else:
+                vals.append(bc.traction)
+            idx[name] += 1
+        return vals
+
     def _forward_np(self, point_np: dict) -> np.ndarray:
         """Host BEM solve → LOS displacements (Ntot,); invalid geometries
         (mesh intersection) return the reference's -99 fill
         (``BEMResponse.INVALID`` ``bem/base.py``)."""
         sources = self._apply_point_np(point_np)
-        response = self.engine.process(sources, self.stack.coords)
+        response = self.engine.process(sources, self.stack.coords,
+                                       tractions=self._point_tractions(point_np))
         if not response.is_valid:
             return np.full(self.stack.samples, -99.0, dtype=np.float32)
         los = np.einsum("ni,ni->n", response.displacements, self.stack.los)
         return los.astype(np.float32)
 
     def synthetics_los(self, point: dict, data=None):
-        """jit/vmap-compatible forward via host callback."""
+        """jit/vmap-compatible forward via host callback.
+
+        Under ``vmap`` (lockstep chains) the whole chain batch arrives in
+        one host call (``vmap_method='expand_dims'``) and the per-chain
+        BEM solves run on a thread pool — the TPU-era analogue of the
+        reference's fork-pool forward workers (numpy/BLAS release the
+        GIL, so multi-core hosts solve chains concurrently)."""
+        bc_names = {f"{bc.slip_component}_traction"
+                    for bc in self.engine.boundary_conditions}
         names = [n for n in point
-                 if any(hasattr(s, n) for s in self.sources)]
+                 if any(hasattr(s, n) for s in self.sources) or n in bc_names]
         names = sorted(names)
         vals = [jnp.atleast_1d(jnp.asarray(point[n])) for n in names]
+        unbatched_ndims = [v.ndim for v in vals]
 
         def host(*args):
-            point_np = {n: np.asarray(a) for n, a in zip(names, args)}
-            return self._forward_np(point_np)
+            if args and args[0].ndim == unbatched_ndims[0]:   # single point
+                return self._forward_np(
+                    {n: np.asarray(a) for n, a in zip(names, args)})
+            batch = args[0].shape[0]
+            points = [{n: np.asarray(a[b]) for n, a in zip(names, args)}
+                      for b in range(batch)]
+            import os as _os
+            from concurrent.futures import ThreadPoolExecutor
+
+            workers = min(batch, _os.cpu_count() or 1)
+            if workers <= 1:
+                rows = [self._forward_np(p) for p in points]
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    rows = list(ex.map(self._forward_np, points))
+            return np.stack(rows).astype(np.float32)
 
         out_shape = jax.ShapeDtypeStruct((self.stack.samples,), jnp.float32)
-        return jax.pure_callback(host, out_shape, *vals, vmap_method="sequential")
+        return jax.pure_callback(host, out_shape, *vals,
+                                 vmap_method="expand_dims")
 
     def synthetics_los_np(self, point: dict):
         return self._forward_np({k: np.asarray(v) for k, v in point.items()})

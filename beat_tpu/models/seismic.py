@@ -463,6 +463,14 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             logger.warning("Wavemap %s: no datasets for channels %s",
                            wfc.name, wfc.channels)
             continue
+        overrides = None
+        arrivals_path = getattr(wfc, "arrivals_path", None)
+        if arrivals_path:
+            from beat_tpu.inputf import load_arrivals_csv
+
+            overrides = load_arrivals_csv(
+                arrivals_path if os.path.isabs(arrivals_path)
+                else os.path.join(project_dir, arrivals_path))
         wmap = WaveformMapping(
             name=wfc.name, datasets=selected, table=table,
             taper=ArrivalTaper(wfc.arrival_taper.a, wfc.arrival_taper.b,
@@ -472,7 +480,8 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             domain=wfc.domain,
             quantity=getattr(wfc, "quantity", "displacement"),
             station_corrections=getattr(seismic_config, "station_corrections",
-                                        False))
+                                        False),
+            arrival_overrides=overrides)
         if wfc.blacklist:
             wmap.station_weeding(blacklist=wfc.blacklist)
         wavemaps.append(wmap)

@@ -97,3 +97,26 @@ class TestBEMComposite:
         q_tr, _ = problem.sample()
         est = problem.ordering.to_point(q_tr[-1].mean(axis=0))
         assert abs(est["normal_traction"] - TRUE_TRACTION) / TRUE_TRACTION < 0.1
+
+    def test_vmapped_callback_batches_on_host(self, setup):
+        """Under vmap the chain batch arrives in ONE host call and the
+        thread-pooled per-chain solves equal the per-point forwards;
+        sampled tractions enter the solve."""
+        import jax
+
+        ds, engine = setup
+        comp = GeodeticBEMComposite([ds], [DiskBEMSource(a_half_axis=1000.0)],
+                                    engine)
+        depths = jnp.asarray([2.5e3, 3.0e3, 3.5e3])
+        tracs = jnp.asarray([10.0, 20.0, 30.0])
+
+        batched = jax.vmap(lambda d, t: comp.synthetics_los(
+            {"depth": d, "normal_traction": t}))(depths, tracs)
+        singles = np.stack([
+            comp.synthetics_los_np({"depth": float(d),
+                                    "normal_traction": float(t)})
+            for d, t in zip(depths, tracs)])
+        np.testing.assert_allclose(np.asarray(batched), singles,
+                                   rtol=1e-5, atol=1e-9)
+        # different (depth, traction) per chain → different responses
+        assert not np.allclose(singles[0], singles[2])

@@ -518,3 +518,104 @@ def test_version_and_completions(capsys):
     for word in ("sample", "build_gfs", "--mode", "RingfaultSource",
                  "complete -F _beat_tpu beat-tpu"):
         assert word in script
+
+
+class TestBEMCLIWorkflow:
+    def test_bem_project_lifecycle(self, tmp_path):
+        """Config-driven bem mode (reference BEMConfig, config.py:1202):
+        init → synthetic InSAR scene → linear unit-traction sampling when
+        geometry is fixed → geometry+traction sampling via the BEM
+        callback composite."""
+        from beat_tpu.bem import BEMEngine, BoundaryCondition, DiskBEMSource
+        from beat_tpu.config import problem_from_config
+        from beat_tpu.parameter import Parameter
+
+        pdir = str(tmp_path / "bemproj")
+        assert run_cli("init", "bemproj", pdir, "--mode", "bem",
+                       "--source_types", "DiskBEMSource") == 0
+
+        cfg = load_config(pdir, "bem")
+        assert cfg.bem_config is not None
+        assert cfg.bem_config.medium == "halfspace"
+        assert cfg.bem_config.boundary_conditions[0].slip_component == "normal"
+        assert "normal_traction" in cfg.problem_config.priors
+        assert "a_half_axis" in cfg.problem_config.priors
+        assert cfg.problem_config.datatypes == ["geodetic"]
+
+        # synthetic scene from a known pressurized disk
+        rng = np.random.default_rng(0)
+        g = 7
+        e = np.linspace(-6e3, 6e3, g)
+        coords = np.stack(np.meshgrid(e, e), -1).reshape(-1, 2)
+        los = np.tile([0.1, -0.05, 0.99], (coords.shape[0], 1))
+        los /= np.linalg.norm(los, axis=1, keepdims=True)
+        engine = BEMEngine(
+            [BoundaryCondition("normal", [0], [0], traction=20.0)],
+            mesh_size=1200.0, check_mesh_intersection=False,
+            quadrature_level=1, near_quadrature_level=4)
+        resp = engine.process([DiskBEMSource(depth=3e3, a_half_axis=1000.0)],
+                              coords)
+        obs = np.einsum("ni,ni->n", resp.displacements, los)
+        sd = 0.03 * np.abs(obs).max()
+        from beat_tpu.heart.geodesy import GeodeticDataset
+
+        ds = GeodeticDataset(
+            name="volcano", typ="SAR", coords=coords,
+            displacement=obs + rng.normal(0, sd, obs.shape), los_vector=los,
+            covariance=Covariance(data=np.eye(obs.size) * sd**2))
+        save_geodetic_datasets([ds], pdir)
+
+        # fixed geometry → the fully on-device linear composite
+        P = cfg.problem_config.priors
+        for name, v in (("east_shift", 0.0), ("north_shift", 0.0),
+                        ("depth", 3.0), ("a_half_axis", 1.0),
+                        ("b_half_axis", 1.0), ("strike", 0.0),
+                        ("dip", 0.0), ("plunge", 0.0)):
+            P[name] = Parameter(name, [v], [v]).to_dict()
+        P["normal_traction"] = Parameter("normal_traction", [0.0], [60.0],
+                                         testvalue=[10.0]).to_dict()
+        cfg.bem_config.mesh_size = 1.2
+        cfg.bem_config.check_mesh_intersection = False
+        cfg.bem_config.quadrature_level = 1
+        cfg.bem_config.near_quadrature_level = 4
+        cfg.sampler_config.parameters = {"n_chains": 64, "n_steps": 20,
+                                         "seed": 1}
+        dump_config(cfg, pdir)
+
+        problem = problem_from_config(load_config(pdir, "bem"), pdir)
+        from beat_tpu.models.bem import (GeodeticBEMComposite,
+                                         GeodeticBEMLinearComposite)
+
+        assert isinstance(problem.composites["geodetic"],
+                          GeodeticBEMLinearComposite)
+        assert run_cli("sample", pdir, "--mode", "bem") == 0
+        assert run_cli("summarize", pdir, "--mode", "bem") == 0
+        import json
+
+        with open(os.path.join(pdir, "bem", "summary.txt")) as f:
+            summary = json.load(f)
+        assert abs(summary["normal_traction"]["mean"] - 20.0) < 6.0
+
+        # free depth → the builder switches to the geometry-sampling
+        # callback composite; its likelihood must prefer the true
+        # (depth, traction) over offsets (full BEM-sampling runs live in
+        # tests/test_bem_inversion.py — too slow for the CLI suite)
+        import jax.numpy as jnp
+
+        P["depth"] = Parameter("depth", [1.5], [6.0],
+                               testvalue=[2.5]).to_dict()
+        cfg.bem_config.mesh_size = 1.4
+        cfg.bem_config.quadrature_level = 1
+        cfg.bem_config.near_quadrature_level = 4
+        dump_config(cfg, pdir)
+        problem = problem_from_config(load_config(pdir, "bem"), pdir)
+        comp = problem.composites["geodetic"]
+        assert isinstance(comp, GeodeticBEMComposite)
+        l_true = float(comp.loglike({"depth": jnp.asarray(3e3),
+                                     "normal_traction": jnp.asarray(20.0)}))
+        l_deep = float(comp.loglike({"depth": jnp.asarray(5.5e3),
+                                     "normal_traction": jnp.asarray(20.0)}))
+        l_weak = float(comp.loglike({"depth": jnp.asarray(3e3),
+                                     "normal_traction": jnp.asarray(5.0)}))
+        assert np.isfinite(l_true)
+        assert l_true > l_deep and l_true > l_weak

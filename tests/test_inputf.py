@@ -269,3 +269,47 @@ class TestGCMTNDK:
         # MT prior test values seeded from the catalog mechanism
         tv = config.problem_config.priors["mdd"]["testvalue"]
         assert abs(float(tv[0])) > 0
+
+
+class TestPickedArrivals:
+    def test_load_arrivals_csv(self, tmp_path):
+        p = tmp_path / "picks.csv"
+        p.write_text("station,time_s\nST00,12.5\nST01,14.25\n# comment\n")
+        from beat_tpu.inputf import load_arrivals_csv
+
+        picks = load_arrivals_csv(str(p))
+        assert picks == {"ST00": 12.5, "ST01": 14.25}
+
+    def test_overrides_shift_windows(self, tmp_path):
+        """Picked arrivals override the table's predicted times and move
+        the fit windows (reference arrivals_marker_path)."""
+        import numpy as np
+
+        from beat_tpu.heart.gftable import build_homogeneous_table
+        from beat_tpu.heart.seismic import SeismicDataset, WaveformMapping
+        from beat_tpu.heart.taper import ArrivalTaper, Filter
+
+        table = build_homogeneous_table(
+            distances=np.linspace(20e3, 100e3, 5),
+            depths=np.linspace(2e3, 10e3, 3), nt=256, dt=0.25)
+        datasets = [SeismicDataset(station=f"ST{i:02d}", channel="Z",
+                                   east=40e3 + 10e3 * i, north=0.0,
+                                   ydata=np.zeros(256)) for i in range(2)]
+
+        def mk(overrides):
+            return WaveformMapping(
+                name="any_P", datasets=[SeismicDataset(
+                    station=d.station, channel=d.channel, east=d.east,
+                    north=d.north, ydata=d.ydata) for d in datasets],
+                table=table,
+                taper=ArrivalTaper(a=-2.0, b=-1.0, c=15.0, d=17.0),
+                filterer=Filter(lower_corner=0.02, upper_corner=0.5, order=3),
+                arrival_overrides=overrides)
+
+        base = mk(None)
+        shifted = mk({"ST00": float(base.arrival_times[0]) + 3.0})
+        assert shifted.arrival_times[0] == base.arrival_times[0] + 3.0
+        assert shifted.arrival_times[1] == base.arrival_times[1]
+        dshift = int(round(3.0 / table.dt))
+        assert shifted.window_starts[0] - base.window_starts[0] == dshift
+        assert shifted.window_starts[1] == base.window_starts[1]
