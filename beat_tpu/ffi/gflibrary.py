@@ -20,6 +20,7 @@ from __future__ import annotations
 import logging
 import os
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -438,7 +439,6 @@ def seis_construct_gf_linear(table, wavemap, fault, component="uparr",
     m6s = jnp.asarray(np.stack(m6s))
     centers = jnp.asarray(np.stack([p.center() for p in patches]))
 
-    @jax.jit
     def patch_block(m6, center):
         spec = table.point_spectra(m6, center[0], center[1], center[2],
                                    station_e, station_n, comp_idx, filt)  # (nt, nf, 2)
@@ -454,14 +454,31 @@ def seis_construct_gf_linear(table, wavemap, fault, component="uparr",
         wins = jax.vmap(cut)(traces, win_starts)
         return wins * taper_win[None, None, None, :]
 
-    blocks = []
-    for i in range(npatches):
-        blocks.append(np.asarray(patch_block(m6s[i], centers[i]), dtype=np.float32))
-    data = np.stack(blocks, axis=1)  # (ntargets, npatches, nd, ns, nwin)
+    # device-resident assembly: synthesize `batch_patches` patches per
+    # dispatch and splice them into the preallocated 5-D array in HBM —
+    # the library never round-trips through the host (GiB-scale
+    # libraries over a remote/tunnelled device would otherwise pay two
+    # full-size transfers)
+    batch_block = jax.jit(jax.vmap(patch_block))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def put_blocks(data, blocks, start):
+        return jax.lax.dynamic_update_slice(
+            data, jnp.swapaxes(blocks, 0, 1).astype(data.dtype),
+            (0, start, 0, 0, 0))
+
+    n_targets = int(station_e.shape[0])
+    data = jnp.zeros((n_targets, npatches, len(durations), len(starttimes),
+                      nwin), dtype=jnp.float32)
+    n_b = max(1, int(batch_patches))
+    for i0 in range(0, npatches, n_b):
+        i1 = min(i0 + n_b, npatches)
+        data = put_blocks(data, batch_block(m6s[i0:i1], centers[i0:i1]),
+                          i0)
 
     logger.info("Built seismic GF library '%s': %s", component, data.shape)
     return SeismicGFLibrary(
-        data=jnp.asarray(data),
+        data=data,
         duration_min=float(durations[0]), duration_sampling=float(duration_sampling),
         starttime_min=float(starttimes[0]), starttime_sampling=float(starttime_sampling),
         component=component)

@@ -166,7 +166,13 @@ def main(argv=None):
     chain_evals = sum(r.n_evals or 0 for r in timings.records)
     lockstep_evals = chain_evals // max(args.chains, 1)
     per_eval_ms = smc_s / lockstep_evals * 1e3 if lockstep_evals else float("nan")
+    # steady state = last stage (first stage carries XLA compilation)
+    stage_ms = [r.wall_s / (r.n_evals / args.chains) * 1e3
+                for r in timings.records if r.n_evals]
     print(json.dumps({
+        "stage_ms_per_lockstep_eval": [round(m, 1) for m in stage_ms],
+        "steady_state_ms_per_lockstep_eval":
+            round(stage_ms[-1], 1) if stage_ms else None,
         "library_shape": list(map(int, shape)),
         "library_gib": round(gib, 2),
         "library_build_s": round(build_s, 1),
