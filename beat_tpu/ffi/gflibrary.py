@@ -258,13 +258,15 @@ class SeismicGFLibrary:
                     data_tr=self.data_tr,
                     shape5=self.shape5 or tuple(self.data.shape))
             # dtype change requested: rebuild from the 5-D data below
-        from beat_tpu.ops.gfstack import to_stacking_layout, to_stacking_layout_np
+        from beat_tpu.ops.gfstack import (to_stacking_layout,
+                                          to_stacking_layout_chunked)
 
         if keep_data:
             data_tr = to_stacking_layout(self.data, dtype)
         else:
-            data_tr = jnp.asarray(
-                to_stacking_layout_np(np.asarray(self.data), dtype))
+            # drop-data path = production scale: chunked on-device
+            # transpose (no host round-trip, bounded HBM temp)
+            data_tr = to_stacking_layout_chunked(self.data, dtype)
         return SeismicGFLibrary(
             data=self.data if keep_data else None,
             duration_min=self.duration_min,

@@ -90,6 +90,32 @@ def to_stacking_layout_np(data5: np.ndarray, dtype=np.float32) -> np.ndarray:
     return np.pad(a, ((0, 0), (0, pp - P), (0, 0), (0, dsp - ds)))
 
 
+def to_stacking_layout_chunked(data5, dtype=jnp.float32):
+    """On-device :func:`to_stacking_layout` in per-target chunks with a
+    donated accumulator: peak HBM ≈ data5 + layout + one target slice
+    (vs 3× for the whole-array transpose), and a GiB-scale library never
+    round-trips through the host (a remote/tunnelled device would pay
+    two full-size transfers on the numpy path)."""
+    from functools import partial
+
+    T, P, D, S, N = data5.shape
+    ds = D * S
+    dsp = _ceil_to(ds, LANE)
+    pp = _ceil_to(P, PATCH_BLOCK)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def put(out, chunk, t):
+        a = jnp.transpose(jnp.reshape(chunk.astype(dtype), (P, ds, N)),
+                          (0, 2, 1))
+        a = jnp.pad(a, ((0, pp - P), (0, 0), (0, dsp - ds)))
+        return jax.lax.dynamic_update_slice(out, a[None], (t, 0, 0, 0))
+
+    out = jnp.zeros((T, pp, N, dsp), dtype=dtype)
+    for t in range(T):
+        out = put(out, jnp.asarray(data5[t]), jnp.int32(t))
+    return out
+
+
 def _fits_vmem(N: int, DSP: int, Cp: int = 2048) -> bool:
     """Conservative VMEM guard (~16 MB/core on v5e): out block (N, Cp)
     + double-buffered cell (N, DSP) + double-buffered index rows

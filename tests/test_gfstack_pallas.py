@@ -167,3 +167,21 @@ def test_bfloat16_stacking_layout():
     err = np.abs(got16 - got32).max() / scale
     assert err < 0.02, f"bf16 stack error {err:.4f}"
     assert err > 0  # actually lossy, not silently upcast
+
+
+def test_chunked_layout_equals_full():
+    """The production (drop-data) chunked on-device transpose must equal
+    the whole-array transpose and the host reference."""
+    from beat_tpu.ops.gfstack import (to_stacking_layout_chunked,
+                                      to_stacking_layout_np)
+
+    lib = make_lib(nt=3, npch=5, nd=2, nst=3, ns=16)
+    full = np.asarray(to_stacking_layout(lib.data))
+    chunked = np.asarray(to_stacking_layout_chunked(lib.data))
+    host = to_stacking_layout_np(np.asarray(lib.data))
+    np.testing.assert_array_equal(chunked, full)
+    np.testing.assert_array_equal(chunked, host)
+
+    dropped = lib.with_stacking_layout(keep_data=False)
+    assert dropped.data is None
+    np.testing.assert_array_equal(np.asarray(dropped.data_tr), full)
