@@ -52,6 +52,18 @@ from beat_tpu.ops.cplx import cexp, cmul, irfft_basis, irfft_pair
 
 logger = logging.getLogger("beat_tpu.heart.gftable")
 
+
+def _use_mm_gather() -> bool:
+    """MXU one-hot-matmul gather: default on TPU (HBM-bound gathers →
+    cheap MXU FLOPs), off on CPU (dense matmul would be slower there).
+    ``BEAT_TPU_MM_GATHER=0/1`` overrides."""
+    import os
+
+    env = os.environ.get("BEAT_TPU_MM_GATHER")
+    if env is not None:
+        return env == "1"
+    return jax.devices()[0].platform == "tpu"
+
 COMP_Z, COMP_R, COMP_T = 0, 1, 2
 component_index = {"Z": COMP_Z, "R": COMP_R, "T": COMP_T}
 
@@ -166,6 +178,8 @@ class GreensTable:
 
         sp = self.spectra  # (6, 3, nd, nz, nf, 2)
         if comp_idx is not None:
+            if _use_mm_gather():
+                return self._gather_spectra_mm(di, zi, d0, z0, comp_idx)
             c = comp_idx.astype(jnp.int32)
             fd = (di - d0)[..., None, None, None]
             fz = (zi - z0)[..., None, None, None]
@@ -189,6 +203,40 @@ class GreensTable:
                + (1 - fd) * fz * jnp.moveaxis(g01, 2, 0)
                + fd * fz * jnp.moveaxis(g11, 2, 0))
         return out  # (ntargets, 6, 3, nf, 2)
+
+    def _gather_spectra_mm(self, di, zi, d0, z0, comp_idx):
+        """Bilinear gather as an MXU one-hot matmul.
+
+        Under ``vmap`` over thousands of chains, the 4-corner gather +
+        blend materializes ~4 per-chain corner copies and is HBM-bound
+        (the sampler's hottest op).  The table itself is tiny (~1 MB),
+        so recast the interpolation as ``W @ T``: W (ntargets, ncells)
+        holds the 4 bilinear weights one-hot over the flattened
+        (channel, distance, depth) cell axis, and T is the table
+        flattened to (ncells, 6·nf·2).  XLA batches the chain axis into
+        one large matmul on the MXU — trading cheap FLOPs for HBM
+        traffic, the same trick as the Pallas stack kernel
+        (``ops/gfstack._onehot_mm``).  Exact up to f32 summation order."""
+        nd, nz = len(self.distances), len(self.depths)
+        ncells = 3 * nd * nz
+        sp = self.spectra  # (6, 3, nd, nz, nf, 2)
+        nf = sp.shape[4]
+        # loop-invariant under scan/vmap — XLA hoists this reshape
+        tbl = jnp.reshape(jnp.transpose(sp, (1, 2, 3, 0, 4, 5)),
+                          (ncells, 6 * nf * 2))
+        base = comp_idx.astype(jnp.int32) * (nd * nz)
+        fd, fz = di - d0, zi - z0
+        corners = ((base + d0 * nz + z0, (1 - fd) * (1 - fz)),
+                   (base + (d0 + 1) * nz + z0, fd * (1 - fz)),
+                   (base + d0 * nz + (z0 + 1), (1 - fd) * fz),
+                   (base + (d0 + 1) * nz + (z0 + 1), fd * fz))
+        iota = jax.lax.iota(jnp.int32, ncells)
+        w = 0.0
+        for idx, wt in corners:
+            w = w + jnp.asarray(wt)[:, None] * \
+                (iota[None, :] == idx[:, None]).astype(sp.dtype)
+        g = w @ tbl                               # (ntargets, 6·nf·2)
+        return jnp.reshape(g, (-1, 6, nf, 2))
 
     def point_spectra(self, m6, east_shift, north_shift, depth,
                       station_east, station_north, comp_idx,

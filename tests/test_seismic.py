@@ -310,3 +310,42 @@ def test_quantity_velocity_is_time_derivative():
 
     with pytest.raises(ValueError, match="Unknown quantity"):
         make("jerk")
+
+
+class TestMMGather:
+    def test_onehot_matmul_gather_equals_reference(self):
+        """The MXU one-hot-matmul bilinear gather (TPU default,
+        BEAT_TPU_MM_GATHER) must equal the 4-corner gather+blend path to
+        f32 summation order."""
+        import os
+
+        from beat_tpu.heart.gftable import build_homogeneous_table
+
+        table = build_homogeneous_table(
+            distances=np.linspace(20e3, 120e3, 11),
+            depths=np.linspace(2e3, 20e3, 5), nt=128, dt=0.5)
+        rng = np.random.default_rng(3)
+        dist = jnp.asarray(rng.uniform(25e3, 110e3, 8).astype(np.float32))
+        depth = jnp.float32(7.3e3)
+        cidx = jnp.asarray(rng.integers(0, 3, 8), dtype=jnp.int32)
+
+        old = os.environ.get("BEAT_TPU_MM_GATHER")
+        try:
+            os.environ["BEAT_TPU_MM_GATHER"] = "0"
+            ref = np.asarray(table.gather_spectra(dist, depth, cidx))
+            os.environ["BEAT_TPU_MM_GATHER"] = "1"
+            mm = np.asarray(table.gather_spectra(dist, depth, cidx))
+        finally:
+            if old is None:
+                os.environ.pop("BEAT_TPU_MM_GATHER", None)
+            else:
+                os.environ["BEAT_TPU_MM_GATHER"] = old
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(mm / scale, ref / scale, atol=2e-6)
+
+        # on-grid point: exact table row
+        mmexact = np.asarray(table.gather_spectra(
+            jnp.asarray([float(table.distances[4])]), jnp.float32(table.depths[2]),
+            jnp.asarray([1], dtype=jnp.int32)))
+        np.testing.assert_allclose(
+            mmexact[0], np.asarray(table.spectra)[:, 1, 4, 2], rtol=2e-6)
