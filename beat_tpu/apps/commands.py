@@ -185,8 +185,23 @@ def _cmd_import(args):
         print(f"Imported {len(geodetic)} geodetic datasets -> {path}")
 
     if args.seismic_mseed:
+        inventory = args.inventory
+        if inventory is None:
+            # fall back to the config's responses_path (reference
+            # ``SeismicConfig.responses_path`` config.py:628)
+            try:
+                from beat_tpu.config import load_config
+
+                sc = load_config(args.project_dir, args.mode).seismic_config
+                if sc is not None and sc.responses_path:
+                    inventory = (sc.responses_path
+                                 if os.path.isabs(sc.responses_path)
+                                 else os.path.join(args.project_dir,
+                                                   sc.responses_path))
+            except FileNotFoundError:
+                pass
         traces, stations = inputf.load_obspy_traces(args.seismic_mseed,
-                                                    args.inventory)
+                                                    inventory)
         print(f"Loaded {len(traces)} stations of waveforms; run "
               "beat-tpu-down prepare (or prepare_local_traces) to grid them")
 
@@ -283,7 +298,7 @@ def _cmd_build_gfs(args):
                     duration_bounds=(dur_lo, dur_hi), duration_sampling=dur_step,
                     starttime_bounds=(st_lo, st_hi), starttime_sampling=st_step,
                     stf_type=config.problem_config.stf_type)
-                lib.save(outdir, f"seismic_{component}_{wmap.name}")
+                lib.save(outdir, f"seismic_{component}_{wmap.mapid}")
         print(f"Built seismic GF libraries for {len(comp.wavemaps)} wavemaps "
               f"-> {outdir}")
     return 0

@@ -174,7 +174,14 @@ class SeismicConfig:
 
     datadir: str = "./"
     noise_estimator: NoiseEstimatorConfig = field(default_factory=NoiseEstimatorConfig)
+    #: StationXML inventory used for instrument-response removal during
+    #: ``beat-tpu import --seismic_mseed`` (reference ``responses_path``
+    #:  ``config.py:628``; import-time only)
     responses_path: str | None = None
+    #: reference ``pre_stack_cut`` (``config.py:629``) trims traces to the
+    #: arrival window *before* stacking sources.  The TPU forward always
+    #: windows through the fused windowed-iDFT basis — numerically the
+    #: pre-cut path — so False is accepted and has no effect.
     pre_stack_cut: bool = True
     station_corrections: bool = False
     waveforms: list = field(default_factory=lambda: [WaveformFitConfig()])
@@ -308,6 +315,33 @@ class ProblemConfig:
             raise ValueError(f"mode must be one of {MODES}")
         self.get_prior_set().validate()
 
+    def set_decimation_factors(self) -> None:
+        """Fill datatype decimation factors for extended-source synthesis
+        (reference ``set_decimation_factor`` ``config.py:1555`` +
+        ``defaults.default_decimation_factors``): only RectangularSource
+        is affected; higher factor = coarser point-source discretization."""
+        if "RectangularSource" in self.source_types:
+            for datatype in self.datatypes:
+                self.decimation_factors.setdefault(
+                    datatype, DEFAULT_DECIMATION_FACTORS.get(datatype, 1))
+
+    def finite_patches(self, datatype: str) -> tuple:
+        """(n_length, n_width) point-source grid for finite
+        RectangularSource synthesis, derived from the datatype's
+        decimation factor: the base 8x8 grid divided by the factor
+        (reference: pyrocko RS ``decimation_factor`` coarsens the
+        sub-source grid inside ``engine.process``)."""
+        factor = int(self.decimation_factors.get(
+            datatype, DEFAULT_DECIMATION_FACTORS.get(datatype, 2)))
+        n = max(2, _FINITE_PATCH_BASE // max(factor, 1))
+        return (n, n)
+
+
+#: reference ``defaults.default_decimation_factors`` (``defaults.py:17``)
+DEFAULT_DECIMATION_FACTORS = {"polarity": 1, "geodetic": 4, "seismic": 2}
+#: finite-source base grid: 8x8 point sources at decimation_factor 1
+_FINITE_PATCH_BASE = 8
+
 
 @dataclass
 class SamplerConfig:
@@ -341,6 +375,10 @@ class BEATconfig:
     date: str = ""
     version: str = ""   # stamped by beat_tpu.upgrade migrations
     event: EventConfig = field(default_factory=EventConfig)
+    #: further events estimated jointly with the main event — wavemaps
+    #: select theirs via ``WaveformFitConfig.event_idx`` (reference
+    #: ``BEATconfig.subevents`` ``config.py:1939``)
+    subevents: list = field(default_factory=list)
     project_dir: str = "./"
     problem_config: ProblemConfig = field(default_factory=ProblemConfig)
     geodetic_config: GeodeticConfig | None = None
@@ -352,6 +390,12 @@ class BEATconfig:
 
     def validate(self):
         self.problem_config.validate()
+
+    @property
+    def events(self) -> list:
+        """[main event] + subevents (reference ``Problem.events``
+        ``models/problems.py:115``)."""
+        return [self.event] + list(self.subevents)
 
 
 # ---------------------------------------------------------------------------
@@ -375,6 +419,7 @@ _NESTED = {
 }
 
 _NESTED_LISTS = {
+    "subevents": EventConfig,
     "waveforms": WaveformFitConfig,
     "euler_poles": EulerPoleConfig,
     "strain_rates": StrainRateConfig,
@@ -511,6 +556,7 @@ def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
             variables.extend(seismic_geometry_vars)
     total_sources = int(sum(n_sources))
     pc.set_default_priors(sorted(set(variables)), n_sources=total_sources)
+    pc.set_decimation_factors()
 
     config = BEATconfig(name=name, project_dir=project_dir, event=event or EventConfig(),
                         problem_config=pc, bem_config=bem_config,
@@ -782,12 +828,15 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
             datasets, sources,
             noise_structure=gc.noise_estimator.structure,
             hp_specific=gc.dataset_specific_residual_noise_estimation,
-            corrections=corrections, static_table=static_table)
+            corrections=corrections, static_table=static_table,
+            finite_patches=pc.finite_patches("geodetic"))
     if "seismic" in pc.datatypes and config.seismic_config is not None:
         from beat_tpu.models.seismic import build_seismic_composite
 
         composites["seismic"] = build_seismic_composite(
-            config.seismic_config, project_dir, sources)
+            config.seismic_config, project_dir, sources,
+            events=config.events if config.subevents else None,
+            finite_patches=pc.finite_patches("seismic"))
     if "polarity" in pc.datatypes and config.polarity_config is not None:
         from beat_tpu.models.polarity import PolarityComposite
 
@@ -956,14 +1005,14 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
             libs = {}
             for comp_name in static_dist_vars[:2]:
                 path = os.path.join(gfdir,
-                                    f"seismic_{comp_name}_{wmap.name}.npz")
+                                    f"seismic_{comp_name}_{wmap.mapid}.npz")
                 if os.path.exists(path):
                     libs[comp_name] = SeismicGFLibrary.load(
-                        gfdir, f"seismic_{comp_name}_{wmap.name}",
+                        gfdir, f"seismic_{comp_name}_{wmap.mapid}",
                         component=comp_name)
             if not libs:
                 raise FileNotFoundError(
-                    f"No seismic GF libraries for wavemap {wmap.name} in "
+                    f"No seismic GF libraries for wavemap {wmap.mapid} in "
                     f"{gfdir} — run 'beat-tpu build_gfs --datatypes seismic'")
             components = sorted(libs)
             wavemaps_libs.append((wmap, libs))

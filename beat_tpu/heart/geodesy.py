@@ -68,6 +68,14 @@ class GeodeticDataset:
         self.coords = np.column_stack([east, north])
 
 
+def local_offset(ref_lat: float, ref_lon: float, lat: float, lon: float):
+    """(east, north) [m] of (lat, lon) relative to the reference point
+    (same small-angle equirectangular as ``update_local_coords``)."""
+    north = (lat - ref_lat) * D2R * EARTH_RADIUS
+    east = (lon - ref_lon) * D2R * EARTH_RADIUS * np.cos(ref_lat * D2R)
+    return float(east), float(north)
+
+
 def diff_ifg(name, coords, displacement, incidence, heading, **kwargs) -> GeodeticDataset:
     """
     Build an InSAR dataset from incidence/heading angles [deg]

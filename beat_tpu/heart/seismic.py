@@ -61,6 +61,18 @@ class WaveformMapping:
     #: table's predicted arrivals (reference ``arrivals_marker_path``
     #: custom picks, ``config.py:540``)
     arrival_overrides: dict | None = None
+    #: which event this wavemap belongs to in multi-event problems
+    #: (reference ``WaveformFitConfig.event_idx`` ``config.py:580``;
+    #: ``models/seismic.py:806`` uses only ``sources[event_idx]``)
+    event_idx: int = 0
+    #: (east, north, time) of this wavemap's event relative to the main
+    #: event origin [m, m, s] — shifts reference arrivals and windows
+    event_offset: tuple = (0.0, 0.0, 0.0)
+    #: position of this wavemap in the config's waveforms list — same
+    #: phase name may appear several times (multi-band, multi-event), so
+    #: ids/hypernames are suffixed (reference ``mapnumber``/``_mapid``
+    #: ``heart.py:2624-2638``)
+    mapnumber: int = 0
 
     # filled by prepare()
     station_east: np.ndarray = field(default=None)
@@ -106,19 +118,29 @@ class WaveformMapping:
         return rfft_basis(self.nsamples_win)
 
     @property
-    def hypername(self) -> str:
-        return f"h_{self.name}"
+    def mapid(self) -> str:
+        """Unique wavemap id ``<name>_<mapnumber>`` (reference ``_mapid``
+        ``heart.py:2636``)."""
+        return f"{self.name}_{self.mapnumber}"
 
-    def prepare(self, reference_distance_point=(0.0, 0.0)) -> None:
+    @property
+    def hypername(self) -> str:
+        return f"h_{self.mapid}"
+
+    def prepare(self, reference_distance_point=None) -> None:
         """
         Precompute geometry, windows, and process observed data
         (reference ``prepare_data`` ``heart.py:3041``): arrival times are
         evaluated at the reference event location so window shapes stay
         chain-invariant (SURVEY §7 hard part 1); the source ``time``
-        parameter moves the synthetics via phase shifts instead.
+        parameter moves the synthetics via phase shifts instead.  The
+        reference point defaults to this wavemap's event offset
+        (multi-event: each wavemap windows around its own event).
         """
         import jax.numpy as jnp
 
+        if reference_distance_point is None:
+            reference_distance_point = self.event_offset[:2]
         dt = self.table.dt
         if self.nsamples_win > self.table.nt:
             raise ValueError(
@@ -136,6 +158,10 @@ class WaveformMapping:
         z_ref = float(np.mean(self.table.depths))
         self.arrival_times = np.array(
             self.table.travel_time(self.name, jnp.asarray(dist), z_ref))
+        # subevent wavemaps: arrivals are delayed by the event's time
+        # offset from the main origin (reference ``source.time +=
+        # events[event_idx].time`` ``pytensorf.py:278``)
+        self.arrival_times = self.arrival_times + float(self.event_offset[2])
         if self.arrival_overrides:
             for i, ds in enumerate(self.datasets):
                 if ds.station in self.arrival_overrides:
@@ -227,4 +253,4 @@ class WaveformMapping:
         (reference ``init_hierarchicals`` ``models/seismic.py:198``)."""
         if not self.station_corrections:
             return []
-        return [f"{self.name}_{ds.station}_time_shift" for ds in self.datasets]
+        return [f"{self.mapid}_{ds.station}_time_shift" for ds in self.datasets]

@@ -279,7 +279,7 @@ class SeismicDistributerComposite(Composite):
 
     def get_synthetics(self, point: dict):
         point = {k: jnp.asarray(v) for k, v in point.items()}
-        return {wmap.name: np.asarray(self.synthetics_windows(point, i))
+        return {wmap.mapid: np.asarray(self.synthetics_windows(point, i))
                 for i, (wmap, _) in enumerate(self.wavemaps_libs)}
 
     def get_variance_reductions(self, point: dict):
@@ -287,8 +287,8 @@ class SeismicDistributerComposite(Composite):
         out = {}
         for wmap, _ in self.wavemaps_libs:
             obs = wmap.data_windows
-            res = obs - synths[wmap.name]
-            out[wmap.name] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
+            res = obs - synths[wmap.mapid]
+            out[wmap.mapid] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
         return out
 
 

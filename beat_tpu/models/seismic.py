@@ -90,6 +90,22 @@ def source_m6(template, point: dict, idx: int, n_sources: int):
     raise NotImplementedError(f"m6 for {type(template).__name__}")
 
 
+def offset_getter(get, de, dn, dtim):
+    """Wrap a point getter so positional/time reads are shifted by the
+    wavemap's event offset (multi-event: source coordinates are relative
+    to each event's own origin; reference ``pytensorf.py:278`` adds
+    ``events[event_idx].time``)."""
+    if de == 0.0 and dn == 0.0 and dtim == 0.0:
+        return get
+    off = {"east_shift": de, "north_shift": dn, "time": dtim}
+
+    def get_offset(name):
+        v = get(name)
+        return v + off[name] if name in off else v
+
+    return get_offset
+
+
 def double_dc_m6_pair(get):
     """The two double couples of a DoubleDCSource, moment split by the
     ``mix`` factor (reference catalog's pyrocko DoubleDCSource)."""
@@ -166,11 +182,17 @@ class SeismicGeometryComposite(Composite):
 
     def __init__(self, wavemaps, sources, stf_type="HalfSinusoid",
                  hp_specific=False, noise_analyser=None,
-                 finite_patches=(4, 4)):
+                 finite_patches=(4, 4), n_events=1):
         """
         finite_patches : (n_length, n_width) discretization of finite
             RectangularSource waveform synthesis (reference: pyrocko RS
-            patch discretization inside engine.process, heart.py:3564).
+            patch discretization inside engine.process, heart.py:3564;
+            derived from ``ProblemConfig.decimation_factors``).
+        n_events : multi-event problems assign source ``k`` to event
+            ``k``; a wavemap then synthesizes only its
+            ``sources[wavemap.event_idx]``, offset by that event's
+            location/time relative to the main origin (reference
+            ``models/seismic.py:798-806``, ``pytensorf.py:274-278``).
         """
         self.wavemaps = list(wavemaps)
         self.sources = list(sources)
@@ -178,6 +200,17 @@ class SeismicGeometryComposite(Composite):
         self.hp_specific = hp_specific
         self.noise_analyser = noise_analyser
         self.finite_patches = tuple(finite_patches)
+        self.n_events = int(n_events)
+        if self.n_events > 1:
+            if len(self.sources) != self.n_events:
+                raise ValueError(
+                    f"multi-event problems need one source per event: "
+                    f"{len(self.sources)} sources, {self.n_events} events")
+            for wmap in self.wavemaps:
+                if not (0 <= wmap.event_idx < self.n_events):
+                    raise ValueError(
+                        f"wavemap {wmap.name}: event_idx {wmap.event_idx} "
+                        f"outside [0, {self.n_events})")
         self._device = []
         for wmap in self.wavemaps:
             if wmap.datasets[0].covariance is None:
@@ -248,9 +281,17 @@ class SeismicGeometryComposite(Composite):
         wmap = self.wavemaps[wmap_idx]
         dev = (data if data is not None else self._device)[wmap_idx]
         table = dev["table"]
+        if self.n_events > 1:
+            k = wmap.event_idx
+            de, dn, dtim = (float(x) for x in wmap.event_offset)
+            selected = [(k, self.sources[k], (de, dn, dtim))]
+        else:
+            selected = [(i, s, (0.0, 0.0, 0.0))
+                        for i, s in enumerate(self.sources)]
         spec_total = 0.0
-        for i, src in enumerate(self.sources):
-            get = point_getter(src, point, i, len(self.sources))
+        for i, src, off in selected:
+            get = offset_getter(
+                point_getter(src, point, i, len(self.sources)), *off)
             if isinstance(src, RectangularSource):
                 # finite source: patch discretization + rupture onsets
                 spec = finite_rectangular_spectra(
@@ -298,10 +339,10 @@ class SeismicGeometryComposite(Composite):
                 m6 = source_m6(src, point, i, len(self.sources))
                 spec = table.synthesize_spectra(
                     m6,
-                    east_shift=self._source_scalar(point, "east_shift", i, src.east_shift),
-                    north_shift=self._source_scalar(point, "north_shift", i, src.north_shift),
-                    depth=self._source_scalar(point, "depth", i, src.depth),
-                    time_shift=self._source_scalar(point, "time", i, src.time),
+                    east_shift=get("east_shift"),
+                    north_shift=get("north_shift"),
+                    depth=get("depth"),
+                    time_shift=get("time"),
                     duration=self._source_scalar(point, "duration", i,
                                                  getattr(src, "duration", 0.0) or 1.0),
                     station_east=dev["station_east"],
@@ -392,7 +433,7 @@ class SeismicGeometryComposite(Composite):
         point = {k: jnp.asarray(v) for k, v in point.items()}
         out = {}
         for w_idx, wmap in enumerate(self.wavemaps):
-            out[wmap.name] = np.asarray(self.synthetics_windows(point, w_idx))
+            out[wmap.mapid] = np.asarray(self.synthetics_windows(point, w_idx))
         return out
 
     def get_variance_reductions(self, point: dict) -> dict:
@@ -400,23 +441,23 @@ class SeismicGeometryComposite(Composite):
         out = {}
         for wmap in self.wavemaps:
             obs = wmap.data_windows
-            res = obs - synths[wmap.name]
-            out[wmap.name] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
+            res = obs - synths[wmap.mapid]
+            out[wmap.mapid] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
         return out
 
     def get_standardized_residuals(self, point: dict) -> dict:
         synths = self.get_synthetics(point)
         out = {}
         for w_idx, wmap in enumerate(self.wavemaps):
-            res = wmap.data_windows - synths[wmap.name]
-            out[wmap.name] = np.stack([
+            res = wmap.data_windows - synths[wmap.mapid]
+            out[wmap.mapid] = np.stack([
                 ds.covariance.chol_inverse @ res[i]
                 for i, ds in enumerate(wmap.datasets)])
         return out
 
 
 def build_seismic_composite(seismic_config, project_dir, sources,
-                            event=None):
+                            event=None, events=None, finite_patches=None):
     """
     Construct the composite from config + project data (CLI path;
     reference ``SeismicComposite.__init__`` + ``init_datahandler``/
@@ -427,6 +468,13 @@ def build_seismic_composite(seismic_config, project_dir, sources,
     project dir if present (e.g. converted from a pyrocko store),
     otherwise a homogeneous analytic table from ``gf_config``
     (vp/vs/rho/distance & depth grids/nt/dt).
+
+    events : optional [main EventConfig, *subevents] — wavemaps with
+        ``event_idx > 0`` are windowed around their own event's
+        location/time and (multi-event) synthesize only that event's
+        source (reference ``models/seismic.py:107-108,798-813``).
+    finite_patches : RectangularSource discretization grid (from
+        ``ProblemConfig.decimation_factors``).
     """
     import os
 
@@ -455,7 +503,7 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             rho=float(gfc.get("rho", 2700.0)))
 
     wavemaps = []
-    for wfc in seismic_config.waveforms:
+    for mapnumber, wfc in enumerate(seismic_config.waveforms):
         if not getattr(wfc, "include", True):
             continue
         selected = [ds for ds in datasets if ds.channel in wfc.channels]
@@ -471,6 +519,18 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             overrides = load_arrivals_csv(
                 arrivals_path if os.path.isabs(arrivals_path)
                 else os.path.join(project_dir, arrivals_path))
+        event_idx = int(getattr(wfc, "event_idx", 0))
+        event_offset = (0.0, 0.0, 0.0)
+        if events and event_idx > 0:
+            if event_idx >= len(events):
+                raise ValueError(
+                    f"wavemap {wfc.name}: event_idx {event_idx} but only "
+                    f"{len(events)} events (main + subevents) configured")
+            from beat_tpu.heart.geodesy import local_offset
+
+            main, ev = events[0], events[event_idx]
+            de, dn = local_offset(main.lat, main.lon, ev.lat, ev.lon)
+            event_offset = (de, dn, float(ev.time - main.time))
         wmap = WaveformMapping(
             name=wfc.name, datasets=selected, table=table,
             taper=ArrivalTaper(wfc.arrival_taper.a, wfc.arrival_taper.b,
@@ -481,7 +541,9 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             quantity=getattr(wfc, "quantity", "displacement"),
             station_corrections=getattr(seismic_config, "station_corrections",
                                         False),
-            arrival_overrides=overrides)
+            arrival_overrides=overrides,
+            event_idx=event_idx, event_offset=event_offset,
+            mapnumber=mapnumber)
         if wfc.blacklist:
             wmap.station_weeding(blacklist=wfc.blacklist)
         wavemaps.append(wmap)
@@ -495,8 +557,14 @@ def build_seismic_composite(seismic_config, project_dir, sources,
     if ne is not None:
         analyser = SeismicNoiseAnalyser(structure=ne.structure,
                                         pre_arrival_time=ne.pre_arrival_time)
+    if not getattr(seismic_config, "pre_stack_cut", True):
+        logger.info("pre_stack_cut=False requested: the fused "
+                    "windowed-iDFT forward is numerically the pre-cut "
+                    "path, so this flag has no effect")
     return SeismicGeometryComposite(
         wavemaps, sources,
         hp_specific=getattr(seismic_config,
                             "dataset_specific_residual_noise_estimation", False),
-        noise_analyser=analyser)
+        noise_analyser=analyser,
+        finite_patches=finite_patches or (4, 4),
+        n_events=len(events) if events else 1)

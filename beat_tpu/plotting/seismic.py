@@ -55,11 +55,11 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
     wavemaps = getattr(comp, "wavemaps", None) or [w for w, _ in comp.wavemaps_libs]
     path = None
     for wmap in wavemaps:
-        syn = np.asarray(synths[wmap.name])
+        syn = np.asarray(synths[wmap.mapid])
         obs = np.asarray(wmap.data_windows)
         spectral = getattr(wmap, "domain", "time") == "spectrum"
         if ens_synths:
-            ens = np.stack([np.asarray(s[wmap.name]) for s in ens_synths])
+            ens = np.stack([np.asarray(s[wmap.mapid]) for s in ens_synths])
             lo_env, hi_env = ens.min(axis=0), ens.max(axis=0)
         nt = wmap.ntargets
         ncols = 2
@@ -106,11 +106,11 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
         axes[0][0].legend(fontsize=6, loc="upper right")
         for j in range(nt, nrows * ncols):
             axes[j // ncols][j % ncols].axis("off")
-        fig.suptitle(f"waveform fits — {wmap.name}"
+        fig.suptitle(f"waveform fits — {wmap.mapid}"
                      + (" (spectra)" if spectral else ""), fontsize=10)
         fig.tight_layout()
         path = save_figure(fig, problem.outfolder,
-                           f"waveform_fits_{wmap.name}", po)
+                           f"waveform_fits_{wmap.mapid}", po)
     return path
 
 
@@ -128,7 +128,7 @@ def plot_station_variance_reductions(problem, po: PlotOptions | None = None, poi
     fig, axes = plt.subplots(len(wavemaps), 1,
                              figsize=(8, 2.5 * len(wavemaps)), squeeze=False)
     for k, wmap in enumerate(wavemaps):
-        syn = synths[wmap.name]
+        syn = synths[wmap.mapid]
         obs = wmap.data_windows
         vrs = 1.0 - ((obs - syn) ** 2).sum(axis=1) / np.maximum(
             (obs**2).sum(axis=1), 1e-30)
@@ -138,7 +138,7 @@ def plot_station_variance_reductions(problem, po: PlotOptions | None = None, poi
         ax.set_xticklabels([ds.station for ds in wmap.datasets],
                            rotation=60, fontsize=7)
         ax.set_ylabel("VR")
-        ax.set_title(wmap.name, fontsize=9)
+        ax.set_title(wmap.mapid, fontsize=9)
         format_axes(ax)
     fig.tight_layout()
     return save_figure(fig, problem.outfolder, "station_variance_reductions", po)

@@ -368,7 +368,7 @@ class TestKinematicFFICLI:
         assert run_cli("build_gfs", pdir, "--datatypes", "seismic",
                        "--patch_length", "2.0", "--patch_width", "2.0") == 0
         assert os.path.exists(os.path.join(
-            pdir, "ffi", "linear_gfs", "seismic_uparr_any_P.npz"))
+            pdir, "ffi", "linear_gfs", "seismic_uparr_any_P_0.npz"))
 
         assert run_cli("sample", pdir, "--mode", "ffi") == 0
         assert run_cli("summarize", pdir, "--mode", "ffi") == 0
@@ -619,3 +619,39 @@ class TestBEMCLIWorkflow:
                                      "normal_traction": jnp.asarray(5.0)}))
         assert np.isfinite(l_true)
         assert l_true > l_deep and l_true > l_weak
+
+
+class TestMultiEventConfig:
+    """subevents config round-trip and decimation factors (reference
+    ``BEATconfig.subevents`` config.py:1939, ``set_decimation_factor``
+    config.py:1555)."""
+
+    def test_subevents_round_trip(self, tmp_path):
+        from beat_tpu.config import EventConfig
+
+        config = init_config("multi", str(tmp_path / "multi"),
+                             source_types=("DCSource",), n_sources=(2,))
+        config.subevents = [EventConfig(name="sub1", lat=0.1, lon=0.2,
+                                        depth=12e3, time=8.0)]
+        dump_config(config, str(tmp_path / "multi"))
+        loaded = load_config(str(tmp_path / "multi"), "geometry")
+        assert len(loaded.subevents) == 1
+        assert isinstance(loaded.subevents[0], EventConfig)
+        assert loaded.subevents[0].time == 8.0
+        assert len(loaded.events) == 2
+        assert loaded.events[0] is loaded.event
+
+    def test_decimation_factors_seeded_for_rectangular(self, tmp_path):
+        config = init_config("dec", str(tmp_path / "dec"),
+                             source_types=("RectangularSource",),
+                             n_sources=(1,), datatypes=("geodetic",))
+        pc = config.problem_config
+        assert pc.decimation_factors.get("geodetic") == 4
+        assert pc.finite_patches("geodetic") == (2, 2)
+        assert pc.finite_patches("seismic") == (4, 4)
+
+    def test_no_decimation_for_point_sources(self, tmp_path):
+        config = init_config("pt", str(tmp_path / "pt"),
+                             source_types=("MTSource",), n_sources=(1,),
+                             datatypes=("geodetic",))
+        assert config.problem_config.decimation_factors == {}

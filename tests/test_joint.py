@@ -79,7 +79,7 @@ class TestJoint:
                                       "slip": TRUE_SLIP * 2})
         assert l_full > float(logp(jnp.asarray(q_s)))
         assert l_full > float(logp(jnp.asarray(q_g)))
-        assert {"h_any_P", "h_SAR"} <= set(problem.priors.names)
+        assert {"h_any_P_0", "h_SAR"} <= set(problem.priors.names)
 
     def test_smc_joint_recovery(self, joint_problem_factory, tmp_path):
         problem = joint_problem_factory(

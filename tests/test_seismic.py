@@ -145,7 +145,7 @@ TRUE_DEPTH = 9e3
 NOISE_REL = 0.02
 
 
-def make_wavemap(table, seed=0):
+def make_wavemap(table, seed=0, **wmap_kwargs):
     """Synthetic observed waveforms from the true DC source + noise."""
     rng = np.random.default_rng(seed)
     n_st = 8
@@ -174,7 +174,8 @@ def make_wavemap(table, seed=0):
     return WaveformMapping(
         name="any_P", datasets=datasets, table=table,
         taper=ArrivalTaper(a=-3.0, b=-1.5, c=15.0, d=18.0),
-        filterer=Filter(lower_corner=0.02, upper_corner=0.5, order=3))
+        filterer=Filter(lower_corner=0.02, upper_corner=0.5, order=3),
+        **wmap_kwargs)
 
 
 @pytest.fixture(scope="module")
@@ -203,7 +204,7 @@ class TestSeismicComposite:
             {"strike": TRUE_SDR["strike"], "dip": TRUE_SDR["dip"],
              "rake": TRUE_SDR["rake"], "magnitude": TRUE_MAG,
              "depth": TRUE_DEPTH, "duration": 1.5})
-        assert vr["any_P"] > 0.9
+        assert vr["any_P_0"] > 0.9
 
     def test_smc_recovers_mechanism(self, wavemap, tmp_path):
         comp = SeismicGeometryComposite(
@@ -349,3 +350,73 @@ class TestMMGather:
             jnp.asarray([1], dtype=jnp.int32)))
         np.testing.assert_allclose(
             mmexact[0], np.asarray(table.spectra)[:, 1, 4, 2], rtol=2e-6)
+
+
+class TestMultiEvent:
+    """Multi-event (subevents) problems: each wavemap synthesizes only
+    its own event's source, offset by that event's location/time
+    relative to the main origin (reference ``config.py:1939`` subevents,
+    ``models/seismic.py:798-813``, ``pytensorf.py:274-278``)."""
+
+    def test_wavemap_uses_only_its_event_source(self, table):
+        de, dn, dtim = 12e3, -8e3, 3.0
+        wm0 = make_wavemap(table, seed=11)
+        wm1 = make_wavemap(table, seed=12, event_idx=1,
+                           event_offset=(de, dn, dtim))
+        srcs = [DCSource(depth=8e3, magnitude=5.5, duration=1.5),
+                DCSource(depth=11e3, magnitude=5.2, duration=1.0)]
+        comp = SeismicGeometryComposite([wm0, wm1], srcs, n_events=2)
+        point = {"strike": jnp.asarray([40.0, 120.0]),
+                 "dip": jnp.asarray([55.0, 70.0]),
+                 "rake": jnp.asarray([20.0, -90.0]),
+                 "magnitude": jnp.asarray([5.5, 5.2]),
+                 "depth": jnp.asarray([8e3, 11e3]),
+                 "east_shift": jnp.asarray([0.0, 0.0]),
+                 "north_shift": jnp.asarray([0.0, 0.0]),
+                 "time": jnp.asarray([0.0, 0.0]),
+                 "duration": jnp.asarray([1.5, 1.0])}
+
+        # wavemap 0 (main event) == single-source composite of source 0
+        w0 = np.asarray(comp.synthetics_windows(point, 0))
+        comp0 = SeismicGeometryComposite([wm0], [srcs[0]])
+        p0 = {k: v[0] for k, v in point.items()}
+        ref0 = np.asarray(comp0.synthetics_windows(p0, 0))
+        np.testing.assert_allclose(w0, ref0, rtol=1e-5,
+                                   atol=1e-6 * np.abs(ref0).max())
+
+        # wavemap 1 (subevent) == single-source composite of source 1
+        # with the point manually shifted by the event offset
+        w1 = np.asarray(comp.synthetics_windows(point, 1))
+        comp1 = SeismicGeometryComposite([wm1], [srcs[1]])
+        p1 = {k: v[1] for k, v in point.items()}
+        p1["east_shift"] = p1["east_shift"] + de
+        p1["north_shift"] = p1["north_shift"] + dn
+        p1["time"] = p1["time"] + dtim
+        ref1 = np.asarray(comp1.synthetics_windows(p1, 0))
+        np.testing.assert_allclose(w1, ref1, rtol=1e-5,
+                                   atol=1e-6 * np.abs(ref1).max())
+        # the offset actually matters: dropping it changes the windows
+        p1_raw = {k: v[1] for k, v in point.items()}
+        assert not np.allclose(
+            w1, np.asarray(comp1.synthetics_windows(p1_raw, 0)),
+            atol=1e-3 * np.abs(ref1).max())
+
+    def test_validation(self, table):
+        wm = make_wavemap(table, seed=13, event_idx=2)
+        with pytest.raises(ValueError, match="event_idx"):
+            SeismicGeometryComposite(
+                [wm], [DCSource(), DCSource()], n_events=2)
+        with pytest.raises(ValueError, match="one source per event"):
+            SeismicGeometryComposite(
+                [make_wavemap(table, seed=14)], [DCSource()], n_events=2)
+
+    def test_subevent_windows_follow_offset_arrivals(self, table):
+        """prepare() windows a subevent wavemap around its own event:
+        arrivals shift by the event time offset and the distance is
+        measured from the offset epicenter."""
+        wm_main = make_wavemap(table, seed=15)
+        dtim = 5.0
+        wm_sub = make_wavemap(table, seed=15, event_idx=1,
+                              event_offset=(0.0, 0.0, dtim))
+        np.testing.assert_allclose(wm_sub.arrival_times,
+                                   wm_main.arrival_times + dtim)
