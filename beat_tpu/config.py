@@ -152,6 +152,10 @@ class WaveformFitConfig:
     """Reference ``WaveformFitConfig`` (``config.py:540``)."""
 
     include: bool = True
+    #: filter the observed traces during preparation; set False for
+    #: data filtered offline (reference ``preprocess_data``
+    #: ``config.py:547``); synthetics are always filtered
+    preprocess_data: bool = True
     name: str = "any_P"           # phase
     #: CSV of picked arrivals `station,time_s` (seconds after origin)
     #: overriding predicted arrival times (reference
@@ -190,9 +194,26 @@ class SeismicConfig:
 
 
 @dataclass
+class PolarityFitConfig:
+    """One polarity phase map (reference ``PolarityFitConfig``
+    ``config.py:720``): picked first motions of one phase, fit with its
+    own radiation pattern and noise hyperparameter."""
+
+    name: str = "any_P"           # phase: *_P | *_SH | *_SV
+    include: bool = True
+    #: per-map data file ``polarity_data_<name>.npz`` in the datadir
+    #: overrides the shared ``polarity_data.npz`` (reference
+    #: ``polarities_marker_path`` picked markers, ``config.py:725``)
+    polarities_path: str | None = None
+    blacklist: list = field(default_factory=list)
+    #: multi-event problems: which event's source this map constrains
+    event_idx: int = 0
+
+
+@dataclass
 class PolarityConfig:
     datadir: str = "./"
-    waveforms: list = field(default_factory=list)
+    waveforms: list = field(default_factory=lambda: [PolarityFitConfig()])
     gf_config: dict = field(default_factory=dict)
 
 
@@ -426,16 +447,25 @@ _NESTED_LISTS = {
     "boundary_conditions": BoundaryConditionConfig,
 }
 
+#: field names whose element type depends on the owning config class
+#: (``waveforms`` means WaveformFitConfig in SeismicConfig but
+#: PolarityFitConfig in PolarityConfig — reference ``config.py:636,745``)
+_NESTED_LISTS_BY_CLASS = {
+    ("PolarityConfig", "waveforms"): PolarityFitConfig,
+}
+
 
 def _from_dict(cls, d):
     if d is None:
         return None
     kwargs = {}
     for k, v in d.items():
+        elem_cls = _NESTED_LISTS_BY_CLASS.get((cls.__name__, k),
+                                              _NESTED_LISTS.get(k))
         if k in _NESTED and isinstance(v, dict):
             kwargs[k] = _from_dict(_NESTED[k], v)
-        elif k in _NESTED_LISTS and isinstance(v, list):
-            kwargs[k] = [_from_dict(_NESTED_LISTS[k], x) if isinstance(x, dict) else x
+        elif elem_cls is not None and isinstance(v, list):
+            kwargs[k] = [_from_dict(elem_cls, x) if isinstance(x, dict) else x
                          for x in v]
         else:
             kwargs[k] = v
@@ -574,7 +604,9 @@ def init_config(name: str, project_dir: str, mode: str = geometry_mode_str,
 
 def load_polarity_targets(project_dir: str, datadir: str = "./",
                           source_depth: float | None = None,
-                          velocity_model=None, phase: str = "p") -> list:
+                          velocity_model=None, phase: str = "p",
+                          filename: str = "polarity_data.npz",
+                          blacklist=()) -> list:
     """
     Load first-motion observations from
     ``<project_dir>/polarity_data.npz``: arrays ``stations`` (string),
@@ -592,9 +624,10 @@ def load_polarity_targets(project_dir: str, datadir: str = "./",
     """
     from beat_tpu.heart.polarity import PolarityTarget
 
-    path = os.path.join(project_dir, datadir, "polarity_data.npz")
+    path = os.path.join(project_dir, datadir, filename)
     if not os.path.exists(path):
         raise FileNotFoundError(f"No polarity data at {path}")
+    blacklist = set(blacklist or ())
     with np.load(path, allow_pickle=False) as z:
         az = np.deg2rad(z["azimuths_deg"])
         pol = z["polarities"].astype(int)
@@ -615,7 +648,7 @@ def load_polarity_targets(project_dir: str, datadir: str = "./",
                                 z["distances_m"], phase=phase)
     return [PolarityTarget(station=stations[i], azimuth_rad=float(az[i]),
                            takeoff_rad=float(to[i]), polarity=int(pol[i]))
-            for i in range(len(stations))]
+            for i in range(len(stations)) if stations[i] not in blacklist]
 
 
 def import_results_as_priors(project_dir: str, mode: str, from_mode: str,
@@ -838,12 +871,32 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
             events=config.events if config.subevents else None,
             finite_patches=pc.finite_patches("seismic"))
     if "polarity" in pc.datatypes and config.polarity_config is not None:
-        from beat_tpu.models.polarity import PolarityComposite
+        from beat_tpu.models.polarity import PolarityComposite, PolarityMapping
 
-        targets = load_polarity_targets(project_dir,
-                                        config.polarity_config.datadir,
-                                        source_depth=config.event.depth)
-        composites["polarity"] = PolarityComposite(targets, sources)
+        polc = config.polarity_config
+        wfcs = [w for w in polc.waveforms if getattr(w, "include", True)]
+        if not wfcs:
+            wfcs = [PolarityFitConfig()]
+        maps = []
+        for i, pfc in enumerate(wfcs):
+            phase = ("s" if pfc.name.lower().endswith(("sh", "sv"))
+                     else "p")
+            event_idx = int(getattr(pfc, "event_idx", 0))
+            depth = (config.events[event_idx].depth
+                     if event_idx < len(config.events)
+                     else config.event.depth)
+            fname = pfc.polarities_path or (
+                f"polarity_data_{pfc.name}.npz"
+                if os.path.exists(os.path.join(
+                    project_dir, polc.datadir,
+                    f"polarity_data_{pfc.name}.npz"))
+                else "polarity_data.npz")
+            targets = load_polarity_targets(
+                project_dir, polc.datadir, source_depth=depth,
+                phase=phase, filename=fname, blacklist=pfc.blacklist)
+            maps.append(PolarityMapping(pfc.name, targets,
+                                        event_idx=event_idx, mapnumber=i))
+        composites["polarity"] = PolarityComposite(sources=sources, maps=maps)
 
     outfolder = os.path.join(project_dir, pc.mode)
     hyper_params = (config.hyper_sampler_config.get_params()

@@ -73,6 +73,11 @@ class WaveformMapping:
     #: ids/hypernames are suffixed (reference ``mapnumber``/``_mapid``
     #: ``heart.py:2624-2638``)
     mapnumber: int = 0
+    #: apply the wavemap's bandpass to the *observed* traces during
+    #: preparation; set False when the data were already filtered
+    #: offline (reference ``preprocess_data`` ``config.py:547``).
+    #: Synthetics are always filtered.
+    preprocess_data: bool = True
 
     # filled by prepare()
     station_east: np.ndarray = field(default=None)
@@ -191,9 +196,10 @@ class WaveformMapping:
         pipeline the synthetics take (``post_process_trace`` :3466)."""
         wins = []
         n_win = self.nsamples_win
+        resp = self.filter_response_obs if self.preprocess_data else 1.0
         for ds, start in zip(self.datasets, self.window_starts):
             spec = np.fft.rfft(ds.ydata, n=self.table.nt)
-            filtered = np.fft.irfft(spec * self.filter_response_obs, n=self.table.nt)
+            filtered = np.fft.irfft(spec * resp, n=self.table.nt)
             win = filtered[start:start + n_win] * self.taper_window
             wins.append(win)
         self.data_windows = np.stack(wins).astype(np.float32)
@@ -204,9 +210,10 @@ class WaveformMapping:
         (reference ``SeismicComposite.analyse_noise`` ``models/seismic.py:162``)."""
         analyser = analyser or SeismicNoiseAnalyser(structure="variance")
         dt = self.table.dt
+        resp = self.filter_response_obs if self.preprocess_data else 1.0
         for ds, start, arr in zip(self.datasets, self.window_starts, self.arrival_times):
             spec = np.fft.rfft(ds.ydata, n=self.table.nt)
-            filtered = np.fft.irfft(spec * self.filter_response_obs, n=self.table.nt)
+            filtered = np.fft.irfft(spec * resp, n=self.table.nt)
             pre_arrival_idx = max(int(round((arr - self.table.t0 - 1.0) / dt)), 2)
             noise = filtered[:pre_arrival_idx]
             var = float(np.var(noise)) if noise.size > 2 else float(np.var(filtered))

@@ -1,6 +1,13 @@
 """
 Polarity composite: first-motion likelihood
 (reference ``beat/models/polarity.py:32`` ``PolarityComposite``).
+
+Supports several polarity phase maps fit jointly (reference
+``PolarityConfig.waveforms`` of ``PolarityFitConfig``,
+``config.py:720-798``): each map has its own phase (P/SH/SV radiation
+pattern), targets, hyperparameter ``h_<name>_pol_<i>`` and — in
+multi-event problems — its own source via ``event_idx``
+(reference ``models/polarity.py:84``).
 """
 
 from __future__ import annotations
@@ -24,20 +31,15 @@ from beat_tpu.models.seismic import source_m6
 logger = logging.getLogger("beat_tpu.models.polarity")
 
 
-class PolarityComposite(Composite):
-    name = "polarity"
+class PolarityMapping:
+    """One polarity phase map: targets sharing a phase/radiation pattern
+    (reference ``PolarityMapping`` ``heart.py:2624`` subclass)."""
 
-    def __init__(self, targets, sources, wavename="any_P", gamma=0.01):
-        """
-        targets : list of :class:`beat_tpu.heart.polarity.PolarityTarget`
-        sources : source templates (MT family)
-        gamma : probability of a wrong polarity reading (Weber 2018 data
-            error; reference ``polarity_llk`` param).
-        """
-        self.targets = list(targets)
-        self.sources = list(sources)
+    def __init__(self, wavename, targets, event_idx=0, mapnumber=0):
         self.wavename = wavename
-        self.gamma = gamma
+        self.targets = list(targets)
+        self.event_idx = int(event_idx)
+        self.mapnumber = int(mapnumber)
 
         az = jnp.asarray([t.azimuth_rad for t in self.targets])
         to = jnp.asarray([t.takeoff_rad for t in self.targets])
@@ -48,37 +50,100 @@ class PolarityComposite(Composite):
             self.weights = radiation_weights_sv(gvec, az, to)
         else:
             self.weights = radiation_weights_p(gvec)
-        self.obs = jnp.asarray([t.polarity for t in self.targets], dtype=jnp.float32)
-        logger.info("Polarity composite: %i targets (%s)", len(self.targets), wavename)
+        self.obs = jnp.asarray([t.polarity for t in self.targets],
+                               dtype=jnp.float32)
 
     @property
     def hypername(self) -> str:
-        return f"h_{self.wavename}_pol_0"
+        """Reference naming ``h_<name>_pol_<i>``
+        (``config.py:789`` ``get_hypernames``)."""
+        return f"h_{self.wavename}_pol_{self.mapnumber}"
+
+
+class PolarityComposite(Composite):
+    name = "polarity"
+
+    def __init__(self, targets=None, sources=(), wavename="any_P",
+                 gamma=0.01, maps=None):
+        """
+        targets : list of :class:`beat_tpu.heart.polarity.PolarityTarget`
+            (single-map shorthand; ignored when ``maps`` is given)
+        sources : source templates (MT family); multi-event problems use
+            ``sources[map.event_idx]`` per map
+        maps : list of :class:`PolarityMapping` for fitting several
+            phases jointly (reference ``PolarityConfig.waveforms``)
+        gamma : probability of a wrong polarity reading (Weber 2018 data
+            error; reference ``polarity_llk`` param).
+        """
+        if maps is None:
+            maps = [PolarityMapping(wavename, targets)]
+        self.maps = list(maps)
+        self.sources = list(sources)
+        self.gamma = gamma
+        for m in self.maps:
+            if not (0 <= m.event_idx < max(len(self.sources), 1)):
+                raise ValueError(
+                    f"polarity map {m.hypername}: event_idx {m.event_idx} "
+                    f"outside [0, {len(self.sources)})")
+        logger.info("Polarity composite: %i maps, %i targets total",
+                    len(self.maps), sum(len(m.targets) for m in self.maps))
+
+    # -- single-map backward-compatible views -------------------------------
+
+    @property
+    def targets(self):
+        return [t for m in self.maps for t in m.targets]
+
+    @property
+    def wavename(self):
+        return self.maps[0].wavename
+
+    @property
+    def hypername(self) -> str:
+        return self.maps[0].hypername
 
     def get_hypernames(self):
-        return [self.hypername]
+        return [m.hypername for m in self.maps]
 
     def device_data(self):
-        return {"weights": self.weights, "obs": self.obs}
+        return [{"weights": m.weights, "obs": m.obs} for m in self.maps]
+
+    def _map_llk(self, m, dev, point):
+        m6 = source_m6(self.sources[m.event_idx], point, m.event_idx,
+                       len(self.sources))
+        m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
+        amps = pol_synthetics(m6n, dev["weights"])
+        sigma = jnp.exp(point.get(m.hypername, 0.0))
+        return jnp.sum(polarity_llk(dev["obs"], amps, self.gamma, sigma))
 
     def loglike(self, point: dict, data=None):
         data = self.device_data() if data is None else data
-        m6 = source_m6(self.sources[0], point, 0, len(self.sources))
-        m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
-        amps = pol_synthetics(m6n, data["weights"])
-        sigma = jnp.exp(point.get(self.hypername, 0.0))
-        return jnp.sum(polarity_llk(data["obs"], amps, self.gamma, sigma))
+        return sum(self._map_llk(m, dev, point)
+                   for m, dev in zip(self.maps, data))
 
     def hyper_loglike(self, point: dict, fixed_point: dict, data=None):
         data = self.device_data() if data is None else data
-        m6 = source_m6(self.sources[0], fixed_point, 0, len(self.sources))
-        m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
-        amps = pol_synthetics(m6n, data["weights"])
-        sigma = jnp.exp(point.get(self.hypername, 0.0))
-        return jnp.sum(polarity_llk(data["obs"], amps, self.gamma, sigma))
+        total = 0.0
+        for m, dev in zip(self.maps, data):
+            m6 = source_m6(self.sources[m.event_idx], fixed_point,
+                           m.event_idx, len(self.sources))
+            m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
+            amps = pol_synthetics(m6n, dev["weights"])
+            sigma = jnp.exp(point.get(m.hypername, 0.0))
+            total = total + jnp.sum(polarity_llk(dev["obs"], amps,
+                                                 self.gamma, sigma))
+        return total
 
-    def get_synthetics(self, point: dict):
+    def get_synthetics(self, point: dict) -> dict:
         point = {k: jnp.asarray(v) for k, v in point.items()}
-        m6 = source_m6(self.sources[0], point, 0, len(self.sources))
-        m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
-        return {"polarities": np.sign(np.asarray(pol_synthetics(m6n, self.weights)))}
+        out = {}
+        for m in self.maps:
+            m6 = source_m6(self.sources[m.event_idx], point, m.event_idx,
+                           len(self.sources))
+            m6n = m6 / jnp.maximum(jnp.max(jnp.abs(m6)), 1e-30)
+            out[f"{m.wavename}_pol_{m.mapnumber}"] = np.sign(
+                np.asarray(pol_synthetics(m6n, m.weights)))
+        # single-map backward-compatible key
+        if len(self.maps) == 1:
+            out["polarities"] = next(iter(out.values()))
+        return out

@@ -543,7 +543,8 @@ def build_seismic_composite(seismic_config, project_dir, sources,
                                         False),
             arrival_overrides=overrides,
             event_idx=event_idx, event_offset=event_offset,
-            mapnumber=mapnumber)
+            mapnumber=mapnumber,
+            preprocess_data=getattr(wfc, "preprocess_data", True))
         if wfc.blacklist:
             wmap.station_weeding(blacklist=wfc.blacklist)
         wavemaps.append(wmap)

@@ -655,3 +655,24 @@ class TestMultiEventConfig:
                              source_types=("MTSource",), n_sources=(1,),
                              datatypes=("geodetic",))
         assert config.problem_config.decimation_factors == {}
+
+
+def test_polarity_waveforms_round_trip(tmp_path):
+    """PolarityConfig.waveforms deserializes to PolarityFitConfig (not
+    the seismic WaveformFitConfig that shares the field name)."""
+    from beat_tpu.config import PolarityFitConfig
+
+    config = init_config("pol", str(tmp_path / "pol"),
+                         source_types=("MTQTSource",), n_sources=(1,),
+                         datatypes=("polarity",))
+    config.polarity_config.waveforms = [
+        PolarityFitConfig(name="any_P", blacklist=["ST01"]),
+        PolarityFitConfig(name="any_SH", event_idx=0),
+    ]
+    dump_config(config, str(tmp_path / "pol"))
+    loaded = load_config(str(tmp_path / "pol"), "geometry")
+    wfs = loaded.polarity_config.waveforms
+    assert len(wfs) == 2
+    assert all(isinstance(w, PolarityFitConfig) for w in wfs)
+    assert wfs[0].blacklist == ["ST01"]
+    assert wfs[1].name == "any_SH"

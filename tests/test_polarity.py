@@ -93,3 +93,57 @@ class TestPolarityComposite:
         targets = self.make_targets(np.asarray(sdr_to_m6(0, 90, 0, 1.0)))
         comp = PolarityComposite(targets, [DCSource()])
         assert comp.get_hypernames() == ["h_any_P_pol_0"]
+
+    def test_multi_map_joint_fit(self):
+        """Two phase maps (P + SH) fit jointly, each with its own
+        hyperparameter and radiation pattern (reference
+        ``PolarityConfig.waveforms`` config.py:745)."""
+        from beat_tpu.heart.polarity import radiation_weights_sh
+        from beat_tpu.models.polarity import PolarityMapping
+
+        true = dict(strike=30.0, dip=60.0, rake=-90.0)
+        m6 = np.asarray(sdr_to_m6(**true, moment=1.0))
+        rng = np.random.default_rng(5)
+        n = 20
+        az = rng.uniform(0, 2 * np.pi, n)
+        to = rng.uniform(np.pi / 2, np.pi, n)
+        g = takeoff_vector(jnp.asarray(az), jnp.asarray(to))
+        p_amps = np.asarray(pol_synthetics(jnp.asarray(m6),
+                                           radiation_weights_p(g)))
+        sh_amps = np.asarray(pol_synthetics(
+            jnp.asarray(m6), radiation_weights_sh(g, jnp.asarray(az))))
+        p_targets = [PolarityTarget(station=f"P{i}", azimuth_rad=az[i],
+                                    takeoff_rad=to[i],
+                                    polarity=int(np.sign(p_amps[i])))
+                     for i in range(n)]
+        sh_targets = [PolarityTarget(station=f"H{i}", azimuth_rad=az[i],
+                                     takeoff_rad=to[i],
+                                     polarity=int(np.sign(sh_amps[i])))
+                      for i in range(n)]
+        maps = [PolarityMapping("any_P", p_targets, mapnumber=0),
+                PolarityMapping("any_SH", sh_targets, mapnumber=1)]
+        comp = PolarityComposite(sources=[DCSource(magnitude=5.0, **true)],
+                                 maps=maps)
+        assert comp.get_hypernames() == ["h_any_P_pol_0", "h_any_SH_pol_1"]
+
+        pt_true = {"strike": jnp.asarray(true["strike"]),
+                   "dip": jnp.asarray(true["dip"]),
+                   "rake": jnp.asarray(true["rake"]),
+                   "magnitude": jnp.asarray(5.0)}
+        l_true = float(comp.loglike(pt_true))
+        pt_off = dict(pt_true, rake=jnp.asarray(true["rake"] + 90.0))
+        assert l_true > float(comp.loglike(pt_off))
+        syn = comp.get_synthetics(pt_true)
+        np.testing.assert_array_equal(syn["any_P_pol_0"],
+                                      [t.polarity for t in p_targets])
+        np.testing.assert_array_equal(syn["any_SH_pol_1"],
+                                      [t.polarity for t in sh_targets])
+
+    def test_event_idx_validation(self):
+        from beat_tpu.models.polarity import PolarityMapping
+
+        targets = self.make_targets(np.asarray(sdr_to_m6(0, 90, 0, 1.0)))
+        with pytest.raises(ValueError, match="event_idx"):
+            PolarityComposite(sources=[DCSource()],
+                              maps=[PolarityMapping("any_P", targets,
+                                                    event_idx=1)])

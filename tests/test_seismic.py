@@ -420,3 +420,32 @@ class TestMultiEvent:
                               event_offset=(0.0, 0.0, dtim))
         np.testing.assert_allclose(wm_sub.arrival_times,
                                    wm_main.arrival_times + dtim)
+
+
+class TestPreprocessData:
+    def test_prefiltered_data_with_flag_off_matches_raw_with_flag_on(self, table):
+        """preprocess_data=False skips filtering the observed traces
+        (reference ``WaveformFitConfig.preprocess_data`` config.py:547):
+        feeding already-filtered data with the flag off must equal
+        feeding raw data with the flag on."""
+        wm_on = make_wavemap(table, seed=21)
+
+        # pre-filter the raw traces with the wavemap's own response
+        wm_off = make_wavemap(table, seed=21, preprocess_data=False)
+        resp = wm_on.filter_response_obs
+        for ds in wm_off.datasets:
+            spec = np.fft.rfft(ds.ydata, n=table.nt)
+            ds.ydata = np.fft.irfft(spec * resp, n=table.nt)
+        wm_off.prepare()
+
+        np.testing.assert_allclose(wm_off.data_windows, wm_on.data_windows,
+                                   rtol=1e-5,
+                                   atol=1e-6 * np.abs(wm_on.data_windows).max())
+        # and with the flag ON the pre-filtered data differs (double filter)
+        wm_double = make_wavemap(table, seed=21)
+        for ds in wm_double.datasets:
+            spec = np.fft.rfft(ds.ydata, n=table.nt)
+            ds.ydata = np.fft.irfft(spec * resp, n=table.nt)
+        wm_double.prepare()
+        assert not np.allclose(wm_double.data_windows, wm_on.data_windows,
+                               atol=1e-3 * np.abs(wm_on.data_windows).max())
