@@ -246,6 +246,22 @@ def register_build_gfs(sub):
                    help="comma-separated: geodetic,seismic")
     p.add_argument("--patch_length", type=float, default=2.0, help="[km]")
     p.add_argument("--patch_width", type=float, default=2.0, help="[km]")
+    p.add_argument("--earth_model", default=None,
+                   help="geometry mode: velocity model for native GF "
+                        "store building — 'homogeneous', 'default_crust' "
+                        "or a .nd/.npz model file (overrides "
+                        "gf_config['earth_model'])")
+    p.add_argument("--seismic_tracestore", default=None, metavar="NPZ",
+                   help="convert a trace-store npz (write_trace_store "
+                        "schema; any wavefield code can produce it) into "
+                        "<project>/gf_table.npz and exit")
+    p.add_argument("--nt", type=int, default=512,
+                   help="table time samples (with --seismic_tracestore)")
+    p.add_argument("--dt", type=float, default=0.5,
+                   help="table sample interval [s] (with --seismic_tracestore)")
+    p.add_argument("--t0", type=float, default=0.0,
+                   help="table start time after origin [s] "
+                        "(with --seismic_tracestore)")
     p.set_defaults(handler=_cmd_build_gfs)
 
 
@@ -256,6 +272,21 @@ def _cmd_build_gfs(args):
     import numpy as np
 
     from beat_tpu.config import load_config, load_geodetic_datasets
+
+    if args.seismic_tracestore:
+        from beat_tpu.heart.store_convert import greens_table_from_traces
+
+        table = greens_table_from_traces(args.seismic_tracestore,
+                                         nt=args.nt, dt=args.dt, t0=args.t0)
+        out = os.path.join(args.project_dir, "gf_table.npz")
+        table.save(out)
+        print(f"Converted trace store -> {out}: "
+              f"{len(table.distances)} x {len(table.depths)} grid, "
+              f"nt={table.nt} dt={table.dt}")
+        return 0
+
+    if args.mode == "geometry":
+        return _build_geometry_stores(args)
     from beat_tpu.ffi import discretize_sources, geo_construct_gf_linear
     from beat_tpu.heart.geodesy import DatasetStack
     from beat_tpu.sources import RectangularSource
@@ -302,6 +333,104 @@ def _cmd_build_gfs(args):
         print(f"Built seismic GF libraries for {len(comp.wavemaps)} wavemaps "
               f"-> {outdir}")
     return 0
+
+
+def _resolve_earth_model(name, project_dir, gf):
+    """Velocity model from a gf_config/CLI spec: 'homogeneous' (with
+    optional vp/vs/rho overrides), 'default_crust', or a .nd/.npz file
+    (relative paths resolve against the project dir)."""
+    import os
+
+    from beat_tpu.heart.velocity_model import LayeredModel
+
+    if name in (None, "", "homogeneous"):
+        return LayeredModel.homogeneous(vp=gf.get("vp", 6000.0),
+                                        vs=gf.get("vs", 3500.0),
+                                        rho=gf.get("rho", 2700.0))
+    if name == "default_crust":
+        return LayeredModel.default_crust()
+    path = name if os.path.isabs(name) else os.path.join(project_dir, name)
+    if path.endswith(".npz"):
+        return LayeredModel.load(path)
+    return LayeredModel.from_nd(path)
+
+
+def _build_geometry_stores(args):
+    """Native geometry-mode GF store construction (the reference shells
+    out to qseis/psgrn via fomosto here, ``apps/beat.py:1366`` +
+    ``heart.py:2230,2426``): seismic waveform tables by the discrete
+    wavenumber method (layered) or the analytic far-field builder
+    (homogeneous), geodetic static tables by the Hankel-domain layered
+    solver.  Grid/axis parameters come from each datatype's
+    ``gf_config`` dict in the geometry config."""
+    import os
+
+    import numpy as np
+
+    from beat_tpu.config import load_config
+
+    config = load_config(args.project_dir, "geometry")
+    datatypes = args.datatypes.split(",")
+    rc = 0
+
+    if "seismic" in datatypes and config.seismic_config is not None:
+        gf = dict(config.seismic_config.gf_config or {})
+        model = _resolve_earth_model(args.earth_model or gf.get("earth_model"),
+                                     args.project_dir, gf)
+        distances = np.linspace(gf.get("distance_min", 10e3),
+                                gf.get("distance_max", 150e3),
+                                int(gf.get("n_distances", 15)))
+        depths = np.linspace(gf.get("depth_min", 2e3),
+                             gf.get("depth_max", 25e3),
+                             int(gf.get("n_depths", 8)))
+        nt = int(gf.get("nt", 512))
+        dt = float(gf.get("dt", 0.5))
+        t0 = float(gf.get("t0", 0.0))
+        if model.nlayers == 1:
+            from beat_tpu.heart.gftable import build_homogeneous_table
+
+            table = build_homogeneous_table(
+                distances, depths, nt=nt, dt=dt, t0=t0,
+                vp=float(model.vp[0]), vs=float(model.vs[0]),
+                rho=float(model.rho[0]))
+            kind = "homogeneous analytic"
+        else:
+            from beat_tpu.heart.layered_waveforms import \
+                build_layered_waveform_table
+
+            table = build_layered_waveform_table(
+                model, distances, depths, nt=nt, dt=dt, t0=t0,
+                fmax=gf.get("fmax"),
+                zeta_cycles=float(gf.get("zeta_cycles", 1.0)))
+            kind = f"DWN layered ({model.nlayers} layers)"
+        out = os.path.join(args.project_dir, "gf_table.npz")
+        table.save(out)
+        print(f"Built seismic GF table ({kind}) -> {out}: "
+              f"{distances.size} x {depths.size} grid, nt={nt} dt={dt}")
+
+    if "geodetic" in datatypes and config.geodetic_config is not None:
+        gf = dict(config.geodetic_config.gf_config or {})
+        model = _resolve_earth_model(args.earth_model or gf.get("earth_model"),
+                                     args.project_dir, gf)
+        if model.nlayers == 1:
+            print("Geodetic geometry mode with a homogeneous model needs "
+                  "no table (direct Okada/Mogi kernels) — skipping")
+        else:
+            from beat_tpu.heart.statictable import build_static_table
+
+            distances = np.linspace(gf.get("distance_min", 1e3),
+                                    gf.get("distance_max", 120e3),
+                                    int(gf.get("n_distances", 40)))
+            depths = np.linspace(gf.get("depth_min", 0.5e3),
+                                 gf.get("depth_max", 25e3),
+                                 int(gf.get("n_depths", 12)))
+            table = build_static_table(model, distances, depths)
+            out = os.path.join(args.project_dir, "static_gf_table.npz")
+            table.save(out)
+            print(f"Built layered static GF table -> {out}: "
+                  f"{distances.size} x {depths.size} grid")
+
+    return rc
 
 
 def _reference_source_from_project(project_dir, config):

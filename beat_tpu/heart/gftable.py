@@ -166,13 +166,17 @@ class GreensTable:
         3×.  Returns (ntargets, 6, nfreq, 2); without it,
         (ntargets, 6, 3, nfreq, 2).
         """
-        d_grid = jnp.asarray(self.distances)
-        z_grid = jnp.asarray(self.depths)
+        d_grid = np.asarray(self.distances)
+        z_grid = np.asarray(self.depths)
 
-        di = jnp.clip((distance - d_grid[0]) / (d_grid[1] - d_grid[0]),
-                      0.0, d_grid.size - 1.001)
-        zi = jnp.clip((depth - z_grid[0]) / (z_grid[1] - z_grid[0]),
-                      0.0, z_grid.size - 1.001)
+        # size-1 axes degrade to nearest-node lookup (step of 1.0 keeps
+        # the fractional weight at 0; the +1 corner index clamps in XLA)
+        d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
+        z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
+        di = jnp.clip((distance - d_grid[0]) / d_step,
+                      0.0, max(d_grid.size - 1.001, 0.0))
+        zi = jnp.clip((depth - z_grid[0]) / z_step,
+                      0.0, max(z_grid.size - 1.001, 0.0))
         d0 = jnp.floor(di).astype(jnp.int32)
         z0 = jnp.floor(zi).astype(jnp.int32)
 

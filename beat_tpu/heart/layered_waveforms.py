@@ -1,0 +1,477 @@
+"""
+Native layered-earth **waveform** Green's functions — the qseis analogue.
+
+The reference computes layered waveform GFs with external Fortran codes
+(qseis/qssp via fomosto, ``beat/heart.py:2126-2330``) and consumes the
+resulting stores.  This module computes the same physics natively — a
+discrete-wavenumber / global-matrix method (Bouchon 1981; Müller 1985)
+in the frequency domain — so :class:`beat_tpu.heart.gftable.GreensTable`
+tables for 1-D layered models can be built without any external wavefield
+code, completing the chain begun by :mod:`beat_tpu.heart.layered_statics`
+(the psgrn analogue) for statics.
+
+Method
+------
+* For each (complex) frequency ``ω' = ω − iζ`` and wavenumber ``k``, the
+  elastodynamic P-SV system in a homogeneous layer has four exact wave
+  solutions (up/down P and SV with vertical wavenumbers
+  ``ν_{α,β} = √(k² − ω'²/v²)``, principal branch so Re ν ≥ 0), the SH
+  system two.  Per-layer exponentials are normalized to the boundary they
+  decay from — the same conditioning cure as the static solver.
+* Free-surface + interface-continuity + radiation conditions form one
+  global linear system per (ω, k), batched over the wavenumber grid.
+* **Point forces** enter as frequency-independent traction jumps across
+  the source depth (identical to the static case, which is validated
+  against Mindlin); surface displacements follow by midpoint-rule Hankel
+  synthesis over ``k``.
+* **Moment tensors** = force dipoles: centered finite differences of the
+  force Green tensor over the source position (horizontal derivatives by
+  receiver translation, the vertical one by two extra solves) — exactly
+  the static module's trick, so the two share conventions by
+  construction.
+* **Complex frequency** ``ζ = ζ_cycles·π/T`` (Bouchon) pushes the
+  surface-wave poles off the integration path and suppresses time-domain
+  wrap-around by ``e^{−ζT}``; the inverse transform multiplies by
+  ``e^{+ζt}`` to undo the damping.
+
+Validation (tests/test_layered_waveforms.py): the ω→0 limit of the
+moment-impulse response equals the (Mindlin-verified) static solution of
+:mod:`layered_statics`; homogeneous-model traces are causal with ray
+P/S arrival times; a layered table builds into a working
+:class:`GreensTable`.
+
+Conventions match :mod:`layered_statics` / :mod:`gftable`: z positive
+down, free surface at z=0, NED moment tensors, receiver components
+(Z up, R radial away from source, T transverse) at azimuth 0.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+from scipy.special import j0, j1
+
+from beat_tpu.heart.layered_statics import _m6_ned_to_xyz
+
+logger = logging.getLogger("beat_tpu.heart.layered_waveforms")
+
+
+# ---------------------------------------------------------------------------
+# Per-layer wave columns (exact homogeneous solutions)
+# ---------------------------------------------------------------------------
+
+
+def _psv_wave_entries(lam, mu, rho, w2, k):
+    """Raw (z-independent) P-SV wave-column entries at one material for a
+    wavenumber array: returns (nu_a, nu_b, cols) with cols (nk, 4, 4) in
+    physical variables y = (U, V, P, S), column order
+    [P down, SV down, P up, SV up]; 'down' ~ e^{−νz}, 'up' ~ e^{+νz}.
+
+    Derived from displacement potentials φ (P) and ∇×∇×(χ ẑ) (SV) with
+    u_z = U·J_m, u_r = −V·J_m' (sign convention of the static module):
+      P wave  (e^{sνz}): U = sν_α,  V = k,     P = 2µν_α² − λω'²/vp²,
+                         S = 2µ s ν_α k
+      SV wave (e^{sνz}): U = k²,    V = sν_β k, P = 2µ s ν_β k²,
+                         S = µ k (ν_β² + k²)
+    """
+    k = np.asarray(k)
+    va2 = (lam + 2 * mu) / rho
+    vb2 = mu / rho
+    nu_a = np.sqrt(k * k - w2 / va2 + 0j)
+    nu_b = np.sqrt(k * k - w2 / vb2 + 0j)
+    cols = np.zeros((k.size, 4, 4), dtype=np.complex128)
+    p_even = 2 * mu * nu_a**2 - lam * (w2 / va2)
+    s_even = mu * k * (nu_b**2 + k * k)
+    for c, (s, fam) in enumerate(((-1, "P"), (-1, "SV"), (+1, "P"), (+1, "SV"))):
+        if fam == "P":
+            col = np.stack([s * nu_a, k + 0j * k, p_even, 2 * mu * s * nu_a * k],
+                           axis=-1)
+        else:
+            col = np.stack([k * k + 0j * k, s * nu_b * k, 2 * mu * s * nu_b * k * k,
+                            s_even], axis=-1)
+        cols[:, :, c] = col
+    return nu_a, nu_b, cols
+
+
+def _psv_columns_dyn(lam, mu, rho, w2, k, dz_top, dz_bot, halfspace,
+                     stress_scale):
+    """Boundary-normalized P-SV columns at one evaluation depth:
+    (nk, 4, ncols) with stress rows pre-divided by ``stress_scale`` (nk,)
+    and each column divided by its max-abs raw entry (consistent across
+    evaluation depths).  ncols = 2 (halfspace: down only) or 4."""
+    nu_a, nu_b, cols = _psv_wave_entries(lam, mu, rho, w2, k)
+    cols = cols.copy()
+    cols[:, 2, :] /= stress_scale[:, None]
+    cols[:, 3, :] /= stress_scale[:, None]
+    norm = np.max(np.abs(cols), axis=1)           # (nk, 4) per column
+    cols = cols / norm[:, None, :]
+    nus = np.stack([nu_a, nu_b, nu_a, nu_b], axis=-1)   # (nk, 4)
+    ncols = 2 if halfspace else 4
+    phase = np.empty((k.size, ncols), dtype=np.complex128)
+    phase[:, 0] = np.exp(-nus[:, 0] * dz_top)
+    phase[:, 1] = np.exp(-nus[:, 1] * dz_top)
+    if not halfspace:
+        phase[:, 2] = np.exp(nus[:, 2] * dz_bot)
+        phase[:, 3] = np.exp(nus[:, 3] * dz_bot)
+    return cols[:, :, :ncols] * phase[:, None, :]
+
+
+def _sh_columns_dyn(mu, rho, w2, k, dz_top, dz_bot, halfspace, stress_scale):
+    """SH columns y = (W, T), T = µ ∂_z W: (nk, 2, ncols)."""
+    k = np.asarray(k)
+    nu_b = np.sqrt(k * k - w2 * rho / mu + 0j)
+    down = np.stack([np.ones_like(nu_b), -mu * nu_b / stress_scale], axis=-1)
+    cols = [down]
+    if not halfspace:
+        cols.append(np.stack([np.ones_like(nu_b), mu * nu_b / stress_scale],
+                             axis=-1))
+    cols = np.stack(cols, axis=-1)                # (nk, 2, ncols)
+    norm = np.max(np.abs(cols), axis=1)
+    cols = cols / norm[:, None, :]
+    ncols = cols.shape[-1]
+    phase = np.empty((k.size, ncols), dtype=np.complex128)
+    phase[:, 0] = np.exp(-nu_b * dz_top)
+    if not halfspace:
+        phase[:, 1] = np.exp(nu_b * dz_bot)
+    return cols * phase[:, None, :]
+
+
+# ---------------------------------------------------------------------------
+# Global-matrix solves
+# ---------------------------------------------------------------------------
+
+
+def _split_layers_rho(model, zs: float):
+    """Layer pieces (z_top, z_bot, lam, mu, rho) with the source depth as
+    an interface (dynamic variant of layered_statics._split_layers)."""
+    tops = list(model.tops)
+    vp, vs, rho = model.vp, model.vs, model.rho
+    lam_l = rho * (vp**2 - 2 * vs**2)
+    mu_l = rho * vs**2
+    pieces = []
+    src_iface = None
+    nl = len(tops)
+    for i in range(nl):
+        z0 = tops[i]
+        z1 = tops[i + 1] if i + 1 < nl else np.inf
+        if z0 < zs < z1:
+            pieces.append((z0, zs, lam_l[i], mu_l[i], rho[i]))
+            src_iface = len(pieces) - 1
+            pieces.append((zs, z1, lam_l[i], mu_l[i], rho[i]))
+        else:
+            if zs == z0 and i > 0 and src_iface is None:
+                src_iface = len(pieces) - 1
+            pieces.append((z0, z1, lam_l[i], mu_l[i], rho[i]))
+    if src_iface is None:
+        raise ValueError(f"source depth {zs} not strictly inside the model")
+    return pieces, src_iface
+
+
+def _solve_psv_dyn(pieces, src_iface, k, w2, stress_scale, jumps):
+    """Batched complex P-SV global solve; ``jumps`` are source
+    discontinuity vectors (4,) or (4, nk) in PHYSICAL (U, V, P, S)
+    variables (below − above).  Returns [(nk, 4) surface vectors, ...]
+    (stress entries still scaled — only U, V rows are used)."""
+    L = len(pieces)
+    nk = len(k)
+    ncols = [2 if i == L - 1 else 4 for i in range(L)]
+    offs = np.concatenate([[0], np.cumsum(ncols)])
+    N = offs[-1]
+    A = np.zeros((nk, N, N), dtype=np.complex128)
+    nrhs = len(jumps)
+    b = np.zeros((nk, N, nrhs), dtype=np.complex128)
+
+    def cols_at(i, z):
+        z0, z1, lam, mu, rho = pieces[i]
+        return _psv_columns_dyn(lam, mu, rho, w2, k, z - z0,
+                                0.0 if not np.isfinite(z1) else z - z1,
+                                halfspace=(i == L - 1),
+                                stress_scale=stress_scale)
+
+    c_surf = cols_at(0, pieces[0][0])
+    A[:, 0, offs[0]:offs[1]] = c_surf[:, 2]      # P(0) = 0
+    A[:, 1, offs[0]:offs[1]] = c_surf[:, 3]      # S(0) = 0
+    row = 2
+    for i in range(L - 1):
+        z = pieces[i][1]
+        A[:, row:row + 4, offs[i]:offs[i + 1]] = -cols_at(i, z)
+        A[:, row:row + 4, offs[i + 1]:offs[i + 2]] = cols_at(i + 1, z)
+        if i == src_iface:
+            for jr, jump in enumerate(jumps):
+                jv = np.asarray(jump, dtype=np.complex128)
+                jv = jv.T if jv.ndim == 2 else np.broadcast_to(jv, (nk, 4)).copy()
+                jv = jv.copy()
+                jv[:, 2] /= stress_scale
+                jv[:, 3] /= stress_scale
+                b[:, row:row + 4, jr] = jv
+        row += 4
+    coef = np.linalg.solve(A, b)
+    y0 = np.einsum("kvc,kcr->krv", c_surf, coef[:, offs[0]:offs[1]])
+    return [y0[:, jr] for jr in range(nrhs)]
+
+
+def _solve_sh_dyn(pieces, src_iface, k, w2, stress_scale, jump2):
+    L = len(pieces)
+    nk = len(k)
+    ncols = [1 if i == L - 1 else 2 for i in range(L)]
+    offs = np.concatenate([[0], np.cumsum(ncols)])
+    N = offs[-1]
+    A = np.zeros((nk, N, N), dtype=np.complex128)
+    b = np.zeros((nk, N), dtype=np.complex128)
+
+    def cols_at(i, z):
+        z0, z1, lam, mu, rho = pieces[i]
+        return _sh_columns_dyn(mu, rho, w2, k, z - z0,
+                               0.0 if not np.isfinite(z1) else z - z1,
+                               halfspace=(i == L - 1),
+                               stress_scale=stress_scale)
+
+    c_surf = cols_at(0, pieces[0][0])
+    A[:, 0, offs[0]:offs[1]] = c_surf[:, 1]      # T(0) = 0
+    row = 1
+    for i in range(L - 1):
+        z = pieces[i][1]
+        A[:, row:row + 2, offs[i]:offs[i + 1]] = -cols_at(i, z)
+        A[:, row:row + 2, offs[i + 1]:offs[i + 2]] = cols_at(i + 1, z)
+        if i == src_iface:
+            jv = np.asarray(jump2, dtype=np.complex128)
+            jv = jv.T if jv.ndim == 2 else np.broadcast_to(jv, (nk, 2)).copy()
+            jv = jv.copy()
+            jv[:, 1] /= stress_scale
+            b[:, row:row + 2] = jv
+        row += 2
+    coef = np.linalg.solve(A, b[..., None])[..., 0]
+    return np.einsum("kvc,kc->kv", c_surf, coef[:, offs[0]:offs[1]])
+
+
+def dynamic_force_kernels(model, zs: float, w_c: complex,
+                          k_grid: np.ndarray) -> dict:
+    """Surface displacement kernels of buried unit point forces at one
+    complex frequency: dict of complex arrays over ``k_grid`` with the
+    same names/conventions as the static ``surface_kernels``."""
+    pieces, src_iface = _split_layers_rho(model, zs)
+    k_grid = np.asarray(k_grid, dtype=np.float64)
+    w2 = w_c * w_c
+    vs_min = float(np.min(model.vs))
+    mu0 = float(np.median(model.rho * model.vs**2))
+    stress_scale = mu0 * (k_grid + abs(w_c) / vs_min)
+
+    # frequency-independent traction jumps (identical to the static,
+    # Mindlin-verified case): ΔP = −1/2π (vertical), ΔS/ΔT = −1/2π (horiz.)
+    jz = np.zeros(4)
+    jz[2] = -1.0 / (2 * np.pi)
+    jh = np.zeros(4)
+    jh[3] = -1.0 / (2 * np.pi)
+    jsh = np.zeros(2)
+    jsh[1] = -1.0 / (2 * np.pi)
+    yz, yh = _solve_psv_dyn(pieces, src_iface, k_grid, w2, stress_scale,
+                            [jz, jh])
+    w = _solve_sh_dyn(pieces, src_iface, k_grid, w2, stress_scale, jsh)
+    return {"U0": yz[:, 0], "V0": yz[:, 1],
+            "U1": yh[:, 0], "V1": yh[:, 1], "W1": w[:, 0]}
+
+
+# ---------------------------------------------------------------------------
+# Hankel synthesis (complex mirror of the static assembly)
+# ---------------------------------------------------------------------------
+
+
+def dynamic_integration_grid(model, zs: float, r_max: float, T: float,
+                             w_abs: float, ppw: float = 1.2,
+                             nk_max: int = 120_000) -> np.ndarray:
+    """Midpoint-rule wavenumber grid: spacing resolves the Bessel
+    oscillation over the Bouchon periodicity ``r_max + vp_max·T`` (no
+    sources wrap into the window), extent covers the propagating region
+    plus the ``e^{−k·zs}`` evanescent tail."""
+    vp_max = float(np.max(model.vp))
+    vs_min = float(np.min(model.vs))
+    span = r_max + vp_max * T
+    dk = 2.0 * np.pi / (ppw * span)
+    k_max = w_abs / vs_min * 1.05 + 50.0 / max(zs, 1e3)
+    nk = min(int(np.ceil(k_max / dk)), nk_max)
+    return (np.arange(nk) + 0.5) * dk
+
+
+def dynamic_point_force_G(model, zs: float, obs_xy: np.ndarray,
+                          w_c: complex, kernels: dict,
+                          k_grid: np.ndarray) -> np.ndarray:
+    """Complex surface Green tensor (N, 3, 3) of buried unit point
+    forces at one complex frequency (layout identical to the static
+    ``point_force_surface_displacement``: component i ∈ (x=E, y=N,
+    z=down) per unit force j)."""
+    obs_xy = np.asarray(obs_xy, dtype=np.float64)
+    r = np.hypot(obs_xy[:, 0], obs_xy[:, 1])
+    r = np.maximum(r, 1e-6)
+    cphi = obs_xy[:, 0] / r
+    sphi = obs_xy[:, 1] / r
+    dk = k_grid[1] - k_grid[0] if k_grid.size > 1 else k_grid[0] * 2
+    gk = {n: kernels[n] * k_grid * dk for n in
+          ("U0", "V0", "U1", "V1", "W1")}
+
+    kr = np.outer(r, k_grid)
+    J0 = j0(kr)
+    J1 = j1(kr)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        J1_over = np.where(kr > 0, J1 / np.where(kr > 0, kr, 1.0), 0.5)
+    J1p = J0 - J1_over
+
+    uz_z = J0 @ gk["U0"]
+    ur_z = -(J1 @ gk["V0"])
+    uz_x1 = J1 @ gk["U1"]
+    ur_x1 = J1p @ gk["V1"] + J1_over @ gk["W1"]
+    up_x1 = J1_over @ gk["V1"] + J1p @ gk["W1"]
+
+    G = np.zeros((obs_xy.shape[0], 3, 3), dtype=np.complex128)
+    G[:, 0, 2] = ur_z * cphi
+    G[:, 1, 2] = ur_z * sphi
+    G[:, 2, 2] = uz_z
+    G[:, 0, 0] = cphi * ur_x1 * cphi + sphi * up_x1 * sphi
+    G[:, 1, 0] = cphi * ur_x1 * sphi - sphi * up_x1 * cphi
+    G[:, 2, 0] = cphi * uz_x1
+    G[:, 0, 1] = sphi * ur_x1 * cphi - cphi * up_x1 * sphi
+    G[:, 1, 1] = sphi * ur_x1 * sphi + cphi * up_x1 * cphi
+    G[:, 2, 1] = sphi * uz_x1
+    return G
+
+
+def dynamic_source_gradient(model, zs: float, obs_xy: np.ndarray,
+                            w_c: complex, k_grid: np.ndarray,
+                            rel_step: float = 1e-3) -> np.ndarray:
+    """∂G_kp/∂ξ_q over the source position at one complex frequency:
+    (N, 3, 3, 3) complex — horizontal derivatives by receiver
+    translation, the vertical one by two extra kernel solves
+    (the static module's force-dipole construction)."""
+    obs_xy = np.asarray(obs_xy, dtype=np.float64)
+    d = rel_step * zs
+    ex = np.array([1.0, 0.0])
+    ey = np.array([0.0, 1.0])
+    kern0 = dynamic_force_kernels(model, zs, w_c, k_grid)
+
+    def G_at(shift_xy, kern, depth):
+        return dynamic_point_force_G(model, depth, obs_xy - shift_xy[None, :],
+                                     w_c, kern, k_grid)
+
+    dG_dx = (G_at(d * ex, kern0, zs) - G_at(-d * ex, kern0, zs)) / (2 * d)
+    dG_dy = (G_at(d * ey, kern0, zs) - G_at(-d * ey, kern0, zs)) / (2 * d)
+    zero = np.zeros(2)
+    kp = dynamic_force_kernels(model, zs + d, w_c, k_grid)
+    km = dynamic_force_kernels(model, zs - d, w_c, k_grid)
+    dG_dz = (G_at(zero, kp, zs + d) - G_at(zero, km, zs - d)) / (2 * d)
+    return np.stack([dG_dx, dG_dy, dG_dz], axis=-1)
+
+
+def elementary_mt_spectra(model, zs: float, distances: np.ndarray,
+                          w_c: complex, k_grid: np.ndarray,
+                          rel_step: float = 1e-3) -> np.ndarray:
+    """(6, 3, nd) complex spectra of the six unit elementary moment
+    tensors (impulse moment-rate, i.e. **step moment** after the 1/(iω')
+    integration applied here) at receivers due north (azimuth 0), in
+    (Z up, R, T) components — one source-gradient evaluation shared by
+    all six MTs."""
+    distances = np.asarray(distances, dtype=np.float64)
+    obs_xy = np.stack([np.zeros_like(distances), distances], axis=-1)
+    dG = dynamic_source_gradient(model, zs, obs_xy, w_c, k_grid, rel_step)
+    out = np.zeros((6, 3, distances.size), dtype=np.complex128)
+    eye6 = np.eye(6)
+    for kk in range(6):
+        u = np.einsum("pq,nkpq->nk", _m6_ned_to_xyz(eye6[kk]), dG)
+        # moment step: ∫ impulse → 1/(iω'); (x=E, y=N, z=down) → (Z, R, T)
+        u = u / (1j * w_c)
+        out[kk, 0] = -u[:, 2]      # Z up
+        out[kk, 1] = u[:, 1]       # R = north at azimuth 0
+        out[kk, 2] = u[:, 0]       # T = east at azimuth 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Table builder
+# ---------------------------------------------------------------------------
+
+
+def build_layered_waveform_table(model, distances, depths, nt: int, dt: float,
+                                 t0: float = 0.0, zeta_cycles: float = 1.0,
+                                 rel_step: float = 1e-3, ppw: float = 1.2,
+                                 fmax: float | None = None):
+    """
+    Build a :class:`GreensTable` for a 1-D layered model by the discrete
+    wavenumber method — natively, with no external wavefield code.
+
+    model : :class:`beat_tpu.heart.velocity_model.LayeredModel`
+    distances, depths : table grid [m] (depths strictly inside layers,
+        more than ``rel_step·depth`` away from interfaces)
+    nt, dt, t0 : table time axis (responses to unit moment **steps**,
+        matching ``build_homogeneous_table``'s convention so the STF
+        pipeline applies unchanged)
+    zeta_cycles : Bouchon damping ζ = ζ_cycles·π/(nt·dt); wrap-around is
+        suppressed by e^{−π·ζ_cycles}
+    fmax : optional synthesis cutoff [Hz] — spectra above it are left
+        zero (band-limit for speed; datasets are bandpassed anyway)
+
+    Returns the table with spectra aligned to the ``t0`` time axis via
+    :func:`beat_tpu.heart.store_convert.trace_to_spectrum`.
+    """
+    import jax.numpy as jnp
+
+    from beat_tpu.heart.gftable import GreensTable
+    from beat_tpu.heart.store_convert import trace_to_spectrum
+
+    distances = np.asarray(distances, dtype=np.float64)
+    depths = np.asarray(depths, dtype=np.float64)
+    freqs = np.fft.rfftfreq(nt, dt)
+    nf = freqs.size
+    T = nt * dt
+    zeta = zeta_cycles * np.pi / T
+    r_max = float(distances.max())
+    if fmax is None:
+        fmax = freqs[-1]
+
+    damped = np.zeros((6, 3, distances.size, depths.size, nf),
+                      dtype=np.complex128)
+    for iz, zs in enumerate(depths):
+        for jf, f in enumerate(freqs):
+            if f > fmax + 1e-12:
+                continue
+            w_c = 2.0 * np.pi * f - 1j * zeta
+            k_grid = dynamic_integration_grid(model, zs, r_max, T,
+                                              abs(w_c), ppw=ppw)
+            damped[:, :, :, iz, jf] = elementary_mt_spectra(
+                model, zs, distances, w_c, k_grid, rel_step)
+        logger.info("layered waveform table: depth %g m done (%i freqs, "
+                    "%i distances)", zs, nf, distances.size)
+
+    # undo the Bouchon damping in the time domain, align to t0
+    t_rel = np.arange(nt) * dt
+    growth = np.exp(zeta * t_rel)
+    spectra = np.zeros_like(damped)
+    for idx in np.ndindex(6, 3, distances.size, depths.size):
+        tr = np.fft.irfft(damped[idx], n=nt) * growth
+        spectra[idx] = trace_to_spectrum(tr, tmin=0.0, dt_in=dt,
+                                         nt=nt, dt=dt, t0=t0)
+
+    vp_eff, vs_eff = _effective_velocities(model, float(np.median(depths)))
+    pairs = np.stack([spectra.real, spectra.imag], axis=-1).astype(np.float32)
+    logger.info("Built layered waveform GF table: %i dist x %i depth x %i "
+                "samples (DWN, ζ=%g)", distances.size, depths.size, nt, zeta)
+    return GreensTable(spectra=jnp.asarray(pairs), distances=distances,
+                       depths=depths, dt=dt, nt=nt, t0=t0,
+                       vp=vp_eff, vs=vs_eff, rho=float(model.rho[0]))
+
+
+def _effective_velocities(model, zs: float) -> tuple:
+    """Straight-ray effective (vp, vs) down to the source depth (travel-
+    time estimates only; arrival windows should use the ray tracer of
+    :mod:`beat_tpu.heart.velocity_model` or picked arrivals)."""
+    tops = np.append(model.tops, zs + 1e9)
+    t_p = t_s = 0.0
+    z_cum = 0.0
+    for i in range(model.nlayers):
+        h = min(tops[i + 1], zs) - tops[i]
+        if h <= 0:
+            break
+        t_p += h / model.vp[i]
+        t_s += h / model.vs[i]
+        z_cum += h
+    if z_cum <= 0:
+        return float(model.vp[0]), float(model.vs[0])
+    return z_cum / t_p, z_cum / t_s

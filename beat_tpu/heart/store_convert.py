@@ -1,18 +1,30 @@
 """
-Convert pyrocko fomosto Green's-function stores into HBM
+Convert precomputed Green's-function stores into HBM
 :class:`beat_tpu.heart.gftable.GreensTable` tables.
 
 This is the bridge from the reference's layered-earth machinery: the
 expensive Fortran wavefield computation (qseis/qssp/psgrn via fomosto,
 reference ``beat/heart.py:2230,2426``) stays an offline CPU precompute;
-this converter samples the finished store onto the regular
+the converters here sample finished stores onto the regular
 (distance, depth) grid of elementary-MT responses at azimuth 0 that the
-on-device forward consumes.  Import-gated: requires ``pyrocko``.
+on-device forward consumes.
+
+Two store flavours:
+
+* **Trace store** (:func:`greens_table_from_traces`) — a plain npz of
+  elementary time traces (the documented, pyrocko-free interchange
+  format written by :func:`write_trace_store`; any wavefield code can
+  produce it).
+* **pyrocko fomosto store** (:func:`greens_table_from_store`) —
+  import-gated on ``pyrocko``; synthesises the elementary responses
+  through ``engine.process`` and reuses the same trace→spectrum
+  resample/align path.
 """
 
 from __future__ import annotations
 
 import logging
+import os
 
 import numpy as np
 
@@ -25,6 +37,116 @@ _ELEMENTARY = [
 ]
 
 
+def trace_to_spectrum(ydata, tmin: float, dt_in: float,
+                      nt: int, dt: float, t0: float = 0.0) -> np.ndarray:
+    """
+    Resample a single time trace onto the table grid and return its rfft.
+
+    The trace holds samples at ``tmin + i·dt_in``; the table wants the
+    band-limited signal sampled at ``t0 + j·dt`` for ``j < nt``.  Three
+    exact-for-band-limited steps (the reference's equivalent is pyrocko
+    ``tr.resample`` + snap inside ``post_process_trace``
+    ``beat/heart.py:3466``):
+
+    1. Fourier resampling ``dt_in → dt`` (spectrum truncation/zero-pad,
+       as ``scipy.signal.resample``);
+    2. integer-sample placement of the resampled trace on the output
+       grid;
+    3. residual sub-sample alignment as a frequency-domain phase shift.
+
+    Returns the complex rfft spectrum of length ``nt//2 + 1``.
+    """
+    y = np.asarray(ydata, dtype=np.float64)
+    if abs(dt_in - dt) > 1e-9 * dt:
+        n_in = y.size
+        n_out = max(int(round(n_in * dt_in / dt)), 1)
+        spec_in = np.fft.rfft(y)
+        spec_out = np.zeros(n_out // 2 + 1, dtype=np.complex128)
+        ncopy = min(spec_in.size, spec_out.size)
+        spec_out[:ncopy] = spec_in[:ncopy]
+        y = np.fft.irfft(spec_out, n=n_out) * (n_out / n_in)
+
+    offset = (tmin - t0) / dt
+    i0 = int(np.floor(offset))
+    frac = offset - i0                      # in [0, 1) sample units
+
+    data = np.zeros(nt)
+    src_lo = max(-i0, 0)
+    dst_lo = max(i0, 0)
+    n_copy = min(y.size - src_lo, nt - dst_lo)
+    if n_copy > 0:
+        data[dst_lo:dst_lo + n_copy] = y[src_lo:src_lo + n_copy]
+
+    spec = np.fft.rfft(data)
+    if frac > 1e-12:
+        freqs = np.fft.rfftfreq(nt, dt)
+        spec = spec * np.exp(-2j * np.pi * freqs * frac * dt)
+    return spec
+
+
+def write_trace_store(path: str, traces, tmins, distances, depths,
+                      dt: float, vp: float = 6000.0, vs: float = 3500.0,
+                      rho: float = 2700.0) -> None:
+    """
+    Write the documented trace-store interchange npz.
+
+    traces : (6, 3, ndist, ndepth, nt_store) elementary time traces
+        (MT order mnn…med, components Z/R/T, receiver at azimuth 0)
+    tmins : (ndist, ndepth) start time of each node's traces relative to
+        origin time [s]
+    distances, depths : grid nodes [m]; dt : store sample interval [s]
+    """
+    traces = np.asarray(traces)
+    tmins = np.asarray(tmins, dtype=np.float64)
+    if traces.ndim != 5 or traces.shape[:2] != (6, 3):
+        raise ValueError(f"traces must be (6, 3, nd, nz, nt), got {traces.shape}")
+    if tmins.shape != traces.shape[2:4]:
+        raise ValueError(f"tmins {tmins.shape} != grid {traces.shape[2:4]}")
+    np.savez_compressed(
+        path, traces=traces.astype(np.float32), tmins=tmins,
+        distances=np.asarray(distances, dtype=np.float64),
+        depths=np.asarray(depths, dtype=np.float64),
+        meta=np.array([dt, vp, vs, rho]))
+    logger.info("Wrote trace store %s (%s)", path, traces.shape)
+
+
+def greens_table_from_traces(path: str, nt: int, dt: float, t0: float = 0.0):
+    """
+    Build a :class:`GreensTable` from a trace-store npz
+    (:func:`write_trace_store` schema).  Each stored trace is
+    Fourier-resampled to ``dt``, aligned to the common ``t0`` time axis
+    and transformed to (re, im) pair spectra.
+    """
+    import jax.numpy as jnp
+
+    from beat_tpu.heart.gftable import GreensTable
+
+    with np.load(path) as z:
+        traces = z["traces"]
+        tmins = z["tmins"]
+        distances = z["distances"]
+        depths = z["depths"]
+        dt_store, vp, vs, rho = (float(v) for v in z["meta"])
+
+    nf = np.fft.rfftfreq(nt, dt).size
+    nd, nz = distances.size, depths.size
+    spectra = np.zeros((6, 3, nd, nz, nf), dtype=np.complex128)
+    for id_ in range(nd):
+        for iz in range(nz):
+            tmin = float(tmins[id_, iz])
+            for k in range(6):
+                for c in range(3):
+                    spectra[k, c, id_, iz] = trace_to_spectrum(
+                        traces[k, c, id_, iz], tmin, dt_store, nt, dt, t0)
+
+    logger.info("Converted trace store %s -> GreensTable (%i x %i grid, "
+                "dt %g -> %g)", path, nd, nz, dt_store, dt)
+    pairs = np.stack([spectra.real, spectra.imag], axis=-1).astype(np.float32)
+    return GreensTable(spectra=jnp.asarray(pairs), distances=distances,
+                       depths=depths, dt=dt, nt=nt, t0=t0,
+                       vp=vp, vs=vs, rho=rho)
+
+
 def greens_table_from_store(store_id: str, store_superdir: str,
                             distances, depths, nt: int, dt: float,
                             t0: float = 0.0):
@@ -33,15 +155,17 @@ def greens_table_from_store(store_id: str, store_superdir: str,
 
     For every (distance, depth) grid node, the responses to the six
     elementary MTs are synthesised for a receiver due north (azimuth 0)
-    in (Z, R, T) components, resampled to ``dt`` on ``nt`` samples
-    starting ``t0`` after origin, and transformed to rfft spectra.
+    in (Z, R, T) components, then routed through the same
+    :func:`trace_to_spectrum` resample/align path as the trace-store
+    converter.
     """
     try:
         from pyrocko import gf
     except ImportError as e:
         raise ImportError(
             "pyrocko is required for store conversion; hermetic runs use "
-            "beat_tpu.heart.gftable.build_homogeneous_table") from e
+            "beat_tpu.heart.gftable.build_homogeneous_table or a trace "
+            "store (greens_table_from_traces)") from e
 
     import jax.numpy as jnp
 
@@ -70,15 +194,8 @@ def greens_table_from_store(store_id: str, store_superdir: str,
                         dip=-90.0 if comp == "Z" else 0.0))
                 response = engine.process(source, targets)
                 for c, tr in enumerate(response.pyrocko_traces()):
-                    tr = tr.copy()
-                    tr.resample(dt)
-                    data = np.zeros(nt)
-                    i0 = int(round((tr.tmin - t0) / dt))
-                    n_copy = min(tr.ydata.size, nt - max(i0, 0))
-                    if n_copy > 0 and i0 < nt:
-                        data[max(i0, 0):max(i0, 0) + n_copy] = \
-                            tr.ydata[max(-i0, 0):max(-i0, 0) + n_copy]
-                    spectra[k, c, id_, iz, :] = np.fft.rfft(data)
+                    spectra[k, c, id_, iz, :] = trace_to_spectrum(
+                        tr.ydata, tr.tmin, tr.deltat, nt, dt, t0)
 
     # medium velocities for travel-time estimates from the store model
     model = store.config.earthmodel_1d

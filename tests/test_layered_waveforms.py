@@ -1,0 +1,141 @@
+"""
+Native discrete-wavenumber layered waveform GFs (the qseis analogue,
+reference ``beat/heart.py:2126-2330``): validated against the
+Mindlin-verified static solver in the ω→0 limit, ray-theory arrival
+times on a homogeneous model, and the GreensTable pipeline end-to-end.
+"""
+
+import numpy as np
+import pytest
+
+from beat_tpu.heart.layered_statics import mt_surface_displacement_layered
+from beat_tpu.heart.layered_waveforms import (build_layered_waveform_table,
+                                              elementary_mt_spectra)
+from beat_tpu.heart.velocity_model import LayeredModel
+from beat_tpu.sources import sdr_to_m6
+
+
+@pytest.fixture(scope="module")
+def layered():
+    return LayeredModel(tops=np.array([0.0, 3e3]),
+                        vp=np.array([5500.0, 6500.0]),
+                        vs=np.array([3200.0, 3700.0]),
+                        rho=np.array([2600.0, 2800.0]))
+
+
+class TestStaticLimit:
+    def test_zero_frequency_matches_static_solver(self, layered):
+        """The ω→0 moment-impulse response equals the static surface
+        displacement — ties the whole dynamic stack (wave columns,
+        global matrix, jumps, Hankel synthesis, FD dipoles) to the
+        independently Mindlin-validated static solver."""
+        zs = 8e3
+        distances = np.array([20e3, 45e3, 80e3])
+        w_c = 2 * np.pi * 1e-4 - 1e-5j          # |ω'| ≈ 6e-4 rad/s
+        k_grid = (np.arange(6000) + 0.5) * (np.pi / (20 * distances.max()))
+        k_grid = k_grid[k_grid < 60.0 / zs]
+        spec = elementary_mt_spectra(layered, zs, distances, w_c, k_grid)
+        u_imp = spec * (1j * w_c)               # undo the step integration
+
+        m6 = np.asarray(sdr_to_m6(35.0, 60.0, -70.0, 1e16))
+        dyn = np.einsum("k,kcn->cn", m6, u_imp)   # (3=Z,R,T, nd) complex
+        assert np.abs(dyn.imag).max() < 2e-3 * np.abs(dyn.real).max()
+
+        obs_xy = np.stack([np.zeros(3), distances], axis=-1)
+        stat = mt_surface_displacement_layered(layered, zs, obs_xy, m6)
+        # static returns (nd, 3 = east, north, up); azimuth-0 mapping:
+        want = np.stack([stat[:, 2], stat[:, 1], stat[:, 0]])  # (Z, R, T)
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(dyn.real, want, atol=5e-3 * scale)
+
+
+class TestHomogeneousWaveforms:
+    @pytest.fixture(scope="class")
+    def homog_table(self):
+        model = LayeredModel.homogeneous(vp=6000.0, vs=3464.0, rho=2700.0)
+        return build_layered_waveform_table(
+            model, distances=np.array([40e3, 60e3]),
+            depths=np.array([10e3]), nt=128, dt=0.5, t0=0.0,
+            fmax=0.8), model
+
+    def test_causality_and_p_arrival(self, homog_table):
+        """Energy arrives at the ray P time, nothing (beyond the DWN
+        noise floor) before it."""
+        table, model = homog_table
+        import jax.numpy as jnp
+
+        m6 = jnp.asarray(sdr_to_m6(30.0, 50.0, -90.0, 1e17))
+        spec = table.synthesize_spectra(
+            m6, 0.0, 0.0, jnp.asarray(10e3), 0.0, 1.0,
+            jnp.asarray([0.0, 0.0]), jnp.asarray([40e3, 60e3]),
+            jnp.asarray([0, 0], dtype=jnp.int32))
+        traces = np.asarray(table.to_time_domain(spec))
+        t = np.arange(table.nt) * table.dt
+        for i, d in enumerate((40e3, 60e3)):
+            tp = np.hypot(d, 10e3) / 6000.0
+            ts = np.hypot(d, 10e3) / 3464.0
+            tr = traces[i]
+            peak = np.abs(tr).max()
+            assert peak > 0
+            pre = np.abs(tr[t < tp - 2.0]).max()
+            assert pre < 0.08 * peak, f"acausal energy at d={d}: {pre/peak}"
+            # most energy must arrive in the P-to-after-S window
+            body = np.abs(tr[(t > tp - 2.0) & (t < ts + 10.0)]).max()
+            assert body == peak
+
+    def test_moment_step_dc_level(self, homog_table):
+        """Late-time level of the step response stays finite and the
+        spectra contain no NaN/Inf anywhere on the grid."""
+        table, _ = homog_table
+        sp = np.asarray(table.spectra)
+        assert np.isfinite(sp).all()
+
+
+class TestLayeredTablePipeline:
+    def test_build_and_synthesize(self, layered):
+        """Two-layer table builds and drives the standard GreensTable
+        forward (gather → MT weighting → STF → iDFT windows)."""
+        import jax.numpy as jnp
+
+        table = build_layered_waveform_table(
+            layered, distances=np.array([30e3, 50e3, 70e3]),
+            depths=np.array([6e3, 9e3]), nt=64, dt=1.0, t0=0.0, fmax=0.4)
+        assert np.isfinite(np.asarray(table.spectra)).all()
+        m6 = jnp.asarray(sdr_to_m6(10.0, 80.0, 20.0, 5e16))
+        spec = table.synthesize_spectra(
+            m6, 0.0, 0.0, jnp.asarray(7.5e3), 0.0, 2.0,
+            jnp.asarray([10e3, -20e3, 40e3]), jnp.asarray([35e3, 40e3, 30e3]),
+            jnp.asarray([0, 1, 2], dtype=jnp.int32))
+        traces = np.asarray(table.to_time_domain(spec))
+        assert np.isfinite(traces).all()
+        assert np.abs(traces).max() > 0
+        # effective travel-time metadata reflects the layered medium
+        assert 5500.0 < table.vp < 6500.0
+
+
+def test_build_gfs_geometry_cli(tmp_path, layered):
+    """`beat-tpu build_gfs --mode geometry` builds the seismic waveform
+    table natively from the gf_config earth model (reference
+    ``command_build_gfs`` ``apps/beat.py:1366`` shelling to fomosto)."""
+    from beat_tpu.apps.cli import main
+    from beat_tpu.config import dump_config, init_config
+    from beat_tpu.heart.gftable import GreensTable
+
+    proj = str(tmp_path / "proj")
+    config = init_config("p", proj, source_types=("MTSource",),
+                         n_sources=(1,), datatypes=("seismic",))
+    layered.save(str(tmp_path / "proj" / "model.npz"))
+    config.seismic_config.gf_config = {
+        "earth_model": "model.npz",
+        "distance_min": 30e3, "distance_max": 60e3, "n_distances": 2,
+        "depth_min": 6e3, "depth_max": 9e3, "n_depths": 1,
+        "nt": 32, "dt": 1.0, "fmax": 0.25}
+    dump_config(config, proj)
+    rc = main(["build_gfs", proj, "--mode", "geometry",
+               "--datatypes", "seismic"])
+    assert rc == 0
+    table = GreensTable.load(str(tmp_path / "proj" / "gf_table.npz"))
+    sp = np.asarray(table.spectra)
+    assert sp.shape[:4] == (6, 3, 2, 1)
+    assert np.isfinite(sp).all()
+    assert np.abs(sp).max() > 0
