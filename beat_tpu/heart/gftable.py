@@ -112,6 +112,12 @@ class GreensTable:
     vp: float = 6000.0
     vs: float = 3500.0
     rho: float = 2700.0
+    #: optional first-arrival travel-time tables (ndist, ndepth) [s] —
+    #: filled by the layered builders from the ray tracer (reference
+    #: stores carry cake travel-time tables, ``heart.py:2532``);
+    #: straight-ray vp/vs estimates are the fallback
+    tt_p: np.ndarray = None
+    tt_s: np.ndarray = None
     _ibasis: tuple = field(default=None, repr=False)
 
     def __post_init__(self):
@@ -147,10 +153,31 @@ class GreensTable:
                            _ibasis=self._ibasis)
 
     def travel_time(self, phase: str, distance, depth):
-        """First-arrival time [s].  Homogeneous straight-ray by default;
-        store-converted tables override with their travel-time tables."""
+        """First-arrival time [s]: bilinear lookup in the table's
+        ray-traced travel-time grid when present (layered builders /
+        store converters fill it), straight-ray ``r/v`` otherwise."""
+        is_p = phase.lower().endswith("p")
+        tt = self.tt_p if is_p else self.tt_s
+        if tt is not None:
+            d_grid = np.asarray(self.distances)
+            z_grid = np.asarray(self.depths)
+            d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
+            z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
+            di = jnp.clip((distance - d_grid[0]) / d_step,
+                          0.0, max(d_grid.size - 1.001, 0.0))
+            zi = jnp.clip((depth - z_grid[0]) / z_step,
+                          0.0, max(z_grid.size - 1.001, 0.0))
+            d0 = jnp.floor(di).astype(jnp.int32)
+            z0 = jnp.floor(zi).astype(jnp.int32)
+            fd, fz = di - d0, zi - z0
+            t = jnp.asarray(tt)
+            return ((1 - fd) * (1 - fz) * t[d0, z0]
+                    + fd * (1 - fz) * t[jnp.minimum(d0 + 1, d_grid.size - 1), z0]
+                    + (1 - fd) * fz * t[d0, jnp.minimum(z0 + 1, z_grid.size - 1)]
+                    + fd * fz * t[jnp.minimum(d0 + 1, d_grid.size - 1),
+                                  jnp.minimum(z0 + 1, z_grid.size - 1)])
         r = jnp.sqrt(distance**2 + depth**2)
-        v = self.vp if phase.lower().endswith("p") else self.vs
+        v = self.vp if is_p else self.vs
         return r / v
 
     # -- the forward kernel --------------------------------------------------
@@ -298,11 +325,16 @@ class GreensTable:
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:
+        extra = {}
+        if self.tt_p is not None:
+            extra["tt_p"] = np.asarray(self.tt_p)
+        if self.tt_s is not None:
+            extra["tt_s"] = np.asarray(self.tt_s)
         np.savez_compressed(
             path, spectra=np.asarray(self.spectra, dtype=np.float32),
             distances=self.distances, depths=self.depths,
             meta=np.array([self.dt, float(self.nt), self.t0, self.vp, self.vs,
-                           self.rho]))
+                           self.rho]), **extra)
 
     @classmethod
     def load(cls, path: str) -> "GreensTable":
@@ -312,7 +344,9 @@ class GreensTable:
                        distances=z["distances"], depths=z["depths"],
                        dt=float(meta[0]), nt=int(meta[1]), t0=float(meta[2]),
                        vp=float(meta[3]), vs=float(meta[4]),
-                       rho=float(meta[5]) if meta.size > 5 else 2700.0)
+                       rho=float(meta[5]) if meta.size > 5 else 2700.0,
+                       tt_p=z["tt_p"] if "tt_p" in z.files else None,
+                       tt_s=z["tt_s"] if "tt_s" in z.files else None)
 
     def synthesize_windows(self, spec, window_starts, window_taper, nsamples_win):
         """
@@ -364,19 +398,32 @@ def _table_flatten(t: "GreensTable"):
     constants — the axon remote compiler rejects >~10 MB constants),
     grid/metadata are static aux data."""
     children = (t.spectra, t._ibasis[0], t._ibasis[1])
+
+    def _tt_aux(tt):
+        return (None if tt is None
+                else (tuple(map(float, np.asarray(tt).ravel())),
+                      np.asarray(tt).shape))
+
     aux = (tuple(map(float, np.asarray(t.distances).ravel())),
            tuple(map(float, np.asarray(t.depths).ravel())),
-           t.dt, t.nt, t.t0, t.vp, t.vs, t.rho)
+           t.dt, t.nt, t.t0, t.vp, t.vs, t.rho,
+           _tt_aux(t.tt_p), _tt_aux(t.tt_s))
     return children, aux
 
 
 def _table_unflatten(aux, children) -> "GreensTable":
-    dists, deps, dt, nt, t0, vp, vs, rho = aux
+    dists, deps, dt, nt, t0, vp, vs, rho, tt_p_aux, tt_s_aux = aux
     spectra, ic, is_ = children
+
+    def _tt(aux_tt):
+        return (None if aux_tt is None
+                else np.asarray(aux_tt[0], dtype=np.float64).reshape(aux_tt[1]))
+
     return GreensTable(spectra=spectra,
                        distances=np.asarray(dists, dtype=np.float64),
                        depths=np.asarray(deps, dtype=np.float64),
                        dt=dt, nt=nt, t0=t0, vp=vp, vs=vs, rho=rho,
+                       tt_p=_tt(tt_p_aux), tt_s=_tt(tt_s_aux),
                        _ibasis=(ic, is_))
 
 

@@ -449,13 +449,22 @@ def build_layered_waveform_table(model, distances, depths, nt: int, dt: float,
         spectra[idx] = trace_to_spectrum(tr, tmin=0.0, dt_in=dt,
                                          nt=nt, dt=dt, t0=t0)
 
+    # ray-traced first-arrival tables for window placement
+    from beat_tpu.heart.velocity_model import travel_times
+
+    tt_p = np.stack([travel_times(model, zs, distances, "p")
+                     for zs in depths], axis=-1)
+    tt_s = np.stack([travel_times(model, zs, distances, "s")
+                     for zs in depths], axis=-1)
+
     vp_eff, vs_eff = _effective_velocities(model, float(np.median(depths)))
     pairs = np.stack([spectra.real, spectra.imag], axis=-1).astype(np.float32)
     logger.info("Built layered waveform GF table: %i dist x %i depth x %i "
                 "samples (DWN, ζ=%g)", distances.size, depths.size, nt, zeta)
     return GreensTable(spectra=jnp.asarray(pairs), distances=distances,
                        depths=depths, dt=dt, nt=nt, t0=t0,
-                       vp=vp_eff, vs=vs_eff, rho=float(model.rho[0]))
+                       vp=vp_eff, vs=vs_eff, rho=float(model.rho[0]),
+                       tt_p=tt_p, tt_s=tt_s)
 
 
 def _effective_velocities(model, zs: float) -> tuple:

@@ -113,6 +113,45 @@ class TestLayeredTablePipeline:
         assert 5500.0 < table.vp < 6500.0
 
 
+class TestTravelTimeTables:
+    def test_ray_traced_arrivals_in_table(self, layered, tmp_path):
+        """Layered tables carry ray-traced first-arrival grids used by
+        travel_time() (reference cake travel-time tables,
+        ``heart.py:2532``) and they survive save/load and the pytree
+        round trip."""
+        import jax
+
+        from beat_tpu.heart.gftable import GreensTable
+        from beat_tpu.heart.velocity_model import first_arrival
+
+        table = build_layered_waveform_table(
+            layered, distances=np.array([30e3, 50e3, 70e3]),
+            depths=np.array([6e3, 9e3]), nt=32, dt=1.0, fmax=0.1)
+        assert table.tt_p is not None and table.tt_s is not None
+        # grid nodes equal the ray tracer (up to the 1e-3 upper-edge
+        # clip skew of the bilinear index, physically irrelevant)
+        np.testing.assert_allclose(
+            float(table.travel_time("any_P", 50e3, 6e3)),
+            first_arrival(layered, 6e3, 50e3, "p")[0], atol=0.01)
+        np.testing.assert_allclose(
+            float(table.travel_time("any_SH", 30e3, 9e3)),
+            first_arrival(layered, 9e3, 30e3, "s")[0], atol=0.01)
+        # off-node: bilinear between ray-traced nodes, close to exact
+        t_mid = float(table.travel_time("any_P", 40e3, 7.5e3))
+        exact = first_arrival(layered, 7.5e3, 40e3, "p")[0]
+        assert abs(t_mid - exact) < 0.15
+        # and far from the straight-ray fallback error regime
+        path = str(tmp_path / "t.npz")
+        table.save(path)
+        loaded = GreensTable.load(path)
+        np.testing.assert_allclose(loaded.tt_p, table.tt_p)
+        leaves, treedef = jax.tree_util.tree_flatten(table)
+        rt = jax.tree_util.tree_unflatten(treedef, leaves)
+        np.testing.assert_allclose(rt.tt_s, table.tt_s)
+        np.testing.assert_allclose(
+            float(rt.travel_time("any_P", 40e3, 7.5e3)), t_mid)
+
+
 def test_build_gfs_geometry_cli(tmp_path, layered):
     """`beat-tpu build_gfs --mode geometry` builds the seismic waveform
     table natively from the gf_config earth model (reference
