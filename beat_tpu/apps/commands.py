@@ -386,7 +386,9 @@ def _build_geometry_stores(args):
         nt = int(gf.get("nt", 512))
         dt = float(gf.get("dt", 0.5))
         t0 = float(gf.get("t0", 0.0))
-        if model.nlayers == 1:
+        elastic_halfspace = (model.nlayers == 1 and model.qp is None
+                             and model.qs is None)
+        if elastic_halfspace:
             from beat_tpu.heart.gftable import build_homogeneous_table
 
             table = build_homogeneous_table(
@@ -402,7 +404,9 @@ def _build_geometry_stores(args):
                 model, distances, depths, nt=nt, dt=dt, t0=t0,
                 fmax=gf.get("fmax"),
                 zeta_cycles=float(gf.get("zeta_cycles", 1.0)))
-            kind = f"DWN layered ({model.nlayers} layers)"
+            kind = (f"DWN layered ({model.nlayers} layers"
+                    + (", anelastic Q" if model.qp is not None
+                       or model.qs is not None else "") + ")")
         out = os.path.join(args.project_dir, "gf_table.npz")
         table.save(out)
         print(f"Built seismic GF table ({kind}) -> {out}: "

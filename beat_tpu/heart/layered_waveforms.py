@@ -144,9 +144,16 @@ def _sh_columns_dyn(mu, rho, w2, k, dz_top, dz_bot, halfspace, stress_scale):
 
 def _split_layers_rho(model, zs: float):
     """Layer pieces (z_top, z_bot, lam, mu, rho) with the source depth as
-    an interface (dynamic variant of layered_statics._split_layers)."""
+    an interface (dynamic variant of layered_statics._split_layers).
+    Anelastic attenuation enters as constant-Q complex velocities
+    ``v·(1 + i/2Q)`` (the non-dispersive constant-Q convention qseis
+    also offers), making the Lamé moduli complex."""
     tops = list(model.tops)
     vp, vs, rho = model.vp, model.vs, model.rho
+    if getattr(model, "qp", None) is not None:
+        vp = vp * (1.0 + 0.5j / model.qp)
+    if getattr(model, "qs", None) is not None:
+        vs = vs * (1.0 + 0.5j / model.qs)
     lam_l = rho * (vp**2 - 2 * vs**2)
     mu_l = rho * vs**2
     pieces = []

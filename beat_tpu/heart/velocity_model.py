@@ -43,6 +43,9 @@ class LayeredModel:
     tops : (nl,) layer-top depths [m], ``tops[0] == 0``; the last layer
         extends to infinity.
     vp, vs : (nl,) velocities [m/s]; rho : (nl,) densities [kg/m³].
+    qp, qs : optional (nl,) anelastic quality factors (None = elastic);
+        consumed by the DWN waveform builder as constant-Q complex
+        velocities ``v·(1 + i/2Q)``.
     """
 
     tops: np.ndarray
@@ -50,12 +53,23 @@ class LayeredModel:
     vs: np.ndarray
     rho: np.ndarray
     name: str = "custom"
+    qp: np.ndarray = None
+    qs: np.ndarray = None
 
     def __post_init__(self):
         self.tops = np.asarray(self.tops, dtype=np.float64)
         self.vp = np.asarray(self.vp, dtype=np.float64)
         self.vs = np.asarray(self.vs, dtype=np.float64)
         self.rho = np.asarray(self.rho, dtype=np.float64)
+        for attr in ("qp", "qs"):
+            q = getattr(self, attr)
+            if q is not None:
+                q = np.asarray(q, dtype=np.float64)
+                if q.shape != self.tops.shape:
+                    raise ValueError(f"{attr} must match the layer count")
+                if (q <= 0).any():
+                    raise ValueError(f"{attr} must be positive")
+                setattr(self, attr, q)
         if self.tops[0] != 0.0:
             raise ValueError("first layer must start at the surface (tops[0]=0)")
         if not (np.diff(self.tops) > 0).all():
@@ -112,14 +126,19 @@ class LayeredModel:
         else:
             text = path_or_text
         rows = []
+        have_q = True
         for line in text.splitlines():
             parts = line.split()
             if len(parts) < 4:
                 continue  # blank or discontinuity-name line
             try:
-                rows.append([float(p) for p in parts[:4]])
+                row = [float(p) for p in parts[:6]]
             except ValueError:
                 continue
+            if len(row) < 6:
+                have_q = False
+                row = row[:4] + [0.0, 0.0]
+            rows.append(row)
         if len(rows) < 2:
             raise ValueError("nd input needs at least two depth samples")
         arr = np.asarray(rows)
@@ -127,7 +146,7 @@ class LayeredModel:
         vp = arr[:, 1] * 1e3
         vs = arr[:, 2] * 1e3
         rho = arr[:, 3] * 1e3
-        tops, lvp, lvs, lrho = [], [], [], []
+        tops, lvp, lvs, lrho, lqp, lqs = [], [], [], [], [], []
         for i in range(len(d) - 1):
             if d[i + 1] <= d[i]:
                 continue  # repeated depth = discontinuity sample pair
@@ -135,23 +154,34 @@ class LayeredModel:
             lvp.append(0.5 * (vp[i] + vp[i + 1]))
             lvs.append(0.5 * (vs[i] + vs[i + 1]))
             lrho.append(0.5 * (rho[i] + rho[i + 1]))
+            lqp.append(0.5 * (arr[i, 4] + arr[i + 1, 4]))
+            lqs.append(0.5 * (arr[i, 5] + arr[i + 1, 5]))
         if tops[0] != 0.0:
             tops[0] = 0.0
+        qp = np.asarray(lqp) if have_q and min(lqp) > 0 else None
+        qs = np.asarray(lqs) if have_q and min(lqs) > 0 else None
         return cls(tops=np.asarray(tops), vp=np.asarray(lvp),
                    vs=np.asarray(lvs), rho=np.asarray(lrho),
-                   name=name or "nd_model")
+                   name=name or "nd_model", qp=qp, qs=qs)
 
     # -- persistence ----------------------------------------------------------
 
     def save(self, path: str) -> None:
+        extra = {}
+        if self.qp is not None:
+            extra["qp"] = self.qp
+        if self.qs is not None:
+            extra["qs"] = self.qs
         np.savez_compressed(path, tops=self.tops, vp=self.vp, vs=self.vs,
-                            rho=self.rho, name=np.array(self.name))
+                            rho=self.rho, name=np.array(self.name), **extra)
 
     @classmethod
     def load(cls, path: str) -> "LayeredModel":
         with np.load(path) as z:
             return cls(tops=z["tops"], vp=z["vp"], vs=z["vs"], rho=z["rho"],
-                       name=str(z["name"]))
+                       name=str(z["name"]),
+                       qp=z["qp"] if "qp" in z.files else None,
+                       qs=z["qs"] if "qs" in z.files else None)
 
 
 # ---------------------------------------------------------------------------

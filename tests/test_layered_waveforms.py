@@ -113,6 +113,48 @@ class TestLayeredTablePipeline:
         assert 5500.0 < table.vp < 6500.0
 
 
+class TestAttenuation:
+    def test_constant_q_shrinks_sh_spectra(self):
+        """With constant-Q complex velocities the SH (T-component)
+        spectral amplitude drops by ≈ exp(−ω·t_S/2Q) relative to the
+        elastic run."""
+        from beat_tpu.heart.layered_waveforms import (
+            dynamic_integration_grid, elementary_mt_spectra)
+
+        els = LayeredModel.homogeneous(vp=6000.0, vs=3464.0, rho=2700.0)
+        anel = LayeredModel(tops=np.array([0.0]), vp=np.array([6000.0]),
+                            vs=np.array([3464.0]), rho=np.array([2700.0]),
+                            qp=np.array([100.0]), qs=np.array([50.0]))
+        zs, d = 10e3, 60e3
+        w = 2 * np.pi * 0.5
+        w_c = w - 0.02j
+        k = dynamic_integration_grid(els, zs, d, 64.0, abs(w_c))
+        spec_el = elementary_mt_spectra(els, zs, np.array([d]), w_c, k)
+        spec_q = elementary_mt_spectra(anel, zs, np.array([d]), w_c, k)
+        # T component of the mne/med elementaries is pure SH
+        a_el = np.abs(spec_el[[3, 5], 2, 0]).sum()
+        a_q = np.abs(spec_q[[3, 5], 2, 0]).sum()
+        t_s = np.hypot(d, zs) / 3464.0
+        expected = np.exp(-w * t_s / (2 * 50.0))
+        assert 0.8 * expected < a_q / a_el < 1.2 * expected
+
+    def test_q_round_trips_through_nd_and_npz(self, tmp_path):
+        nd = ("0.0  5.8  3.36  2.72  1340  600\n"
+              "20.0 5.8  3.36  2.72  1340  600\n"
+              "20.0 6.5  3.75  2.92  1340  600\n"
+              "35.0 6.5  3.75  2.92  1340  600\n")
+        m = LayeredModel.from_nd(nd)
+        assert m.qp is not None and m.qs is not None
+        assert np.allclose(m.qs, 600.0)
+        path = str(tmp_path / "m.npz")
+        m.save(path)
+        m2 = LayeredModel.load(path)
+        np.testing.assert_allclose(m2.qp, m.qp)
+        # q-less nd still loads with qp/qs None
+        m3 = LayeredModel.from_nd("0.0 5.8 3.36 2.72\n30.0 5.8 3.36 2.72\n")
+        assert m3.qp is None and m3.qs is None
+
+
 class TestTravelTimeTables:
     def test_ray_traced_arrivals_in_table(self, layered, tmp_path):
         """Layered tables carry ray-traced first-arrival grids used by
