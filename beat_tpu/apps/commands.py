@@ -371,7 +371,12 @@ def _build_geometry_stores(args):
 
     config = load_config(args.project_dir, "geometry")
     datatypes = args.datatypes.split(",")
-    rc = 0
+    missing = [dt for dt in datatypes
+               if getattr(config, f"{dt}_config", None) is None]
+    if missing:
+        print(f"No {'/'.join(missing)} config section in this project — "
+              f"nothing to build for --datatypes {args.datatypes}")
+        return 1
 
     if "seismic" in datatypes and config.seismic_config is not None:
         gf = dict(config.seismic_config.gf_config or {})
@@ -397,9 +402,10 @@ def _build_geometry_stores(args):
                 rho=float(model.rho[0]))
             kind = "homogeneous analytic"
         else:
-            from beat_tpu.heart.layered_waveforms import \
-                build_layered_waveform_table
+            from beat_tpu.heart.layered_waveforms import (
+                build_layered_waveform_table, nudge_depths_off_interfaces)
 
+            depths = nudge_depths_off_interfaces(model, depths)
             table = build_layered_waveform_table(
                 model, distances, depths, nt=nt, dt=dt, t0=t0,
                 fmax=gf.get("fmax"),
@@ -434,7 +440,7 @@ def _build_geometry_stores(args):
             print(f"Built layered static GF table -> {out}: "
                   f"{distances.size} x {depths.size} grid")
 
-    return rc
+    return 0
 
 
 def _reference_source_from_project(project_dir, config):

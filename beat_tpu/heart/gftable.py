@@ -121,6 +121,20 @@ class GreensTable:
     _ibasis: tuple = field(default=None, repr=False)
 
     def __post_init__(self):
+        # the bilinear gathers (spectra + travel times) index with a
+        # uniform step — reject non-uniform grids loudly instead of
+        # silently mis-weighting the interpolation
+        for name in ("distances", "depths"):
+            g = np.asarray(getattr(self, name), dtype=np.float64)
+            if g.size > 1:
+                steps = np.diff(g)
+                if steps.min() <= 0 or (steps.max() - steps.min()
+                                        > 1e-6 * steps.mean()):
+                    raise ValueError(
+                        f"GreensTable {name} must be uniformly spaced "
+                        f"and increasing (bilinear index assumes a "
+                        f"constant step); got steps "
+                        f"[{steps.min():g}, {steps.max():g}]")
         # eager so it is never first materialised inside a jit trace
         if self._ibasis is None:
             IC, IS = irfft_basis(self.nt)
@@ -150,6 +164,7 @@ class GreensTable:
                            distances=self.distances, depths=self.depths,
                            dt=self.dt, nt=self.nt, t0=self.t0,
                            vp=self.vp, vs=self.vs, rho=self.rho,
+                           tt_p=self.tt_p, tt_s=self.tt_s,
                            _ibasis=self._ibasis)
 
     def travel_time(self, phase: str, distance, depth):

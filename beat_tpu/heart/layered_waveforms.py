@@ -296,7 +296,13 @@ def dynamic_integration_grid(model, zs: float, r_max: float, T: float,
     span = r_max + vp_max * T
     dk = 2.0 * np.pi / (ppw * span)
     k_max = w_abs / vs_min * 1.05 + 50.0 / max(zs, 1e3)
-    nk = min(int(np.ceil(k_max / dk)), nk_max)
+    nk = int(np.ceil(k_max / dk))
+    if nk > nk_max:
+        logger.warning(
+            "wavenumber grid clamped: %i -> %i points (k_max %.3g, dk %.3g)"
+            " — the evanescent tail is truncated; shorten the window, "
+            "lower fmax or raise nk_max", nk, nk_max, k_max, dk)
+        nk = nk_max
     return (np.arange(nk) + 0.5) * dk
 
 
@@ -396,6 +402,30 @@ def elementary_mt_spectra(model, zs: float, distances: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
+def nudge_depths_off_interfaces(model, depths, rel_step: float = 1e-3):
+    """Shift the (uniform) depth grid by a tiny constant offset until no
+    node's vertical FD dipole (±rel_step·z) straddles a layer interface.
+    The uniform shift keeps the grid bilinear-interpolation-friendly;
+    the offset is ≲ a few times rel_step·depth (metres)."""
+    depths = np.asarray(depths, dtype=np.float64).copy()
+
+    def bad(z):
+        d = 2.0 * rel_step * z          # 2x the FD step as safety margin
+        return (model.layer_of(z - d) != model.layer_of(z + d)
+                or model.layer_of(z) != model.layer_of(z + d))
+
+    for _ in range(16):
+        offenders = [z for z in depths if bad(z)]
+        if not offenders:
+            return depths
+        shift = 3.0 * rel_step * max(offenders)
+        depths = depths + shift
+        logger.info("depth grid shifted %.3g m off a layer interface", shift)
+    raise ValueError(
+        f"could not place the depth grid clear of layer interfaces "
+        f"{list(model.tops)} — choose depth bounds away from interfaces")
+
+
 def build_layered_waveform_table(model, distances, depths, nt: int, dt: float,
                                  t0: float = 0.0, zeta_cycles: float = 1.0,
                                  rel_step: float = 1e-3, ppw: float = 1.2,
@@ -425,6 +455,16 @@ def build_layered_waveform_table(model, distances, depths, nt: int, dt: float,
 
     distances = np.asarray(distances, dtype=np.float64)
     depths = np.asarray(depths, dtype=np.float64)
+    for zs in depths:
+        d = rel_step * float(zs)
+        if model.layer_of(zs - d) != model.layer_of(zs + d) or \
+                model.layer_of(zs) != model.layer_of(zs + d):
+            raise ValueError(
+                f"depth node {zs:g} m is within rel_step·z = {d:g} m of a "
+                f"layer interface (tops {list(model.tops)}): the vertical "
+                f"finite-difference dipole would straddle the material "
+                f"discontinuity — move the node or adjust the grid "
+                f"(build_gfs nudges nodes automatically)")
     freqs = np.fft.rfftfreq(nt, dt)
     nf = freqs.size
     T = nt * dt

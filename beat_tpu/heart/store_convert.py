@@ -24,7 +24,6 @@ Two store flavours:
 from __future__ import annotations
 
 import logging
-import os
 
 import numpy as np
 
@@ -102,6 +101,11 @@ def write_trace_store(path: str, traces, tmins, distances, depths,
         raise ValueError(f"traces must be (6, 3, nd, nz, nt), got {traces.shape}")
     if tmins.shape != traces.shape[2:4]:
         raise ValueError(f"tmins {tmins.shape} != grid {traces.shape[2:4]}")
+    if (np.asarray(distances).size, np.asarray(depths).size) != traces.shape[2:4]:
+        raise ValueError(
+            f"distances/depths ({np.asarray(distances).size}, "
+            f"{np.asarray(depths).size}) do not match the trace grid "
+            f"{traces.shape[2:4]}")
     np.savez_compressed(
         path, traces=traces.astype(np.float32), tmins=tmins,
         distances=np.asarray(distances, dtype=np.float64),

@@ -132,12 +132,15 @@ class LayeredModel:
             if len(parts) < 4:
                 continue  # blank or discontinuity-name line
             try:
-                row = [float(p) for p in parts[:6]]
+                row = [float(p) for p in parts[:4]]
             except ValueError:
                 continue
-            if len(row) < 6:
+            try:
+                row += [float(parts[4]), float(parts[5])]
+            except (IndexError, ValueError):
+                # trailing comments / missing q columns: keep the row
                 have_q = False
-                row = row[:4] + [0.0, 0.0]
+                row += [0.0, 0.0]
             rows.append(row)
         if len(rows) < 2:
             raise ValueError("nd input needs at least two depth samples")

@@ -138,6 +138,13 @@ class TestAttenuation:
         expected = np.exp(-w * t_s / (2 * 50.0))
         assert 0.8 * expected < a_q / a_el < 1.2 * expected
 
+    def test_nd_rows_with_trailing_comments_still_parse(self):
+        m = LayeredModel.from_nd(
+            "0.0 5.8 3.36 2.72 # top\n30.0 5.8 3.36 2.72 # bottom\n")
+        assert m.nlayers == 1
+        assert m.qp is None and m.qs is None
+        np.testing.assert_allclose(m.vp, [5800.0])
+
     def test_q_round_trips_through_nd_and_npz(self, tmp_path):
         nd = ("0.0  5.8  3.36  2.72  1340  600\n"
               "20.0 5.8  3.36  2.72  1340  600\n"
@@ -153,6 +160,29 @@ class TestAttenuation:
         # q-less nd still loads with qp/qs None
         m3 = LayeredModel.from_nd("0.0 5.8 3.36 2.72\n30.0 5.8 3.36 2.72\n")
         assert m3.qp is None and m3.qs is None
+
+
+class TestDepthGridSafety:
+    def test_interface_depth_rejected(self, layered):
+        """A depth node on a layer interface would make the vertical FD
+        dipole straddle the discontinuity — must fail loudly."""
+        with pytest.raises(ValueError, match="interface"):
+            build_layered_waveform_table(
+                layered, distances=np.array([30e3]),
+                depths=np.array([3e3]), nt=16, dt=1.0, fmax=0.01)
+
+    def test_nudge_preserves_uniformity(self, layered):
+        from beat_tpu.heart.layered_waveforms import \
+            nudge_depths_off_interfaces
+
+        depths = np.array([2e3, 3e3, 4e3])       # middle node on interface
+        nudged = nudge_depths_off_interfaces(layered, depths)
+        steps = np.diff(nudged)
+        np.testing.assert_allclose(steps, steps[0])
+        assert (nudged != depths).all()
+        # and the nudged grid passes the builder's validation
+        build_layered_waveform_table(layered, distances=np.array([30e3]),
+                                     depths=nudged, nt=16, dt=1.0, fmax=0.01)
 
 
 class TestTravelTimeTables:
@@ -192,6 +222,9 @@ class TestTravelTimeTables:
         np.testing.assert_allclose(rt.tt_s, table.tt_s)
         np.testing.assert_allclose(
             float(rt.travel_time("any_P", 40e3, 7.5e3)), t_mid)
+        # dtype conversion keeps the travel-time tables too
+        import jax.numpy as jnp
+        assert table.astype(jnp.bfloat16).tt_p is not None
 
 
 def test_build_gfs_geometry_cli(tmp_path, layered):
@@ -220,3 +253,6 @@ def test_build_gfs_geometry_cli(tmp_path, layered):
     assert sp.shape[:4] == (6, 3, 2, 1)
     assert np.isfinite(sp).all()
     assert np.abs(sp).max() > 0
+    # asking for a datatype the project has no config for fails loudly
+    assert main(["build_gfs", proj, "--mode", "geometry",
+                 "--datatypes", "geodetic"]) == 1

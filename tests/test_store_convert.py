@@ -145,6 +145,27 @@ class TestTraceStoreRoundTrip:
         np.testing.assert_allclose(got, want, atol=3e-4 * np.abs(want).max())
 
 
+def test_write_trace_store_validates_grid_axes(tmp_path, table):
+    traces = _store_traces(table)
+    with pytest.raises(ValueError, match="do not match the trace grid"):
+        write_trace_store(str(tmp_path / "bad.npz"), traces,
+                          np.full((5, 3), T0), table.distances[:3],
+                          table.depths, dt=DT)
+
+
+def test_nonuniform_grids_rejected():
+    """The bilinear gathers assume a constant grid step — GreensTable
+    must refuse non-uniform distance/depth axes loudly."""
+    import jax.numpy as jnp
+
+    from beat_tpu.heart.gftable import GreensTable
+
+    with pytest.raises(ValueError, match="uniformly spaced"):
+        GreensTable(spectra=jnp.zeros((6, 3, 3, 2, 5, 2)),
+                    distances=np.array([10e3, 20e3, 40e3]),
+                    depths=np.array([5e3, 10e3]), dt=1.0, nt=8)
+
+
 def test_build_gfs_tracestore_cli(tmp_path, table):
     """`beat-tpu build_gfs --seismic_tracestore` converts a store npz
     into the project's gf_table.npz."""
