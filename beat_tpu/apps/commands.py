@@ -391,32 +391,51 @@ def _build_geometry_stores(args):
         nt = int(gf.get("nt", 512))
         dt = float(gf.get("dt", 0.5))
         t0 = float(gf.get("t0", 0.0))
-        elastic_halfspace = (model.nlayers == 1 and model.qp is None
-                             and model.qs is None)
-        if elastic_halfspace:
-            from beat_tpu.heart.gftable import build_homogeneous_table
 
-            table = build_homogeneous_table(
-                distances, depths, nt=nt, dt=dt, t0=t0,
-                vp=float(model.vp[0]), vs=float(model.vs[0]),
-                rho=float(model.rho[0]))
-            kind = "homogeneous analytic"
-        else:
+        def build_one(m):
+            if m.nlayers == 1 and m.qp is None and m.qs is None:
+                from beat_tpu.heart.gftable import build_homogeneous_table
+
+                return build_homogeneous_table(
+                    distances, depths, nt=nt, dt=dt, t0=t0,
+                    vp=float(m.vp[0]), vs=float(m.vs[0]),
+                    rho=float(m.rho[0])), "homogeneous analytic"
             from beat_tpu.heart.layered_waveforms import (
                 build_layered_waveform_table, nudge_depths_off_interfaces)
 
-            depths = nudge_depths_off_interfaces(model, depths)
-            table = build_layered_waveform_table(
-                model, distances, depths, nt=nt, dt=dt, t0=t0,
+            zgrid = nudge_depths_off_interfaces(m, depths)
+            return build_layered_waveform_table(
+                m, distances, zgrid, nt=nt, dt=dt, t0=t0,
                 fmax=gf.get("fmax"),
-                zeta_cycles=float(gf.get("zeta_cycles", 1.0)))
-            kind = (f"DWN layered ({model.nlayers} layers"
-                    + (", anelastic Q" if model.qp is not None
-                       or model.qs is not None else "") + ")")
+                zeta_cycles=float(gf.get("zeta_cycles", 1.0))), \
+                (f"DWN layered ({m.nlayers} layers"
+                 + (", anelastic Q" if m.qp is not None
+                    or m.qs is not None else "") + ")")
+
+        table, kind = build_one(model)
         out = os.path.join(args.project_dir, "gf_table.npz")
         table.save(out)
         print(f"Built seismic GF table ({kind}) -> {out}: "
               f"{distances.size} x {depths.size} grid, nt={nt} dt={dt}")
+
+        # velocity-model uncertainty ensemble: one perturbed table per
+        # crust variation, consumed as Covariance.pred_v at update_weights
+        # (reference n_variations, heart.py:1856 + covariance.py:561)
+        n_var = int(gf.get("n_variations", 0) or 0)
+        if n_var > 0:
+            from beat_tpu.heart.velocity_model import ensemble_earthmodels
+
+            ens = ensemble_earthmodels(
+                model, num_vary=n_var,
+                error_depth=float(gf.get("error_depth", 0.1)),
+                error_velocities=float(gf.get("error_velocities", 0.1)),
+                rng=np.random.default_rng(int(gf.get("variation_seed", 13))))
+            for k, vm in enumerate(ens, start=1):
+                vtable, _ = build_one(vm)
+                vout = os.path.join(args.project_dir, f"gf_table.var{k}.npz")
+                vtable.save(vout)
+            print(f"Built {n_var} velocity-model variation tables "
+                  f"(gf_table.var*.npz) for prediction covariances")
 
     if "geodetic" in datatypes and config.geodetic_config is not None:
         gf = dict(config.geodetic_config.gf_config or {})
@@ -439,6 +458,23 @@ def _build_geometry_stores(args):
             table.save(out)
             print(f"Built layered static GF table -> {out}: "
                   f"{distances.size} x {depths.size} grid")
+            n_var = int(gf.get("n_variations", 0) or 0)
+            if n_var > 0:
+                from beat_tpu.heart.velocity_model import ensemble_earthmodels
+
+                ens = ensemble_earthmodels(
+                    model, num_vary=n_var,
+                    error_depth=float(gf.get("error_depth", 0.1)),
+                    error_velocities=float(gf.get("error_velocities", 0.1)),
+                    rng=np.random.default_rng(
+                        int(gf.get("variation_seed", 13))))
+                for k, vm in enumerate(ens, start=1):
+                    build_static_table(vm, distances, depths).save(
+                        os.path.join(args.project_dir,
+                                     f"static_gf_table.var{k}.npz"))
+                print(f"Built {n_var} static-table variations "
+                      f"(static_gf_table.var*.npz) for prediction "
+                      f"covariances")
 
     return 0
 
@@ -675,10 +711,13 @@ def _cmd_sample(args):
         problem.estimate_hypers()
     else:
         # between-stage covariance re-estimation when any composite uses a
-        # residual-based noise model (reference 'update' hook, smc.py:492)
+        # residual-based noise model or an earth-model uncertainty
+        # ensemble (reference 'update' hook, smc.py:492)
         update = any(
             getattr(getattr(c, "noise_analyser", None), "structure", "")
             == "non-toeplitz"
+            or getattr(c, "ensemble_tables", None)
+            or getattr(c, "ensemble_nus", None)
             for c in problem.composites.values())
         problem.sample(update_weights=update)
     if getattr(args, "profile", None):

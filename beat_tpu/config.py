@@ -16,6 +16,7 @@ Semantic parity:
 
 from __future__ import annotations
 
+import glob
 import logging
 import os
 from dataclasses import asdict, dataclass, field
@@ -857,12 +858,28 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
 
             static_table = StaticGFTable.load(st_path)
             logger.info("Using layered static GF table %s", st_path)
+        # earth-model uncertainty ensemble -> Covariance.pred_v
+        # (reference n_variations crust ensembles, covariance.py:625)
+        ensemble_tables = []
+        if static_table is not None:
+            from beat_tpu.heart.statictable import StaticGFTable
+
+            ensemble_tables = [
+                StaticGFTable.load(p) for p in sorted(
+                    glob.glob(os.path.join(project_dir,
+                                           "static_gf_table.var*.npz")))]
+            if ensemble_tables:
+                logger.info("Loaded %i static-table variations "
+                            "(prediction covariances active)",
+                            len(ensemble_tables))
+        ensemble_nus = (gc.gf_config or {}).get("nu_variations")
         composites["geodetic"] = GeodeticGeometryComposite(
             datasets, sources,
             noise_structure=gc.noise_estimator.structure,
             hp_specific=gc.dataset_specific_residual_noise_estimation,
             corrections=corrections, static_table=static_table,
-            finite_patches=pc.finite_patches("geodetic"))
+            finite_patches=pc.finite_patches("geodetic"),
+            ensemble_nus=ensemble_nus, ensemble_tables=ensemble_tables)
     if "seismic" in pc.datatypes and config.seismic_config is not None:
         from beat_tpu.models.seismic import build_seismic_composite
 

@@ -293,37 +293,60 @@ def seismic_cov_velocity_models(composite, point: dict, ensemble_tables,
 
     wmap = composite.wavemaps[wmap_idx]
     base_table = wmap.table
+    base_dev = composite._device[wmap_idx]
     jpoint = {k: jnp.asarray(v) for k, v in point.items()}
     preds = []
     try:
         for table in ensemble_tables:
+            # the forward reads the device bundle, not wmap.table — swap
+            # the table and rebuild the bundle (same fit windows: the
+            # window starts/tapers stay those of the reference model)
             wmap.table = table
+            composite._device[wmap_idx] = composite._wavemap_device(wmap)
             preds.append(np.asarray(composite.synthetics_fit(jpoint, wmap_idx)))
     finally:
         wmap.table = base_table
+        composite._device[wmap_idx] = base_dev
     preds = np.stack(preds)  # (n_models, ntargets, nsamples)
     return [prediction_covariance_from_ensemble(preds[:, i])
             for i in range(preds.shape[1])]
 
 
-def geodetic_cov_velocity_models(composite, point: dict, nus=(0.2, 0.25, 0.3)) -> list:
+def geodetic_cov_velocity_models(composite, point: dict, nus=(0.2, 0.25, 0.3),
+                                 ensemble_tables=None) -> list:
     """
-    Geodetic prediction covariances from elastic-parameter variations
-    (the homogeneous-halfspace analogue of the reference's psgrn
-    crust_ind ensembles).  Returns per-dataset covariance matrices.
+    Geodetic prediction covariances from earth-model variations
+    (reference ``geodetic_cov_velocity_models`` :625, psgrn crust_ind
+    ensembles).  Two ensemble axes: ``ensemble_tables`` — perturbed
+    layered static GF tables (``build_gfs`` ``n_variations``) — or, for
+    the homogeneous Okada/MT path, Poisson-ratio variations ``nus``.
+    Returns per-dataset covariance matrices.
     """
     import jax.numpy as jnp
 
-    base_nu = composite.nu
+    jpoint = {k: jnp.asarray(v) for k, v in point.items()}
     preds = []
-    try:
-        for nu in nus:
-            composite.nu = float(nu)
-            synth = np.asarray(composite.synthetics_los(
-                {k: jnp.asarray(v) for k, v in point.items()}))
-            preds.append(synth)
-    finally:
-        composite.nu = base_nu
+    if ensemble_tables:
+        base_table = composite.static_table
+        try:
+            for table in ensemble_tables:
+                composite.static_table = table
+                composite._device["static_table"] = table
+                preds.append(np.asarray(composite.synthetics_los(jpoint)))
+        finally:
+            composite.static_table = base_table
+            if base_table is not None:
+                composite._device["static_table"] = base_table
+            else:
+                composite._device.pop("static_table", None)
+    else:
+        base_nu = composite.nu
+        try:
+            for nu in nus:
+                composite.nu = float(nu)
+                preds.append(np.asarray(composite.synthetics_los(jpoint)))
+        finally:
+            composite.nu = base_nu
     preds = np.stack(preds)
     return [prediction_covariance_from_ensemble(preds[:, slc])
             for slc in composite.stack.slices]

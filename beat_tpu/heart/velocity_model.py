@@ -188,6 +188,87 @@ class LayeredModel:
 
 
 # ---------------------------------------------------------------------------
+# Earth-model uncertainty ensembles (reference heart.py:1722-1902:
+# vary_model / ensemble_earthmodel)
+# ---------------------------------------------------------------------------
+
+
+def vary_model(model: LayeredModel, error_depth: float = 0.1,
+               error_velocities: float = 0.1,
+               depth_limit_variation: float = 600e3, rng=None):
+    """
+    One Gaussian perturbation of a layered model (reference
+    ``heart.vary_model`` ``heart.py:1722``): per layer, vp is drawn from
+    ``N(0, vp·error_velocities/3)`` (errors are 3σ fractions) with
+    rejection until velocity still increases with depth; vs is scaled by
+    the same Δ over the layer's vp/vs ratio (ratio preserved, as the
+    reference does); each interior layer boundary moves by
+    ``N(0, z·error_depth/3)`` with rejection of layer inversions.
+    Layers with tops below ``depth_limit_variation`` are not varied.
+
+    Returns ``(varied_model, cost)`` — ``cost`` counts rejection retries;
+    the reference treats cost > 20 as an unlikely model and discards it.
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    tops = model.tops.copy()
+    vp = model.vp.copy()
+    vs = model.vs.copy()
+    cost = 0
+    for i in range(model.nlayers):
+        if tops[i] >= depth_limit_variation:
+            break
+        for _ in range(1000):
+            dv = float(rng.normal(0.0, vp[i] * error_velocities / 3.0))
+            if i == 0 or vp[i] + dv >= vp[i - 1]:
+                ratio = vp[i] / vs[i]
+                vp[i] += dv
+                vs[i] += dv / ratio
+                break
+            cost += 1
+        if i + 1 < model.nlayers and tops[i + 1] < depth_limit_variation:
+            for _ in range(1000):
+                dz = float(rng.normal(0.0, tops[i + 1] * error_depth / 3.0))
+                z_new = tops[i + 1] + dz
+                if tops[i] < z_new and (i + 2 >= model.nlayers
+                                        or z_new < tops[i + 2]):
+                    tops[i + 1] = z_new
+                    break
+                cost += 1
+    return LayeredModel(tops=tops, vp=vp, vs=vs, rho=model.rho.copy(),
+                        name=f"{model.name}_var", qp=model.qp,
+                        qs=model.qs), cost
+
+
+def ensemble_earthmodels(model: LayeredModel, num_vary: int = 10,
+                         error_depth: float = 0.1,
+                         error_velocities: float = 0.1,
+                         depth_limit_variation: float = 600e3,
+                         max_cost: int = 20, rng=None) -> list:
+    """
+    Ensemble of ``num_vary`` perturbed models around ``model``, discarding
+    unlikely draws with rejection ``cost > max_cost`` (reference
+    ``ensemble_earthmodel`` ``heart.py:1856-1899``).  Feeds the
+    velocity-model prediction covariances (``Covariance.pred_v``).
+    """
+    rng = np.random.default_rng() if rng is None else rng
+    out = []
+    for _ in range(100 * num_vary):
+        if len(out) == num_vary:
+            break
+        varied, cost = vary_model(model, error_depth, error_velocities,
+                                  depth_limit_variation, rng)
+        if cost > max_cost:
+            logger.debug("Skipped unlikely earth model (cost %i)", cost)
+            continue
+        out.append(varied)
+    if len(out) < num_vary:
+        raise ValueError(
+            f"could only draw {len(out)}/{num_vary} plausible models — "
+            f"error_depth/error_velocities too large for this profile?")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # First-arrival ray tracing
 # ---------------------------------------------------------------------------
 

@@ -185,15 +185,39 @@ class GeodeticGeometryComposite(GeodeticComposite):
     #: grids of point MTs with depth-dependent moduli (pscmp strategy,
     #: reference ``heart.py:4158``).
     def __init__(self, datasets, sources, nu=0.25, shear_modulus=33e9,
-                 static_table=None, finite_patches=(4, 4), **kwargs):
+                 static_table=None, finite_patches=(4, 4),
+                 ensemble_nus=None, ensemble_tables=None, **kwargs):
+        """
+        ensemble_nus / ensemble_tables : earth-model uncertainty ensemble
+            (Poisson-ratio variations for the homogeneous path, perturbed
+            layered static tables for the table path) — their synthetics'
+            spread becomes ``Covariance.pred_v`` at ``update_weights``
+            (reference ``geodetic_cov_velocity_models``
+            ``covariance.py:625``).
+        """
         super().__init__(datasets, **kwargs)
         self.sources = list(sources)
         self.nu = nu
         self.shear_modulus = shear_modulus
         self.static_table = static_table
         self.finite_patches = tuple(finite_patches)
+        self.ensemble_nus = tuple(ensemble_nus) if ensemble_nus else None
+        self.ensemble_tables = list(ensemble_tables or [])
         if static_table is not None:
             self._device["static_table"] = static_table
+
+    def update_weights(self, point: dict) -> None:
+        super().update_weights(point)
+        if not self.ensemble_nus and not self.ensemble_tables:
+            return
+        from beat_tpu.covariance import geodetic_cov_velocity_models
+
+        pred_vs = geodetic_cov_velocity_models(
+            self, point, nus=self.ensemble_nus or (0.2, 0.25, 0.3),
+            ensemble_tables=self.ensemble_tables)
+        for ds, pv in zip(self.datasets, pred_vs):
+            ds.covariance.pred_v = pv
+        self._update_device_arrays()
 
     def _source_kwargs(self, point: dict, i: int) -> dict:
         """Pull source-i parameters from the sampled point, falling back to

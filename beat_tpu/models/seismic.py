@@ -182,7 +182,7 @@ class SeismicGeometryComposite(Composite):
 
     def __init__(self, wavemaps, sources, stf_type="HalfSinusoid",
                  hp_specific=False, noise_analyser=None,
-                 finite_patches=(4, 4), n_events=1):
+                 finite_patches=(4, 4), n_events=1, ensemble_tables=None):
         """
         finite_patches : (n_length, n_width) discretization of finite
             RectangularSource waveform synthesis (reference: pyrocko RS
@@ -193,6 +193,11 @@ class SeismicGeometryComposite(Composite):
             ``sources[wavemap.event_idx]``, offset by that event's
             location/time relative to the main origin (reference
             ``models/seismic.py:798-806``, ``pytensorf.py:274-278``).
+        ensemble_tables : optional GreensTables built from perturbed
+            earth models (``build_gfs`` ``n_variations``) — at
+            ``update_weights`` their synthetics' spread becomes the
+            ``Covariance.pred_v`` prediction covariance (reference
+            ``seismic_cov_velocity_models`` ``covariance.py:561``).
         """
         self.wavemaps = list(wavemaps)
         self.sources = list(sources)
@@ -200,6 +205,7 @@ class SeismicGeometryComposite(Composite):
         self.hp_specific = hp_specific
         self.noise_analyser = noise_analyser
         self.finite_patches = tuple(finite_patches)
+        self.ensemble_tables = list(ensemble_tables or [])
         self.n_events = int(n_events)
         if self.n_events > 1:
             if len(self.sources) != self.n_events:
@@ -414,19 +420,35 @@ class SeismicGeometryComposite(Composite):
     # -- updates / diagnostics ----------------------------------------------
 
     def update_weights(self, point: dict) -> None:
-        """Residual-based covariance re-estimation at the MAP point
-        (reference ``update_weights`` ``models/seismic.py:957``)."""
-        if self.noise_analyser is None or self.noise_analyser.structure != "non-toeplitz":
+        """Covariance re-estimation at the MAP point between sampler
+        stages (reference ``update_weights`` ``models/seismic.py:957``):
+        the residual-based non-Toeplitz data part, plus the
+        velocity-model prediction part ``pred_v`` when ensemble tables
+        are configured — the parts compose into ``Covariance.p_total``."""
+        non_toeplitz = (self.noise_analyser is not None
+                        and self.noise_analyser.structure == "non-toeplitz")
+        if not non_toeplitz and not self.ensemble_tables:
             return
-        for w_idx, wmap in enumerate(self.wavemaps):
-            synth = np.asarray(self.synthetics_windows(
-                {k: jnp.asarray(v) for k, v in point.items()}, w_idx))
-            res = wmap.data_windows - synth
-            from beat_tpu.covariance import Covariance, non_toeplitz_covariance
+        from beat_tpu.covariance import (Covariance, non_toeplitz_covariance,
+                                         seismic_cov_velocity_models)
 
-            for i, ds in enumerate(wmap.datasets):
-                ds.covariance = Covariance(data=non_toeplitz_covariance(
-                    res[i], window_size=max(4, res[i].size // 5)))
+        for w_idx, wmap in enumerate(self.wavemaps):
+            if non_toeplitz:
+                synth = np.asarray(self.synthetics_windows(
+                    {k: jnp.asarray(v) for k, v in point.items()}, w_idx))
+                res = wmap.data_windows - synth
+                for i, ds in enumerate(wmap.datasets):
+                    cov = ds.covariance if ds.covariance is not None else Covariance()
+                    cov.data = non_toeplitz_covariance(
+                        res[i], window_size=max(4, res[i].size // 5))
+                    ds.covariance = cov
+            if self.ensemble_tables:
+                pred_vs = seismic_cov_velocity_models(
+                    self, point, self.ensemble_tables, w_idx)
+                for ds, pv in zip(wmap.datasets, pred_vs):
+                    cov = ds.covariance if ds.covariance is not None else Covariance()
+                    cov.pred_v = pv
+                    ds.covariance = cov
             self._device[w_idx] = self._wavemap_device(wmap)
 
     def get_synthetics(self, point: dict) -> dict:
@@ -486,7 +508,15 @@ def build_seismic_composite(seismic_config, project_dir, sources,
     datadir = getattr(seismic_config, "datadir", "./")
     datasets = load_seismic_datasets(project_dir, datadir)
 
+    import glob
+
     table_path = os.path.join(project_dir, "gf_table.npz")
+    ensemble_tables = [
+        GreensTable.load(p) for p in
+        sorted(glob.glob(os.path.join(project_dir, "gf_table.var*.npz")))]
+    if ensemble_tables:
+        logger.info("Loaded %i velocity-model variation tables "
+                    "(prediction covariances active)", len(ensemble_tables))
     if os.path.exists(table_path):
         table = GreensTable.load(table_path)
     else:
@@ -568,4 +598,5 @@ def build_seismic_composite(seismic_config, project_dir, sources,
                             "dataset_specific_residual_noise_estimation", False),
         noise_analyser=analyser,
         finite_patches=finite_patches or (4, 4),
-        n_events=len(events) if events else 1)
+        n_events=len(events) if events else 1,
+        ensemble_tables=ensemble_tables)

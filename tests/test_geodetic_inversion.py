@@ -184,3 +184,31 @@ def test_dataset_stack_slices():
     assert stack.samples == ds1.samples + 5
     assert stack.slices[1] == slice(ds1.samples, ds1.samples + 5)
     assert stack.los.shape == (stack.samples, 3)
+
+
+class TestGeodeticPredCovariance:
+    """Earth-model uncertainty -> Covariance.pred_v at update_weights
+    (reference geodetic_cov_velocity_models covariance.py:625)."""
+
+    def test_nu_ensemble_sets_pred_v(self):
+        ds = make_scene()
+        template = RectangularSource(**TRUE, **FIXED)
+        comp = GeodeticGeometryComposite(
+            [ds], [template], ensemble_nus=(0.2, 0.25, 0.3))
+        point = {k: TRUE[k] for k in ("east_shift", "depth", "slip")}
+        w_before = np.asarray(comp._device["weights"][0])
+        comp.update_weights(point)
+        pv = ds.covariance.pred_v
+        assert pv is not None and pv.shape == (ds.coords.shape[0],) * 2
+        assert np.diag(pv).max() > 0
+        assert comp.nu == 0.25  # restored
+        assert not np.allclose(np.asarray(comp._device["weights"][0]),
+                               w_before)
+
+    def test_no_ensemble_is_noop(self):
+        ds = make_scene()
+        comp = GeodeticGeometryComposite(
+            [ds], [RectangularSource(**TRUE, **FIXED)])
+        point = {k: TRUE[k] for k in ("east_shift", "depth", "slip")}
+        comp.update_weights(point)   # import structure + no ensembles
+        assert ds.covariance.pred_v is None

@@ -256,3 +256,35 @@ def test_build_gfs_geometry_cli(tmp_path, layered):
     # asking for a datatype the project has no config for fails loudly
     assert main(["build_gfs", proj, "--mode", "geometry",
                  "--datatypes", "geodetic"]) == 1
+
+
+def test_build_gfs_n_variations_cli(tmp_path):
+    """`build_gfs` with gf_config n_variations builds perturbed-model
+    tables (gf_table.var*.npz) for velocity-model prediction covariances
+    (reference NonlinearGFConfig n_variations + heart.ensemble_earthmodel)."""
+    from beat_tpu.apps.cli import main
+    from beat_tpu.config import dump_config, init_config
+    from beat_tpu.heart.gftable import GreensTable
+
+    proj = str(tmp_path / "proj")
+    config = init_config("p", proj, source_types=("MTSource",),
+                         n_sources=(1,), datatypes=("seismic",))
+    config.seismic_config.gf_config = {
+        "vp": 6000.0, "vs": 3500.0, "rho": 2700.0,
+        "distance_min": 30e3, "distance_max": 60e3, "n_distances": 2,
+        "depth_min": 6e3, "depth_max": 9e3, "n_depths": 2,
+        "nt": 32, "dt": 1.0, "n_variations": 2, "variation_seed": 5}
+    dump_config(config, proj)
+    assert main(["build_gfs", proj, "--mode", "geometry",
+                 "--datatypes", "seismic"]) == 0
+    base = GreensTable.load(proj + "/gf_table.npz")
+    v1 = GreensTable.load(proj + "/gf_table.var1.npz")
+    v2 = GreensTable.load(proj + "/gf_table.var2.npz")
+    assert base.vp == 6000.0
+    assert v1.vp != base.vp and v2.vp != v1.vp
+    a, b = np.asarray(v1.spectra), np.asarray(base.spectra)
+    assert np.abs(a - b).max() > 0.01 * np.abs(b).max()  # genuinely perturbed
+    # deterministic under the configured seed
+    assert main(["build_gfs", proj, "--mode", "geometry",
+                 "--datatypes", "seismic"]) == 0
+    assert GreensTable.load(proj + "/gf_table.var1.npz").vp == v1.vp

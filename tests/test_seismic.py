@@ -449,3 +449,65 @@ class TestPreprocessData:
         wm_double.prepare()
         assert not np.allclose(wm_double.data_windows, wm_on.data_windows,
                                atol=1e-3 * np.abs(wm_on.data_windows).max())
+
+
+class TestVelocityModelPredCovariance:
+    """Ensemble GF tables -> Covariance.pred_v at update_weights
+    (reference seismic_cov_velocity_models covariance.py:561 consuming
+    heart.ensemble_earthmodel crust variations)."""
+
+    def _ensemble(self, table, factors=(0.97, 1.0, 1.03)):
+        return [build_homogeneous_table(
+            distances=np.asarray(table.distances),
+            depths=np.asarray(table.depths), nt=table.nt, dt=table.dt,
+            vp=table.vp * f, vs=table.vs * f, rho=table.rho)
+            for f in factors]
+
+    def test_update_weights_sets_pred_v(self, table):
+        wmap = make_wavemap(table, seed=3)
+        comp = SeismicGeometryComposite(
+            [wmap], [DCSource(depth=TRUE_DEPTH, **TRUE_SDR,
+                              magnitude=TRUE_MAG, duration=1.5)],
+            ensemble_tables=self._ensemble(table))
+        point = {"strike": TRUE_SDR["strike"], "dip": TRUE_SDR["dip"],
+                 "rake": TRUE_SDR["rake"], "magnitude": TRUE_MAG,
+                 "depth": TRUE_DEPTH}
+        w_before = np.asarray(comp._device[0]["weights"])
+        llk_before = float(comp.loglike({k: jnp.asarray(v)
+                                         for k, v in point.items()}))
+        comp.update_weights(point)
+        for ds in wmap.datasets:
+            pv = ds.covariance.pred_v
+            assert pv is not None and pv.shape[0] == pv.shape[1]
+            assert np.diag(pv).min() >= 0 and np.diag(pv).max() > 0
+            # data part untouched (no non-toeplitz analyser here)
+            assert ds.covariance.data is not None
+        # composite state restored after the ensemble sweep
+        assert wmap.table is table
+        assert comp._device[0]["table"] is table
+        # widened covariance -> different weights and llk
+        w_after = np.asarray(comp._device[0]["weights"])
+        assert not np.allclose(w_before, w_after)
+        llk_after = float(comp.loglike({k: jnp.asarray(v)
+                                        for k, v in point.items()}))
+        assert llk_after != llk_before
+
+    def test_faster_models_shift_arrivals_into_pred_v(self, table):
+        """The pred_v diagonal must concentrate where the ensemble
+        synthetics disagree — i.e. inside the signal window, not in the
+        pre-arrival noise."""
+        from beat_tpu.covariance import seismic_cov_velocity_models
+
+        wmap = make_wavemap(table, seed=4)
+        comp = SeismicGeometryComposite(
+            [wmap], [DCSource(depth=TRUE_DEPTH, **TRUE_SDR,
+                              magnitude=TRUE_MAG, duration=1.5)],
+            ensemble_tables=self._ensemble(table, (0.9, 1.0, 1.1)))
+        point = {"strike": TRUE_SDR["strike"], "dip": TRUE_SDR["dip"],
+                 "rake": TRUE_SDR["rake"], "magnitude": TRUE_MAG,
+                 "depth": TRUE_DEPTH}
+        covs = seismic_cov_velocity_models(comp, point,
+                                           comp.ensemble_tables, 0)
+        assert len(covs) == wmap.ntargets
+        d = np.diag(covs[0])
+        assert d.max() > 100.0 * max(d.min(), 1e-30)

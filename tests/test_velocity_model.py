@@ -9,9 +9,11 @@ import pytest
 
 from beat_tpu.heart.velocity_model import (
     LayeredModel,
+    ensemble_earthmodels,
     first_arrival,
     takeoff_angles,
     travel_times,
+    vary_model,
 )
 
 
@@ -138,3 +140,62 @@ class TestPolarityIntegration:
 
         assert os.path.exists(path)
         os.remove(path)
+
+
+class TestEnsembleEarthmodels:
+    """vary_model / ensemble_earthmodels (reference heart.py:1722-1899):
+    Gaussian model perturbations feeding Covariance.pred_v."""
+
+    def test_vary_model_stays_physical(self):
+        base = LayeredModel.default_crust()
+        rng = np.random.default_rng(7)
+        for _ in range(20):
+            varied, cost = vary_model(base, rng=rng)
+            assert isinstance(cost, int) and cost >= 0
+            assert varied.tops[0] == 0.0
+            assert (np.diff(varied.tops) > 0).all()
+            # rejection keeps velocity increasing with depth
+            assert (np.diff(varied.vp) >= 0).all()
+            # vs scaled with the layer's vp/vs ratio => ratio preserved
+            np.testing.assert_allclose(varied.vp / varied.vs,
+                                       base.vp / base.vs, rtol=1e-9)
+            # rho untouched (the reference does not vary densities)
+            np.testing.assert_array_equal(varied.rho, base.rho)
+
+    def test_depth_limit_freezes_deep_layers(self):
+        base = LayeredModel.default_crust()
+        varied, _ = vary_model(base, depth_limit_variation=25e3,
+                               rng=np.random.default_rng(3))
+        # the 35 km mantle top is below the limit: boundary + material fixed
+        assert varied.tops[2] == base.tops[2]
+        assert varied.vp[2] == base.vp[2]
+        # the shallow crust did vary
+        assert varied.vp[0] != base.vp[0]
+
+    def test_ensemble_reproducible_and_distinct(self):
+        base = LayeredModel.default_crust()
+        ens1 = ensemble_earthmodels(base, num_vary=4,
+                                    rng=np.random.default_rng(11))
+        ens2 = ensemble_earthmodels(base, num_vary=4,
+                                    rng=np.random.default_rng(11))
+        assert len(ens1) == 4
+        for a, b in zip(ens1, ens2):
+            np.testing.assert_array_equal(a.vp, b.vp)
+            np.testing.assert_array_equal(a.tops, b.tops)
+        vps = np.stack([m.vp for m in ens1])
+        assert np.std(vps, axis=0).min() > 0  # members genuinely differ
+
+    def test_cost_counts_rejections(self):
+        """Large velocity errors force ordering-violation retries — the
+        cost counter (the reference's unlikeliness measure) must see them."""
+        base = LayeredModel.default_crust()
+        rng = np.random.default_rng(5)
+        costs = [vary_model(base, error_velocities=1.5, rng=rng)[1]
+                 for _ in range(30)]
+        assert max(costs) > 0
+        # and ensemble filtering keeps only the low-cost draws
+        ens = ensemble_earthmodels(base, num_vary=3, error_velocities=1.5,
+                                   max_cost=5, rng=np.random.default_rng(5))
+        assert len(ens) == 3
+        for m in ens:
+            assert (np.diff(m.vp) >= 0).all()
