@@ -126,6 +126,11 @@ class GeodeticConfig:
     interpolation: str = "multilinear"
     corrections: GeodeticCorrectionsConfig = field(default_factory=GeodeticCorrectionsConfig)
     dataset_specific_residual_noise_estimation: bool = False
+    #: layered static GF build parameters (reference ``GeodeticGFConfig``
+    #: ``config.py:325``): earth_model, distance/depth grids,
+    #: n_variations/error_* for the uncertainty ensemble, nu_variations
+    #: (homogeneous Poisson-ratio ensemble)
+    gf_config: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -141,11 +146,42 @@ class ArrivalTaperConfig:
 
 @dataclass
 class FilterConfig:
-    """Butterworth bandpass (reference ``heart.Filter`` :342)."""
+    """One filter spec (reference ``heart.Filter`` :342,
+    ``BandstopFilter`` :383, ``FrequencyFilter`` :402).  ``type`` selects
+    butterworth (bandpass), bandstop, or frequency (flat passband with
+    cosine flanks, using ``freqlimits``).  A wavemap's ``filterer`` may
+    be one spec or a list applied in sequence (the reference's
+    list-of-filters semantics, ``config.py:563``)."""
 
     lower_corner: float = 0.001
     upper_corner: float = 0.1
     order: int = 4
+    type: str = "butterworth"
+    freqlimits: tuple = None
+
+
+def build_filterer(fc):
+    """Heart filter object(s) from a FilterConfig or a list of them."""
+    from beat_tpu.heart.taper import (BandstopFilter, Filter, FilterChain,
+                                      FrequencyFilter)
+
+    def one(c):
+        t = getattr(c, "type", "butterworth").lower()
+        if t == "butterworth":
+            return Filter(c.lower_corner, c.upper_corner, c.order)
+        if t == "bandstop":
+            return BandstopFilter(c.lower_corner, c.upper_corner, c.order)
+        if t == "frequency":
+            return FrequencyFilter(tuple(c.freqlimits)
+                                   if c.freqlimits is not None
+                                   else (0.005, 0.01, 0.1, 0.2))
+        raise ValueError(f"Unknown filter type {c.type!r} "
+                         "(butterworth | bandstop | frequency)")
+
+    if isinstance(fc, (list, tuple)):
+        filters = [one(c) for c in fc]
+        return filters[0] if len(filters) == 1 else FilterChain(tuple(filters))
+    return one(fc)
 
 
 @dataclass
@@ -443,6 +479,7 @@ _NESTED = {
 _NESTED_LISTS = {
     "subevents": EventConfig,
     "waveforms": WaveformFitConfig,
+    "filterer": FilterConfig,
     "euler_poles": EulerPoleConfig,
     "strain_rates": StrainRateConfig,
     "boundary_conditions": BoundaryConditionConfig,

@@ -116,6 +116,24 @@ class FrequencyFilter:
         return h.astype(np.complex64)
 
 
+@dataclass
+class FilterChain:
+    """
+    Sequence of frequency-domain filters applied in order — the
+    reference's ``WaveformFitConfig.filterer`` is a *list* of filters
+    (``config.py:563``, applied successively in ``post_process_trace``
+    ``heart.py:3492``); on the rfft grid the responses simply multiply.
+    """
+
+    filters: tuple = ()
+
+    def response(self, nsamples: int, dt: float) -> np.ndarray:
+        h = np.ones(nsamples // 2 + 1, dtype=np.complex64)
+        for f in self.filters:
+            h = h * f.response(nsamples, dt)
+        return h.astype(np.complex64)
+
+
 def stf_spectrum_pair(freqs, duration, stf_type: str = "HalfSinusoid"):
     """
     :func:`stf_spectrum` as a real (re, im) pair — the device

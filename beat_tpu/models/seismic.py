@@ -502,7 +502,8 @@ def build_seismic_composite(seismic_config, project_dir, sources,
 
     from beat_tpu.heart.gftable import GreensTable, build_homogeneous_table
     from beat_tpu.heart.seismic import WaveformMapping
-    from beat_tpu.heart.taper import ArrivalTaper, Filter
+    from beat_tpu.config import build_filterer
+    from beat_tpu.heart.taper import ArrivalTaper
     from beat_tpu.inputf import load_seismic_datasets
 
     datadir = getattr(seismic_config, "datadir", "./")
@@ -565,8 +566,7 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             name=wfc.name, datasets=selected, table=table,
             taper=ArrivalTaper(wfc.arrival_taper.a, wfc.arrival_taper.b,
                                wfc.arrival_taper.c, wfc.arrival_taper.d),
-            filterer=Filter(wfc.filterer.lower_corner,
-                            wfc.filterer.upper_corner, wfc.filterer.order),
+            filterer=build_filterer(wfc.filterer),
             domain=wfc.domain,
             quantity=getattr(wfc, "quantity", "displacement"),
             station_corrections=getattr(seismic_config, "station_corrections",

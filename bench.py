@@ -88,7 +88,34 @@ def bench_gf_stack():
     return pallas_ms, xla_ms
 
 
+def _probe_backend(attempts: int = 3, timeout_s: int = 120) -> None:
+    """Fail fast (with retries) when the TPU tunnel is unreachable —
+    backend init otherwise hangs for many minutes before erroring."""
+    import subprocess
+    import sys
+
+    probe = ("import jax; d = jax.devices(); "
+             "print(d[0].platform, len(d))")
+    last = None
+    for i in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=timeout_s)
+            if out.returncode == 0:
+                return
+            last = out.stderr.strip().splitlines()[-1:] or ["rc != 0"]
+        except subprocess.TimeoutExpired:
+            last = [f"backend init did not answer within {timeout_s}s"]
+        if i + 1 < attempts:
+            time.sleep(30)
+    print(f"bench: JAX backend unavailable after {attempts} probes: "
+          f"{last[0] if last else 'unknown'}", file=sys.stderr)
+    sys.exit(2)
+
+
 def main():
+    _probe_backend()
     evals_per_sec = bench_smc_evals()
     stack_pallas_ms, stack_xla_ms = bench_gf_stack()
     print(json.dumps({

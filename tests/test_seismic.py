@@ -511,3 +511,56 @@ class TestVelocityModelPredCovariance:
         assert len(covs) == wmap.ntargets
         d = np.diag(covs[0])
         assert d.max() > 100.0 * max(d.min(), 1e-30)
+
+
+class TestFilterChain:
+    """List-of-filters semantics (reference WaveformFitConfig.filterer
+    is a list, config.py:563; responses multiply on the rfft grid)."""
+
+    def test_chain_response_is_product(self):
+        from beat_tpu.heart.taper import (BandstopFilter, FilterChain,
+                                          FrequencyFilter)
+
+        f1 = Filter(0.02, 0.5, 3)
+        f2 = BandstopFilter(0.1, 0.2, 2)
+        f3 = FrequencyFilter((0.01, 0.02, 0.3, 0.4))
+        chain = FilterChain((f1, f2, f3))
+        h = chain.response(256, 0.25)
+        want = (f1.response(256, 0.25) * f2.response(256, 0.25)
+                * f3.response(256, 0.25))
+        np.testing.assert_allclose(h, want, rtol=1e-6)
+        # the notch really bites inside the rejected band
+        freqs = np.fft.rfftfreq(256, 0.25)
+        band = (freqs > 0.14) & (freqs < 0.16)
+        assert np.abs(h[band]).max() < 0.2
+
+    def test_config_filterer_list_roundtrip(self, tmp_path):
+        from beat_tpu.config import (FilterConfig, build_filterer,
+                                     dump_config, init_config, load_config)
+        from beat_tpu.heart.taper import FilterChain
+
+        proj = str(tmp_path / "p")
+        config = init_config("p", proj, source_types=("MTSource",),
+                             n_sources=(1,), datatypes=("seismic",))
+        config.seismic_config.waveforms[0].filterer = [
+            FilterConfig(0.02, 0.5, 3),
+            FilterConfig(0.1, 0.2, 2, type="bandstop"),
+            FilterConfig(type="frequency",
+                         freqlimits=(0.01, 0.02, 0.3, 0.4)),
+        ]
+        dump_config(config, proj)
+        c2 = load_config(proj)
+        fc2 = c2.seismic_config.waveforms[0].filterer
+        assert isinstance(fc2, list) and len(fc2) == 3
+        assert fc2[1].type == "bandstop"
+        built = build_filterer(fc2)
+        assert isinstance(built, FilterChain)
+        np.testing.assert_allclose(
+            built.response(128, 0.5),
+            build_filterer(config.seismic_config.waveforms[0].filterer)
+            .response(128, 0.5))
+        # single spec stays a plain Butterworth (back-compat)
+        single = build_filterer(FilterConfig(0.02, 0.5, 3))
+        assert isinstance(single, Filter)
+        with pytest.raises(ValueError, match="filter type"):
+            build_filterer(FilterConfig(type="nope"))
