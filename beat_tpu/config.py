@@ -201,7 +201,10 @@ class WaveformFitConfig:
     channels: list = field(default_factory=lambda: ["Z"])
     filterer: FilterConfig = field(default_factory=FilterConfig)
     arrival_taper: ArrivalTaperConfig = field(default_factory=ArrivalTaperConfig)
-    distances: tuple = (30.0, 90.0)  # [deg]
+    #: epicentral distance range [deg] stations must fall in (reference
+    #: ``WaveformFitConfig.distances`` + ``station_weeding``
+    #: ``heart.py:2952``); None disables distance weeding
+    distances: tuple = None
     interpolation: str = "multilinear"
     domain: str = "time"          # time | spectrum
     quantity: str = "displacement"

@@ -250,6 +250,11 @@ class WaveformMapping:
                     continue
             kept.append(ds)
         removed = len(self.datasets) - len(kept)
+        if not kept:
+            raise ValueError(
+                f"station weeding removed every station of wavemap "
+                f"{self.name} (blacklist {list(blacklist)}, distance range "
+                f"{distances}) — widen the distances or fix the blacklist")
         if removed:
             self.datasets = kept
             self.prepare()

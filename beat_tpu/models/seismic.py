@@ -575,8 +575,13 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             event_idx=event_idx, event_offset=event_offset,
             mapnumber=mapnumber,
             preprocess_data=getattr(wfc, "preprocess_data", True))
-        if wfc.blacklist:
-            wmap.station_weeding(blacklist=wfc.blacklist)
+        distances = getattr(wfc, "distances", None)
+        if wfc.blacklist or distances:
+            deg2m = 111194.9  # mean-Earth degree of arc
+            wmap.station_weeding(
+                blacklist=wfc.blacklist,
+                distances=(tuple(float(d) * deg2m for d in distances)
+                           if distances else None))
         wavemaps.append(wmap)
     if not wavemaps:
         raise ValueError("No wavemaps configured — check waveforms config")

@@ -564,3 +564,41 @@ class TestFilterChain:
         assert isinstance(single, Filter)
         with pytest.raises(ValueError, match="filter type"):
             build_filterer(FilterConfig(type="nope"))
+
+
+class TestDistanceWeeding:
+    """WaveformFitConfig.distances [deg] station weeding (reference
+    heart.py:2952) wired through the config build path."""
+
+    def test_distance_range_drops_far_stations(self, tmp_path, table):
+        from beat_tpu.config import (ArrivalTaperConfig as _ArrivalTaperConfig,
+                                     FilterConfig as _FilterConfig,
+                                     SeismicConfig, WaveformFitConfig)
+        from beat_tpu.inputf import save_seismic_datasets
+        from beat_tpu.models.seismic import build_seismic_composite
+
+        pdir = str(tmp_path)
+        deg2m = 111194.9
+        dists_m = np.array([0.3, 0.5, 0.7, 0.9]) * deg2m
+        datasets = [SeismicDataset(station=f"S{i}", channel="Z",
+                                   east=d, north=0.0,
+                                   ydata=np.random.default_rng(i).normal(
+                                       0, 1e-6, table.nt))
+                    for i, d in enumerate(dists_m)]
+        save_seismic_datasets(datasets, pdir)
+        table.save(pdir + "/gf_table.npz")
+
+        sc = SeismicConfig(waveforms=[WaveformFitConfig(
+            distances=(0.4, 0.8),
+            arrival_taper=_ArrivalTaperConfig(a=-3.0, b=-1.5, c=15.0, d=18.0),
+            filterer=_FilterConfig(0.02, 0.5, 3))])
+        comp = build_seismic_composite(sc, pdir, [DCSource(depth=9e3)])
+        kept = [ds.station for ds in comp.wavemaps[0].datasets]
+        assert kept == ["S1", "S2"]
+
+        sc_bad = SeismicConfig(waveforms=[WaveformFitConfig(
+            distances=(5.0, 9.0),
+            arrival_taper=_ArrivalTaperConfig(a=-3.0, b=-1.5, c=15.0, d=18.0),
+            filterer=_FilterConfig(0.02, 0.5, 3))])
+        with pytest.raises(ValueError, match="removed every station"):
+            build_seismic_composite(sc_bad, pdir, [DCSource(depth=9e3)])
