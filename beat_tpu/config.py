@@ -828,12 +828,17 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig) -> list:
             if f"{name}:covariance" in z.files:
                 cov = Covariance(data=z[f"{name}:covariance"])
             typ = "GNSS" if f"{name}:typ" in z.files and int(z[f"{name}:typ"]) == 1 else "SAR"
+
+            def opt(key, name=name, z=z):
+                return z[f"{name}:{key}"] if f"{name}:{key}" in z.files else None
+
             datasets.append(GeodeticDataset(
                 name=name, typ=typ,
                 coords=z[f"{name}:coords"],
                 displacement=z[f"{name}:displacement"],
                 los_vector=z[f"{name}:los"],
-                odw=z[f"{name}:odw"] if f"{name}:odw" in z.files else None,
+                odw=opt("odw"),
+                lats=opt("lats"), lons=opt("lons"), stations=opt("stations"),
                 covariance=cov))
     return datasets
 
@@ -847,6 +852,10 @@ def save_geodetic_datasets(datasets, project_dir: str, datadir: str = "./") -> s
         arrays[f"{ds.name}:odw"] = ds.odw
         arrays[f"{ds.name}:covariance"] = ds.covariance.data
         arrays[f"{ds.name}:typ"] = np.array(1 if ds.typ == "GNSS" else 0)
+        for key in ("lats", "lons", "stations"):
+            val = getattr(ds, key, None)
+            if val is not None:
+                arrays[f"{ds.name}:{key}"] = np.asarray(val)
     outdir = os.path.join(project_dir, datadir)
     os.makedirs(outdir, exist_ok=True)
     path = os.path.join(outdir, "geodetic_data.npz")
@@ -1180,22 +1189,39 @@ def _build_corrections(gc: GeodeticConfig, datasets):
     if cc.ramps is not None and cc.ramps.enabled:
         names = cc.ramps.dataset_names or [ds.name for ds in datasets if ds.typ == "SAR"]
         corrections.extend(RampCorrection(dataset_name=n) for n in names)
+    from beat_tpu.heart.corrections import station_mask
+
+    # one instance per (config entry, GNSS dataset): instances of the
+    # same entry share hierarchicals; each applies to its own dataset's
+    # stations modulo the entry's white/blacklist (reference
+    # ``models/corrections.py:111-140``)
+    gnss = [ds for ds in datasets if ds.typ == "GNSS"]
     for i, ep in enumerate(cc.euler_poles):
         if not getattr(ep, "enabled", True):
             continue
-        gnss = [ds for ds in datasets if ds.typ == "GNSS"]
-        if gnss:
-            lats = np.concatenate([ds.lats for ds in gnss if ds.lats is not None] or [np.zeros(0)])
-            lons = np.concatenate([ds.lons for ds in gnss if ds.lons is not None] or [np.zeros(0)])
-            corrections.append(EulerPoleCorrection(number=i, lats=lats, lons=lons))
+        for ds in gnss:
+            if ds.lats is None:
+                continue
+            mask = (station_mask(ds.stations, ep.station_whitelist,
+                                 ep.station_blacklist)
+                    if ds.stations is not None
+                    and (ep.station_whitelist or ep.station_blacklist)
+                    else None)
+            corrections.append(EulerPoleCorrection(
+                number=i, lats=ds.lats, lons=ds.lons,
+                dataset_name=ds.name, mask=mask))
     for i, sr in enumerate(cc.strain_rates):
         if not getattr(sr, "enabled", True):
             continue
-        gnss = [ds for ds in datasets if ds.typ == "GNSS"]
-        if gnss:
-            coords = np.concatenate([ds.coords for ds in gnss], axis=0)
-            centroid = coords.mean(axis=0)
+        for ds in gnss:
+            centroid = ds.coords.mean(axis=0)
+            mask = (station_mask(ds.stations, sr.station_whitelist,
+                                 sr.station_blacklist)
+                    if ds.stations is not None
+                    and (sr.station_whitelist or sr.station_blacklist)
+                    else None)
             corrections.append(StrainRateCorrection(
-                number=i, norths=coords[:, 1] - centroid[1],
-                easts=coords[:, 0] - centroid[0]))
+                number=i, norths=ds.coords[:, 1] - centroid[1],
+                easts=ds.coords[:, 0] - centroid[0],
+                dataset_name=ds.name, mask=mask))
     return corrections

@@ -128,6 +128,13 @@ class EulerPoleCorrection:
     lats: np.ndarray
     lons: np.ndarray
     time_span: float = 1.0
+    #: dataset this instance applies to (one instance per GNSS dataset;
+    #: instances of the same ``number`` share their hierarchicals)
+    dataset_name: str = None
+    #: per-observation station mask from the config's
+    #: station_whitelist/station_blacklist (reference
+    #: ``models/corrections.py:111-140`` ``get_station_indexes``)
+    mask: np.ndarray = None
 
     @property
     def parameter_names(self):
@@ -138,7 +145,10 @@ class EulerPoleCorrection:
         plat, plon, omega = (hierarchicals[n] for n in self.parameter_names)
         v_neu = velocities_from_pole(self.lats, self.lons, plat, plon, omega)
         v_enu = jnp.stack([v_neu[:, 1], v_neu[:, 0], v_neu[:, 2]], axis=-1)
-        return jnp.sum(v_enu * los_enu, axis=-1) * self.time_span
+        disp = jnp.sum(v_enu * los_enu, axis=-1) * self.time_span
+        if self.mask is not None:
+            disp = disp * jnp.asarray(self.mask, dtype=disp.dtype)
+        return disp
 
 
 @dataclass
@@ -151,6 +161,8 @@ class StrainRateCorrection:
     number: int
     norths: np.ndarray
     easts: np.ndarray
+    dataset_name: str = None
+    mask: np.ndarray = None
 
     @property
     def parameter_names(self):
@@ -162,4 +174,21 @@ class StrainRateCorrection:
         v_neu = velocities_from_strain_rate_tensor(
             jnp.asarray(self.norths), jnp.asarray(self.easts), exx, eyy, exy, rot)
         v_enu = jnp.stack([v_neu[:, 1], v_neu[:, 0], v_neu[:, 2]], axis=-1)
-        return jnp.sum(v_enu * los_enu, axis=-1)
+        disp = jnp.sum(v_enu * los_enu, axis=-1)
+        if self.mask is not None:
+            disp = disp * jnp.asarray(self.mask, dtype=disp.dtype)
+        return disp
+
+
+def station_mask(stations, whitelist=(), blacklist=()) -> np.ndarray:
+    """Boolean per-observation mask from station white/blacklists
+    (reference ``EulerPoleConfig.station_blacklist/whitelist``
+    ``config.py:828-834``): a non-empty whitelist keeps only its
+    members; blacklisted stations are always excluded."""
+    stations = np.asarray(stations)
+    mask = np.ones(stations.shape, dtype=bool)
+    if whitelist:
+        mask &= np.isin(stations, list(whitelist))
+    if blacklist:
+        mask &= ~np.isin(stations, list(blacklist))
+    return mask

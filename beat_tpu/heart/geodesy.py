@@ -44,6 +44,9 @@ class GeodeticDataset:
     #: geographic station coords for plate-motion corrections
     lats: np.ndarray | None = None
     lons: np.ndarray | None = None
+    #: per-observation station names (GNSS compounds) — used by the
+    #: correction station white/blacklists
+    stations: np.ndarray | None = None
     #: correction names applying to this dataset
     corrections: list = field(default_factory=list)
 

@@ -81,6 +81,7 @@ def load_gnss_csv(path: str, components=("east", "north", "up")) -> list:
         sig_name = f"sigma_{comp}"
         ds = gnss_compound(f"gnss_{comp}", coords, disp, comp)
         ds.lats, ds.lons = lats, lons
+        ds.stations = arr["station"].astype(str) if "station" in (arr.dtype.names or ()) else None
         if sig_name in (arr.dtype.names or ()):
             sig = arr[sig_name].astype(float)
             ds.covariance = Covariance(data=np.diag(np.maximum(sig, 1e-6) ** 2))
@@ -151,7 +152,7 @@ def load_ascii_gnss_globk(filedir: str, filename: str,
         vi, si = comp_cols[comp]
         ds = gnss_compound(f"gnss_{comp}", coords, d[:, vi] * mm, comp)
         ds.lats, ds.lons = lats, lons
-        ds.station_names = list(names)
+        ds.stations = names.astype(str)
         ds.covariance = Covariance(
             data=np.diag(np.maximum(d[:, si] * mm, 1e-6) ** 2))
         out.append(ds)

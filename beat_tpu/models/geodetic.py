@@ -97,7 +97,11 @@ class GeodeticComposite(Composite):
     def get_hierarchical_names(self):
         names = []
         for corr in self.corrections:
-            names.extend(corr.parameter_names)
+            for n in corr.parameter_names:
+                # per-dataset instances of one correction entry share
+                # their hierarchicals — register each name once
+                if n not in names:
+                    names.append(n)
         return names
 
     def _correction_displacement(self, point, ds, slc, data=None):
@@ -111,6 +115,10 @@ class GeodeticComposite(Composite):
                 out = out + corr.displacement(point, data["coords"][slc])
             elif isinstance(corr, (EulerPoleCorrection, StrainRateCorrection)):
                 if ds.typ != "GNSS":
+                    continue
+                # per-dataset instances; a None dataset_name applies to
+                # every GNSS dataset (legacy single-dataset setups)
+                if corr.dataset_name is not None and corr.dataset_name != ds.name:
                     continue
                 out = out + corr.displacement(point, data["los"][slc])
         return out

@@ -212,3 +212,72 @@ class TestGeodeticPredCovariance:
         point = {k: TRUE[k] for k in ("east_shift", "depth", "slip")}
         comp.update_weights(point)   # import structure + no ensembles
         assert ds.covariance.pred_v is None
+
+
+class TestEulerPoleStationMasks:
+    """Per-dataset Euler-pole/strain instances with station
+    white/blacklists (reference EulerPoleConfig.station_blacklist
+    config.py:828-834, get_station_indexes models/corrections.py:111)."""
+
+    def _gnss_pair(self):
+        rng = np.random.default_rng(0)
+        n = 6
+        lats = 34.0 + rng.uniform(-1, 1, n)
+        lons = -118.0 + rng.uniform(-1, 1, n)
+        coords = np.stack([(lons + 118.0), (lats - 34.0)], axis=-1) * 111e3
+        stations = np.array([f"G{i}" for i in range(n)])
+        out = []
+        for comp in ("east", "north"):
+            ds = gnss_compound(f"gnss_{comp}", coords, rng.normal(0, 1e-3, n),
+                               comp)
+            ds.lats, ds.lons, ds.stations = lats, lons, stations
+            out.append(ds)
+        return out
+
+    def test_per_dataset_instances_and_blacklist(self):
+        from beat_tpu.config import (EulerPoleConfig,
+                                     GeodeticCorrectionsConfig,
+                                     GeodeticConfig, _build_corrections)
+        from beat_tpu.heart.corrections import EulerPoleCorrection
+
+        datasets = self._gnss_pair()
+        gc = GeodeticConfig(corrections=GeodeticCorrectionsConfig(
+            ramps=None,
+            euler_poles=[EulerPoleConfig(station_blacklist=["G2", "G4"])]))
+        corrections = _build_corrections(gc, datasets)
+        assert len(corrections) == 2          # one instance per GNSS dataset
+        for corr, ds in zip(corrections, datasets):
+            assert isinstance(corr, EulerPoleCorrection)
+            assert corr.dataset_name == ds.name
+            assert corr.lats.size == ds.samples
+            np.testing.assert_array_equal(corr.mask,
+                                          [1, 1, 0, 1, 0, 1])
+        # shared hierarchicals registered once
+        comp = GeodeticGeometryComposite(datasets, [RectangularSource(
+            **TRUE, **FIXED)], corrections=corrections)
+        names = comp.get_hierarchical_names()
+        assert names == ["0_pole_lat", "0_pole_lon", "0_omega"]
+        # blacklisted stations get zero correction displacement
+        import jax.numpy as jnp
+
+        point = {"0_pole_lat": jnp.asarray(50.0),
+                 "0_pole_lon": jnp.asarray(-100.0),
+                 "0_omega": jnp.asarray(0.2)}
+        disp = np.asarray(corrections[0].displacement(
+            point, jnp.asarray(datasets[0].los_vector)))
+        assert disp[2] == 0.0 and disp[4] == 0.0
+        assert np.abs(disp[[0, 1, 3, 5]]).min() > 0
+
+    def test_station_fields_roundtrip_npz(self, tmp_path):
+        from beat_tpu.config import (GeodeticConfig, load_geodetic_datasets,
+                                     save_geodetic_datasets)
+
+        datasets = self._gnss_pair()
+        save_geodetic_datasets(datasets, str(tmp_path))
+        loaded = load_geodetic_datasets(str(tmp_path), GeodeticConfig())
+        by_name = {ds.name: ds for ds in loaded}
+        for ds in datasets:
+            got = by_name[ds.name]
+            np.testing.assert_allclose(got.lats, ds.lats)
+            np.testing.assert_allclose(got.lons, ds.lons)
+            assert list(got.stations) == list(ds.stations)
