@@ -120,7 +120,10 @@ class GeodeticConfig:
 
     datadir: str = "./"
     names: list = field(default_factory=lambda: ["all"])
-    types: list = field(default_factory=lambda: ["SAR"])
+    #: dataset types to load (reference ``GeodeticConfig.types``
+    #: ``config.py:971``: declared types select which datasets enter the
+    #: problem)
+    types: list = field(default_factory=lambda: ["SAR", "GNSS"])
     noise_estimator: NoiseEstimatorConfig = field(
         default_factory=lambda: NoiseEstimatorConfig(structure="import"))
     interpolation: str = "multilinear"
@@ -840,6 +843,24 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig) -> list:
                 odw=opt("odw"),
                 lats=opt("lats"), lons=opt("lons"), stations=opt("stations"),
                 covariance=cov))
+    if gc.types:
+        selected = [ds for ds in datasets if ds.typ in gc.types]
+        dropped = [ds.name for ds in datasets if ds.typ not in gc.types]
+        if dropped:
+            logger.warning(
+                "geodetic_config.types %s excludes datasets %s — add their "
+                "type to load them", list(gc.types), dropped)
+        if not selected:
+            raise ValueError(
+                f"geodetic_config.types {list(gc.types)} matches none of the "
+                f"imported datasets ({sorted({ds.typ for ds in datasets})})")
+        datasets = selected
+    # dataset name selection (reference GeodeticConfig.names)
+    if gc.names and gc.names != ["all"]:
+        datasets = [ds for ds in datasets if ds.name in gc.names]
+        if not datasets:
+            raise ValueError(f"geodetic_config.names {gc.names} matches "
+                             "no imported dataset")
     return datasets
 
 

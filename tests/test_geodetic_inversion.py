@@ -281,3 +281,28 @@ class TestEulerPoleStationMasks:
             np.testing.assert_allclose(got.lats, ds.lats)
             np.testing.assert_allclose(got.lons, ds.lons)
             assert list(got.stations) == list(ds.stations)
+
+
+class TestDatasetTypeSelection:
+    """geodetic_config.types / names select which datasets enter the
+    problem (reference GeodeticConfig.types config.py:971)."""
+
+    def test_types_and_names_filter(self, tmp_path):
+        from beat_tpu.config import (GeodeticConfig, load_geodetic_datasets,
+                                     save_geodetic_datasets)
+
+        sar = make_scene()
+        g = gnss_compound("gnss_east", np.zeros((4, 2)),
+                          np.full(4, 1e-3), "east")
+        save_geodetic_datasets([sar, g], str(tmp_path))
+        both = load_geodetic_datasets(str(tmp_path), GeodeticConfig())
+        assert {ds.typ for ds in both} == {"SAR", "GNSS"}
+        only_sar = load_geodetic_datasets(
+            str(tmp_path), GeodeticConfig(types=["SAR"]))
+        assert [ds.typ for ds in only_sar] == ["SAR"]
+        named = load_geodetic_datasets(
+            str(tmp_path), GeodeticConfig(names=["gnss_east"]))
+        assert [ds.name for ds in named] == ["gnss_east"]
+        with pytest.raises(ValueError, match="matches none"):
+            load_geodetic_datasets(str(tmp_path),
+                                   GeodeticConfig(types=["nope"]))
