@@ -20,7 +20,7 @@ Architecture (vs. the reference):
   resampling and PT replica exchange are array permutations, not IPC.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 

@@ -521,8 +521,11 @@ def config_file_name(mode: str) -> str:
 
 
 def dump_config(config: BEATconfig, project_dir: str | None = None) -> str:
+    from beat_tpu import __version__
+
     project_dir = project_dir or config.project_dir
     os.makedirs(project_dir, exist_ok=True)
+    config.version = __version__
     path = os.path.join(project_dir, config_file_name(config.problem_config.mode))
     with open(path, "w") as f:
         yaml.safe_dump(asdict(config), f, sort_keys=False)
@@ -537,6 +540,17 @@ def load_config(project_dir: str, mode: str = geometry_mode_str) -> BEATconfig:
             f"No {config_file_name(mode)} in {project_dir} — run 'beat-tpu init' first")
     with open(path) as f:
         d = yaml.safe_load(f)
+    # version gate (reference ``ConfigNeedsUpdatingError`` config.py:189):
+    # configs stamped by an older release must be migrated first
+    from beat_tpu import __version__
+    from beat_tpu.upgrade import _version_tuple
+
+    stamped = d.get("version") or "0.0.0"
+    if _version_tuple(stamped) < _version_tuple(__version__):
+        raise ValueError(
+            f"Config {path} was written by version {stamped} "
+            f"(current {__version__}) — run 'beat-tpu update {project_dir}' "
+            "to migrate it")
     config = _from_dict(BEATconfig, d)
     config.project_dir = project_dir
     config.validate()

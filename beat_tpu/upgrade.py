@@ -53,16 +53,27 @@ def _walk(d: dict, path: str):
 
 # -- migrations --------------------------------------------------------------
 
+def _migrate_0_1_0(d: dict) -> None:
+    """0.1.0 -> 0.2.0: WaveformFitConfig.distances became *active*
+    station weeding (it was an inert placeholder before); configs dumped
+    with the old default [30.0, 90.0] deg must not suddenly weed all
+    regional stations."""
+    sc = _walk(d, "seismic_config")
+    for wfc in (sc or {}).get("waveforms", []) or []:
+        if isinstance(wfc, dict) and wfc.get("distances") == [30.0, 90.0]:
+            wfc["distances"] = None
+
+
 #: ordered migrations: (from_version, migrate_fn).  Append one entry per
 #: schema-breaking release.
 MIGRATIONS: list = [
-    # ("0.1.0", lambda d: rename_attribute(d, "sampler_config", "old", "new")),
+    ("0.1.0", _migrate_0_1_0),
 ]
 
 
 def upgrade_config_dict(d: dict) -> dict:
     """Apply all migrations newer than the dict's stamped version."""
-    version = d.get("version", "0.0.0")
+    version = d.get("version") or "0.0.0"
     for from_version, migrate in MIGRATIONS:
         if _version_tuple(version) <= _version_tuple(from_version):
             migrate(d)

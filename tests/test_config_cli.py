@@ -676,3 +676,38 @@ def test_polarity_waveforms_round_trip(tmp_path):
     assert all(isinstance(w, PolarityFitConfig) for w in wfs)
     assert wfs[0].blacklist == ["ST01"]
     assert wfs[1].name == "any_SH"
+
+
+class TestVersionGate:
+    """Version-stamped configs + migration (reference
+    ConfigNeedsUpdatingError config.py:189 + upgrade.py:81)."""
+
+    def test_old_config_gated_then_migrated(self, tmp_path):
+        import yaml
+
+        from beat_tpu import __version__
+        from beat_tpu.config import init_config, dump_config, load_config
+
+        pdir = str(tmp_path / "proj")
+        config = init_config("p", pdir, source_types=("DCSource",),
+                             n_sources=(1,), datatypes=("seismic",))
+        dump_config(config, pdir)
+        path = pdir + "/config_geometry.yaml"
+        # fresh dumps are stamped with the current version and load fine
+        assert yaml.safe_load(open(path))["version"] == __version__
+        load_config(pdir)
+
+        # simulate a 0.1.0-era config: old stamp + the then-inert
+        # distances default that would now weed all regional stations
+        d = yaml.safe_load(open(path))
+        d["version"] = "0.1.0"
+        d["seismic_config"]["waveforms"][0]["distances"] = [30.0, 90.0]
+        yaml.safe_dump(d, open(path, "w"), sort_keys=False)
+        with pytest.raises(ValueError, match="beat-tpu update"):
+            load_config(pdir)
+
+        from beat_tpu.apps.cli import main
+
+        assert main(["update", pdir]) == 0
+        config2 = load_config(pdir)   # gate passes after migration
+        assert config2.seismic_config.waveforms[0].distances is None
