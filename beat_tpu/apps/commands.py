@@ -174,7 +174,27 @@ def _cmd_import(args):
         geodetic += inputf.load_gnss_csv(args.gnss_csv)
 
     if geodetic:
+        # project geographic station coordinates (GNSS imports) to local
+        # east/north relative to the configured event (reference
+        # ``update_local_coords``, ``heart.py:1127``) so corrections and
+        # synthetics see real station positions
+        event = None
+        try:
+            from beat_tpu.config import load_config
+
+            event = load_config(args.project_dir, args.mode).event
+        except (FileNotFoundError, ValueError):
+            pass
         for ds in geodetic:
+            if ds.lats is not None and getattr(ds, "lons", None) is not None:
+                if event is None:
+                    raise SystemExit(
+                        f"dataset {ds.name} carries lat/lon station "
+                        "coordinates but no readable project config "
+                        "provides the event to project them against — "
+                        "run 'beat-tpu init' (and 'beat-tpu update' if "
+                        "prompted) first")
+                ds.update_local_coords(event.lat, event.lon)
             if ds.odw is None:
                 ds.odw = np.ones(np.asarray(ds.displacement).size)
             if ds.covariance is None:
@@ -198,7 +218,9 @@ def _cmd_import(args):
                                  if os.path.isabs(sc.responses_path)
                                  else os.path.join(args.project_dir,
                                                    sc.responses_path))
-            except FileNotFoundError:
+            except (FileNotFoundError, ValueError):
+                # no config yet, or one awaiting 'beat-tpu update' — the
+                # responses fallback is best-effort either way
                 pass
         traces, stations = inputf.load_obspy_traces(args.seismic_mseed,
                                                     inventory)
@@ -306,7 +328,8 @@ def _cmd_build_gfs(args):
 
     if "geodetic" in datatypes:
         gc = config.geodetic_config
-        datasets = load_geodetic_datasets(args.project_dir, gc)
+        datasets = load_geodetic_datasets(args.project_dir, gc,
+                                          event=config.event)
         stack = DatasetStack.from_datasets(datasets)
         lib = geo_construct_gf_linear(fault, stack.coords, stack.los,
                                       components=("uparr", "uperp"))

@@ -267,6 +267,10 @@ def rhat(chains: np.ndarray) -> float:
         x = np.stack([half[: half.size // 2], half[half.size // 2: 2 * (half.size // 2)]], axis=1)
     n, m = x.shape
     half = n // 2
+    if half < 2:
+        # split-R̂ needs >= 2 draws per split half; a heavily thinned
+        # trace (one record per stage) legitimately has fewer
+        return float("nan")
     splits = np.concatenate([x[:half], x[half: 2 * half]], axis=1)
     n, m = splits.shape
     w = splits.var(axis=0, ddof=1).mean()

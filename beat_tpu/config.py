@@ -821,7 +821,8 @@ def save_polarity_targets(targets, project_dir: str, datadir: str = "./") -> str
     return path
 
 
-def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig) -> list:
+def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig,
+                           event: "EventConfig | None" = None) -> list:
     """
     Load geodetic datasets from ``<project_dir>/geodetic_data.npz``
     (our portable format; reference loads ``geodetic_data.pkl`` of pyrocko
@@ -830,6 +831,14 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig) -> list:
     npz layout per dataset <name>: ``<name>:coords``, ``<name>:displacement``,
     ``<name>:los``, optional ``<name>:odw``, ``<name>:covariance``,
     ``<name>:typ`` (0=SAR, 1=GNSS).
+
+    When ``event`` is given, datasets carrying geographic station
+    coordinates (lats/lons — GNSS imports) get their local east/north
+    coords recomputed relative to the event (reference
+    ``GeodeticDataset.update_local_coords``, ``heart.py:1127``, called
+    per-composite in ``models/geodetic.py``); without it a dataset whose
+    coords are all zero (never projected) is rejected loudly rather than
+    silently placing every station at the origin.
     """
     from beat_tpu.covariance import Covariance
     from beat_tpu.heart.geodesy import GeodeticDataset
@@ -857,6 +866,17 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig) -> list:
                 odw=opt("odw"),
                 lats=opt("lats"), lons=opt("lons"), stations=opt("stations"),
                 covariance=cov))
+    for ds in datasets:
+        if ds.lats is not None and ds.lons is not None:
+            if event is not None:
+                ds.update_local_coords(event.lat, event.lon)
+            elif not np.any(ds.coords):
+                raise ValueError(
+                    f"geodetic dataset {ds.name} has all-zero local "
+                    "coordinates and no event to project its lat/lon "
+                    "against — load with the project config (or re-run "
+                    "'beat-tpu import') so station positions are projected "
+                    "relative to the event")
     if gc.types:
         selected = [ds for ds in datasets if ds.typ in gc.types]
         dropped = [ds.name for ds in datasets if ds.typ not in gc.types]
@@ -930,7 +950,7 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
     composites = {}
     if "geodetic" in pc.datatypes and config.geodetic_config is not None:
         gc = config.geodetic_config
-        datasets = load_geodetic_datasets(project_dir, gc)
+        datasets = load_geodetic_datasets(project_dir, gc, event=config.event)
         corrections = _build_corrections(gc, datasets)
         # layered statics: a psgrn-analogue table in the project dir
         # switches the composite from homogeneous Okada/MT to table
@@ -946,8 +966,6 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
         # (reference n_variations crust ensembles, covariance.py:625)
         ensemble_tables = []
         if static_table is not None:
-            from beat_tpu.heart.statictable import StaticGFTable
-
             ensemble_tables = [
                 StaticGFTable.load(p) for p in sorted(
                     glob.glob(os.path.join(project_dir,
@@ -1046,7 +1064,7 @@ def _bem_problem_from_config(config: BEATconfig, project_dir: str):
             i_src += 1
 
     gc = config.geodetic_config or GeodeticConfig()
-    datasets = load_geodetic_datasets(project_dir, gc)
+    datasets = load_geodetic_datasets(project_dir, gc, event=config.event)
     corrections = _build_corrections(gc, datasets)
     kwargs = dict(noise_structure=gc.noise_estimator.structure,
                   hp_specific=gc.dataset_specific_residual_noise_estimation,
@@ -1139,7 +1157,8 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
             raise FileNotFoundError(
                 f"No geodetic GF library in {gfdir} — run 'beat-tpu build_gfs'")
         gc = config.geodetic_config
-        datasets = load_geodetic_datasets(project_dir, gc)
+        datasets = load_geodetic_datasets(project_dir, gc,
+                                          event=config.event)
         lib = GeodeticGFLibrary.load(lib_path)
         slip_components = list(lib.component_names)
         composites["geodetic"] = GeodeticDistributerComposite(
@@ -1174,7 +1193,10 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
         composites["seismic"] = SeismicDistributerComposite(
             wavemaps_libs, fault, slip_varnames=tuple(components),
             interpolation=config.seismic_config.waveforms[0].interpolation
-            if config.seismic_config.waveforms else "multilinear")
+            if config.seismic_config.waveforms else "multilinear",
+            hp_specific=getattr(
+                config.seismic_config,
+                "dataset_specific_residual_noise_estimation", False))
 
     composites["laplacian"] = LaplacianDistributerComposite(
         fault, slip_varnames=tuple(slip_components))
@@ -1231,17 +1253,27 @@ def _build_corrections(gc: GeodeticConfig, datasets):
     # stations modulo the entry's white/blacklist (reference
     # ``models/corrections.py:111-140``)
     gnss = [ds for ds in datasets if ds.typ == "GNSS"]
+
+    def masked(ds, entry, kind, i):
+        if not (entry.station_whitelist or entry.station_blacklist):
+            return None
+        if ds.stations is None:
+            logger.warning(
+                "%s correction %i has station white/blacklists but dataset "
+                "%s carries no station names — the lists are ignored and "
+                "the correction applies to every observation", kind, i,
+                ds.name)
+            return None
+        return station_mask(ds.stations, entry.station_whitelist,
+                            entry.station_blacklist)
+
     for i, ep in enumerate(cc.euler_poles):
         if not getattr(ep, "enabled", True):
             continue
         for ds in gnss:
             if ds.lats is None:
                 continue
-            mask = (station_mask(ds.stations, ep.station_whitelist,
-                                 ep.station_blacklist)
-                    if ds.stations is not None
-                    and (ep.station_whitelist or ep.station_blacklist)
-                    else None)
+            mask = masked(ds, ep, "Euler-pole", i)
             corrections.append(EulerPoleCorrection(
                 number=i, lats=ds.lats, lons=ds.lons,
                 dataset_name=ds.name, mask=mask))
@@ -1250,11 +1282,7 @@ def _build_corrections(gc: GeodeticConfig, datasets):
             continue
         for ds in gnss:
             centroid = ds.coords.mean(axis=0)
-            mask = (station_mask(ds.stations, sr.station_whitelist,
-                                 sr.station_blacklist)
-                    if ds.stations is not None
-                    and (sr.station_whitelist or sr.station_blacklist)
-                    else None)
+            mask = masked(ds, sr, "strain-rate", i)
             corrections.append(StrainRateCorrection(
                 number=i, norths=ds.coords[:, 1] - centroid[1],
                 easts=ds.coords[:, 0] - centroid[0],

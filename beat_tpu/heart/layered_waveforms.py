@@ -298,10 +298,16 @@ def dynamic_integration_grid(model, zs: float, r_max: float, T: float,
     k_max = w_abs / vs_min * 1.05 + 50.0 / max(zs, 1e3)
     nk = int(np.ceil(k_max / dk))
     if nk > nk_max:
-        logger.warning(
-            "wavenumber grid clamped: %i -> %i points (k_max %.3g, dk %.3g)"
-            " — the evanescent tail is truncated; shorten the window, "
-            "lower fmax or raise nk_max", nk, nk_max, k_max, dk)
+        # called per (depth, frequency) during a table build: warn once
+        # per process, not thousands of times
+        if not getattr(dynamic_integration_grid, "_clamp_warned", False):
+            dynamic_integration_grid._clamp_warned = True
+            logger.warning(
+                "wavenumber grid clamped: %i -> %i points (k_max %.3g, "
+                "dk %.3g) — the evanescent tail is truncated; shorten the "
+                "window, lower fmax or raise nk_max (warning shown once; "
+                "later clamps in this build are silent)",
+                nk, nk_max, k_max, dk)
         nk = nk_max
     return (np.arange(nk) + 0.5) * dk
 

@@ -203,7 +203,14 @@ class WaveformMapping:
             win = filtered[start:start + n_win] * self.taper_window
             wins.append(win)
         self.data_windows = np.stack(wins).astype(np.float32)
-        self.data_fit = self.fit_transform_np(self.data_windows).astype(np.float32)
+
+    @property
+    def data_fit(self) -> np.ndarray:
+        """Observed data in fit space (windows, or amplitude spectra for
+        ``domain='spectrum'``) — derived from ``data_windows`` so direct
+        window assignment (synthetic tests, weight updates) stays
+        consistent."""
+        return self.fit_transform_np(self.data_windows).astype(np.float32)
 
     def analyse_noise(self, analyser: SeismicNoiseAnalyser | None = None) -> None:
         """Set per-dataset covariances over the fit window

@@ -171,9 +171,14 @@ def build_static_table(model, distances, depths,
     (:func:`beat_tpu.heart.layered_statics.elementary_mt_surface_displacements`)
     — the psgrn-run replacement."""
     from beat_tpu.heart.layered_statics import elementary_mt_surface_displacements
+    from beat_tpu.heart.layered_waveforms import nudge_depths_off_interfaces
 
     distances = np.asarray(distances, dtype=np.float64)
-    depths = np.asarray(depths, dtype=np.float64)
+    # the vertical FD dipole (zs ± rel_step·zs) must not straddle a layer
+    # interface or it silently mixes moduli across the discontinuity —
+    # same guard as the waveform builder; per-model so vary_model
+    # ensembles (whose interfaces move) each get a clean grid
+    depths = nudge_depths_off_interfaces(model, depths)
     obs = np.stack([np.zeros_like(distances), distances], axis=-1)  # due north
     vals = np.zeros((6, 3, distances.size, depths.size), dtype=np.float64)
     for iz, zs in enumerate(depths):

@@ -127,6 +127,7 @@ class LayeredModel:
             text = path_or_text
         rows = []
         have_q = True
+        rows_with_q = 0
         for line in text.splitlines():
             parts = line.split()
             if len(parts) < 4:
@@ -137,11 +138,18 @@ class LayeredModel:
                 continue
             try:
                 row += [float(parts[4]), float(parts[5])]
+                rows_with_q += 1
             except (IndexError, ValueError):
                 # trailing comments / missing q columns: keep the row
                 have_q = False
                 row += [0.0, 0.0]
             rows.append(row)
+        if rows_with_q and not have_q:
+            logger.warning(
+                "nd input %s: %i of %i rows carry qp/qs columns but others "
+                "do not — Q is dropped for the WHOLE model (purely elastic); "
+                "fix the offending rows to enable attenuation",
+                name or "<text>", rows_with_q, len(rows))
         if len(rows) < 2:
             raise ValueError("nd input needs at least two depth samples")
         arr = np.asarray(rows)

@@ -171,22 +171,43 @@ class SeismicDistributerComposite(Composite):
         for wmap, libs in self.wavemaps_libs:
             if wmap.datasets[0].covariance is None:
                 wmap.analyse_noise()
-            self._device.append({
+            dev = {
                 "libs": {c: (lib.with_stacking_layout(keep_data, dtype)
                              if stacking_layout else lib)
                          for c, lib in libs.items()},
-                "data": jnp.asarray(wmap.data_windows),
+                # fit space: windows, or amplitude spectra for
+                # domain='spectrum' wavemaps — the covariances/weights are
+                # built at nsamples_fit, so the residual must live there
+                # too (mirrors SeismicGeometryComposite)
+                "data": jnp.asarray(wmap.data_fit),
                 "weights": jnp.stack([
                     jnp.asarray(ds.covariance.chol_inverse, dtype=jnp.float32)
                     for ds in wmap.datasets]),
                 "slog_pdets": jnp.asarray(
                     [ds.covariance.log_pdet for ds in wmap.datasets], dtype=jnp.float32),
-                "nsamples": jnp.asarray([wmap.nsamples_win] * wmap.ntargets,
+                "nsamples": jnp.asarray([wmap.nsamples_fit] * wmap.ntargets,
                                         dtype=jnp.float32),
-            })
+            }
+            if wmap.domain == "spectrum":
+                C, S = wmap.fit_basis()
+                dev["fit_basis"] = (jnp.asarray(C), jnp.asarray(S))
+            self._device.append(dev)
 
     def get_hypernames(self):
+        if self.hp_specific:
+            return [f"{wmap.hypername}_{i}" for wmap, _ in self.wavemaps_libs
+                    for i in range(wmap.ntargets)]
         return [wmap.hypername for wmap, _ in self.wavemaps_libs]
+
+    def _hyper_vector(self, point, wmap):
+        """Per-target hyper vector (dataset-specific noise scaling when
+        ``hp_specific``, reference ``h_<wave>_<i>`` granularity)."""
+        if self.hp_specific:
+            return jnp.stack([point.get(f"{wmap.hypername}_{i}", 0.0)
+                              for i in range(wmap.ntargets)])
+        h = point.get(wmap.hypername, 0.0)
+        return jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()),
+                                (wmap.ntargets,))
 
     def get_hierarchical_names(self):
         names = []
@@ -249,17 +270,28 @@ class SeismicDistributerComposite(Composite):
                                            use_pallas=self.use_pallas)
         return synth
 
+    def synthetics_fit(self, point: dict, w_idx: int, data=None):
+        """Stacked synthetics in fit space (windows or amplitude
+        spectra, matching the wavemap's domain)."""
+        wmap, _ = self.wavemaps_libs[w_idx]
+        wins = self.synthetics_windows(point, w_idx, data)
+        if wmap.domain == "spectrum":
+            from beat_tpu.ops.cplx import amplitude_spectrum
+
+            C, S = (data if data is not None else self._device)[w_idx]["fit_basis"]
+            return amplitude_spectrum(wins, C, S)
+        return wins
+
     def loglike(self, point: dict, data=None):
         data = self._device if data is None else data
         total = 0.0
         for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
             dev = data[w_idx]
-            synth = self.synthetics_windows(point, w_idx, data)
+            synth = self.synthetics_fit(point, w_idx, data)
             res = dev["data"] - synth
-            h = point.get(wmap.hypername, 0.0)
-            hs = jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))
             llks = multivariate_normal_chol_batched(
-                res, dev["weights"], dev["slog_pdets"], hs, dev["nsamples"])
+                res, dev["weights"], dev["slog_pdets"],
+                self._hyper_vector(point, wmap), dev["nsamples"])
             total = total + jnp.sum(llks)
         return total
 
@@ -268,12 +300,11 @@ class SeismicDistributerComposite(Composite):
         total = 0.0
         for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
             dev = data[w_idx]
-            synth = self.synthetics_windows(fixed_point, w_idx, data)
+            synth = self.synthetics_fit(fixed_point, w_idx, data)
             res = dev["data"] - synth
-            h = point.get(wmap.hypername, 0.0)
-            hs = jnp.broadcast_to(jnp.reshape(jnp.asarray(h), ()), (wmap.ntargets,))
             llks = multivariate_normal_chol_batched(
-                res, dev["weights"], dev["slog_pdets"], hs, dev["nsamples"])
+                res, dev["weights"], dev["slog_pdets"],
+                self._hyper_vector(point, wmap), dev["nsamples"])
             total = total + jnp.sum(llks)
         return total
 
@@ -328,13 +359,18 @@ def transd_sample_ffi(composite, params, slip_varname: str | None = None,
     sf = fault.get_subfault(0)
     centers = sf.patch_centers_local()
 
-    def logp(slips):
-        return composite.loglike({comp: slips})
+    # GF library/data/weights ride through the jit boundary as an explicit
+    # argument pytree (logp_args), never as closure constants — same
+    # invariant as Problem.make_logp_fn (models/problem.py)
+    args = logp_args if logp_args is not None else (composite._device,)
+
+    def logp(slips, device):
+        return composite.loglike({comp: slips}, data=device)
 
     out = transd_sample(
         logp, centers[:, 0], centers[:, 1],
         extent_s=(0.0, sf.plane.length), extent_d=(0.0, sf.plane.width),
-        value_bounds=value_bounds, params=params)
+        value_bounds=value_bounds, params=params, logp_args=args)
 
     if homepath is not None:
         from beat_tpu.backend import SampleStage

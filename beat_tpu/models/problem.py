@@ -234,15 +234,36 @@ class Problem:
         test_point = self.priors.test_point()
         logp_fn, data = self.make_hyper_logp_fn(test_point)
         lower, upper = self.priors.bounds_arrays()
+        # sample ONLY the hyper dimensions (the posterior is flat in all
+        # others since residuals are frozen — walking the full space just
+        # slows mixing and rejects on irrelevant bound checks; reference
+        # samples a hypers-only model, models/base.py:304)
+        hyper_slices = {name: self.ordering.slice_of(name)
+                        for name in self.hypernames}
+        idx = np.concatenate([np.arange(s.start, s.stop)
+                              for s in hyper_slices.values()])
+        test_q = jnp.asarray(self.point_to_array(test_point),
+                             dtype=jnp.float32)
+        idx_dev = jnp.asarray(idx)
+
+        def hyper_only_logp(h, data):
+            return logp_fn(test_q.at[idx_dev].set(h), data)
+
         q_tr, _ = metropolis_sample(
-            logp_fn, lower, upper, n_chains=n_chains, n_steps=n_steps,
+            hyper_only_logp, lower[idx], upper[idx],
+            n_chains=n_chains, n_steps=n_steps,
             burn=0.5, thin=2, logp_args=(data,))
         samples = q_tr.reshape(-1, q_tr.shape[-1])
+        # reduced-vector positions of each hyper
+        pos = {}
+        off = 0
+        for name, s in hyper_slices.items():
+            pos[name] = slice(off, off + (s.stop - s.start))
+            off += s.stop - s.start
         from beat_tpu import defaults
 
         for name in self.hypernames:
-            slc = self.ordering.slice_of(name)
-            vals = samples[:, slc]
+            vals = samples[:, pos[name]]
             lo = np.floor(vals.min(axis=0) - 1.0)
             hi = np.ceil(vals.max(axis=0) + 1.0)
             par = self.priors[name]

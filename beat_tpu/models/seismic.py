@@ -581,7 +581,12 @@ def build_seismic_composite(seismic_config, project_dir, sources,
             wmap.station_weeding(
                 blacklist=wfc.blacklist,
                 distances=(tuple(float(d) * deg2m for d in distances)
-                           if distances else None))
+                           if distances else None),
+                # epicentral distance is measured from the wavemap's own
+                # event in multi-event problems, consistent with the
+                # arrival windows computed from event_offset
+                event_east=event_offset[0] if event_offset else 0.0,
+                event_north=event_offset[1] if event_offset else 0.0)
         wavemaps.append(wmap)
     if not wavemaps:
         raise ValueError("No wavemaps configured — check waveforms config")

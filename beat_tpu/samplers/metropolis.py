@@ -98,6 +98,10 @@ def _make_step(logp_fn, lower, upper, proposal, tune_interval, tune, logp_args=(
     """One lockstep Metropolis transition for all chains."""
 
     def step(carry, step_idx, beta, cov_chol):
+        # step_idx is the GLOBAL step index (scan index + step_offset) so
+        # segmented drivers (PT swap segments shorter than tune_interval)
+        # still cross tune boundaries; state.accepted carries across
+        # segments, making accepted/tune_interval the true rate
         state = carry
         key, k_prop, k_acc = jax.random.split(state.key, 3)
         n = state.q.shape[0]
@@ -156,6 +160,7 @@ def run_metropolis_stage(
     tune: bool = True,
     record_every: int = 1,
     logp_args: tuple = (),
+    step_offset=0,
 ):
     """
     Advance all chains ``n_steps`` under tempering ``beta``; returns the
@@ -165,30 +170,56 @@ def run_metropolis_stage(
     ``logp_args`` is a traced pytree forwarded to ``logp_fn(q, *logp_args)``
     — large GF arrays enter the compiled program as arguments so they are
     never embedded as constants and can be sharded/replicated on the mesh.
+
+    ``step_offset``: global index of the first step — segmented drivers
+    (PT) pass their running step count so scale tuning keeps firing every
+    ``tune_interval`` GLOBAL steps even when each segment is shorter than
+    the interval.
     """
     proposal = choose_proposal(proposal_name)
     step = _make_step(logp_fn, lower, upper, proposal, tune_interval, tune,
                       logp_args)
 
     def body(carry, step_idx):
-        new_state, (q, llk) = step(carry, step_idx, beta, cov_chol)
+        new_state, (q, llk) = step(carry, step_idx + step_offset, beta,
+                                   cov_chol)
         return new_state, (q, llk)
 
     if record_every <= 1:
         final, (q_tr, llk_tr) = jax.lax.scan(body, state, jnp.arange(n_steps))
     else:
-        # Thinned recording: scan over blocks, keep only each block's last.
-        n_blocks = n_steps // record_every
+        # Thinned recording: scan over full blocks keeping each block's
+        # last state, then run the remainder steps (recorded as one final
+        # row) — all n_steps are always executed (a plain
+        # n_steps // record_every would silently drop the remainder, or
+        # run ZERO steps when record_every > n_steps).
+        n_blocks, rem = divmod(n_steps, record_every)
 
         def block(carry, block_idx):
             def inner(c, i):
-                s, _ = step(c, block_idx * record_every + i, beta, cov_chol)
+                s, _ = step(c, block_idx * record_every + i + step_offset,
+                            beta, cov_chol)
                 return s, None
 
             new_state, _ = jax.lax.scan(inner, carry, jnp.arange(record_every))
             return new_state, (new_state.q, new_state.llk)
 
-        final, (q_tr, llk_tr) = jax.lax.scan(block, state, jnp.arange(n_blocks))
+        if n_blocks:
+            final, (q_tr, llk_tr) = jax.lax.scan(block, state,
+                                                 jnp.arange(n_blocks))
+        else:
+            final = state
+            q_tr = jnp.zeros((0,) + state.q.shape, state.q.dtype)
+            llk_tr = jnp.zeros((0,) + state.llk.shape, state.llk.dtype)
+        if rem:
+            def tail(c, i):
+                s, _ = step(c, n_blocks * record_every + i + step_offset,
+                            beta, cov_chol)
+                return s, None
+
+            final, _ = jax.lax.scan(tail, final, jnp.arange(rem))
+            q_tr = jnp.concatenate([q_tr, final.q[None]], axis=0)
+            llk_tr = jnp.concatenate([llk_tr, final.llk[None]], axis=0)
 
     return final, (q_tr, llk_tr)
 

@@ -180,6 +180,8 @@ def pt_sample(
         cov_chol = jax.device_put(cov_chol, replicated(mesh))
         lo = jax.device_put(lo, replicated(mesh))
         hi = jax.device_put(hi, replicated(mesh))
+        # GF tables/weights placed once, not re-transferred per segment
+        logp_args = jax.device_put(logp_args, replicated(mesh))
 
     seg_lo, seg_hi = params.swap_interval
     mean_seg = (seg_lo + seg_hi) // 2
@@ -203,17 +205,23 @@ def pt_sample(
     from beat_tpu.profiling import timings
 
     t0_sampling = time.perf_counter()
+    global_step = 0
     for seg in range(n_segments):
         seg_len = int(rng.choice(seg_choices))
         # Per-replica tempered Metropolis segment: run_metropolis_stage
         # supports per-chain beta via broadcasting in the accept ratio.
+        # step_offset carries the global step count so scale tuning fires
+        # every tune_interval GLOBAL steps — segments (10-30 steps) are
+        # shorter than the interval, so without it tuning never triggers.
         state, (q_tr, llk_tr) = run_metropolis_stage(
             logp_fn, state, betas_dev, cov_chol, lo, hi,
             n_steps=seg_len, proposal_name=params.proposal_name,
             tune_interval=params.tune_interval, tune=True,
             record_every=1,  # every draw: full posterior trace (ref pt.py:606)
             logp_args=logp_args,
+            step_offset=np.int32(global_step),
         )
+        global_step += seg_len
 
         key, k_swap = jax.random.split(key)
         q_new, llk_new, accepted, proposed = _swap_step(
@@ -221,14 +229,16 @@ def pt_sample(
         parity ^= 1
         state = state._replace(q=q_new, llk=llk_new)
 
-        # posterior replicas bookkeeping (only adjacent to the tempered group
-        # contribute to the tuning statistic, reference tune_betas :331)
+        # β-ladder tuning statistic: ONLY the posterior<->tempered edge
+        # pair (low end n_post-1) counts, as the reference tunes on the
+        # posterior-group / hottest-adjacent-worker acceptance
+        # (tune_betas :331) — the (n_post, n_post+1) pair active on the
+        # other parity is tempered<->tempered and systematically hotter
         acc_np = np.asarray(accepted)
         prop_np = np.asarray(proposed)
-        # pairs whose low end is within [n_post-1, n_post]: posterior<->tempered edge
-        edge = slice(max(0, n_post - 1), min(n, n_post + 1))
-        acc_matrix_accepted += int(acc_np[edge].sum())
-        acc_matrix_proposed += int(prop_np[edge].sum())
+        edge = max(0, n_post - 1)
+        acc_matrix_accepted += int(acc_np[edge])
+        acc_matrix_proposed += int(prop_np[edge])
 
         # every β=1 draw of the segment (the swap permutation only touches
         # the segment-end state, which the next segment starts from)

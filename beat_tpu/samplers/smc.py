@@ -161,12 +161,13 @@ def smc_sample(
     rng = np.random.default_rng(params.seed)
     key = jax.random.PRNGKey(params.seed)
 
-    # multi-host: only process 0 writes checkpoints (others share the
-    # filesystem view or have none)
+    # multi-host: only process 0 WRITES checkpoints; every process READS
+    # the resume state (below) so all hosts follow identical control flow
     from beat_tpu.parallel import is_io_process
 
     handler = (SampleStage(homepath, ordering=ordering)
                if homepath and is_io_process() else None)
+    reader = SampleStage(homepath, ordering=ordering) if homepath else None
 
     # ---- resume logic (reference init_stage, sampler/base.py:618) ----
     stage = params.stage
@@ -174,18 +175,54 @@ def smc_sample(
     cov = init_proposal_covariance(lower64, upper64)
     population = None
     likelihoods = None
-    if handler is not None and stage != 0:
-        top = handler.highest_sampled_stage()
+    if handler is not None and stage == 0 and params.rm_flag:
+        # fresh run requested: remove stale stage dirs from previous runs
+        # so a later resume cannot pick up an old run's higher stages
+        # (reference rm_flag / clean_directory, backend.py:1079)
+        handler.rm_all()
+    if reader is not None and stage != 0:
+        top = reader.highest_sampled_stage()
+        if jax.process_count() > 1:
+            # hosts without a shared filesystem would see different
+            # checkpoints and desynchronize the SPMD stage loop — make
+            # process 0's view authoritative everywhere
+            from jax.experimental import multihost_utils
+
+            top = int(multihost_utils.broadcast_one_to_all(
+                np.int64(top if jax.process_index() == 0 else -2)))
         if top == -1:
             logger.info("Found complete final stage — nothing to do")
-            tr = handler.load_trace(-1)
+            try:
+                tr = reader.load_trace(-1)
+            except FileNotFoundError:
+                # non-io host without a shared filesystem: the run is
+                # complete, only process 0 holds the trace
+                return (np.zeros((0, params.n_chains, dim)),
+                        np.zeros((0, params.n_chains)))
             return tr.q_trace, tr.llk_trace
         if top >= 0:
-            st = handler.load_state(top)
-            beta = float(st["beta"])
-            cov = np.asarray(st["cov"])
-            population = np.asarray(st["population"])
-            likelihoods = np.asarray(st["likelihoods"])
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                if jax.process_index() == 0:
+                    st = reader.load_state(top)
+                    payload = (np.float64(st["beta"]), np.asarray(st["cov"]),
+                               np.asarray(st["population"]),
+                               np.asarray(st["likelihoods"]))
+                else:
+                    payload = (np.float64(0.0), np.zeros((dim, dim)),
+                               np.zeros((params.n_chains, dim)),
+                               np.zeros((params.n_chains,)))
+                payload = multihost_utils.broadcast_one_to_all(payload)
+                beta = float(payload[0])
+                cov, population, likelihoods = (np.asarray(p)
+                                                for p in payload[1:])
+            else:
+                st = reader.load_state(top)
+                beta = float(st["beta"])
+                cov = np.asarray(st["cov"])
+                population = np.asarray(st["population"])
+                likelihoods = np.asarray(st["likelihoods"])
             stage = top + 1
             logger.info("Resuming from stage %i at beta=%.5f", top, beta)
         else:

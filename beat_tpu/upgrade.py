@@ -62,6 +62,12 @@ def _migrate_0_1_0(d: dict) -> None:
     for wfc in (sc or {}).get("waveforms", []) or []:
         if isinstance(wfc, dict) and wfc.get("distances") == [30.0, 90.0]:
             wfc["distances"] = None
+    # geodetic_config.types likewise became an active dataset filter in
+    # 0.2.0; the old dumped default ['SAR'] was inert, so rewriting it to
+    # the new all-types default keeps GNSS datasets loading
+    gc = _walk(d, "geodetic_config")
+    if gc and gc.get("types") == ["SAR"]:
+        gc["types"] = ["SAR", "GNSS"]
 
 
 #: ordered migrations: (from_version, migrate_fn).  Append one entry per

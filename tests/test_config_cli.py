@@ -711,3 +711,16 @@ class TestVersionGate:
         assert main(["update", pdir]) == 0
         config2 = load_config(pdir)   # gate passes after migration
         assert config2.seismic_config.waveforms[0].distances is None
+
+    def test_geodetic_types_migrated(self):
+        # pre-0.2.0 the field was inert and dumped as ['SAR']; after the
+        # filter became active that literal would drop all GNSS datasets
+        from beat_tpu.upgrade import upgrade_config_dict
+
+        d = {"version": "0.1.0", "geodetic_config": {"types": ["SAR"]}}
+        upgrade_config_dict(d)
+        assert d["geodetic_config"]["types"] == ["SAR", "GNSS"]
+        # a deliberate post-0.2.0 choice is left alone
+        d2 = {"version": "0.2.0", "geodetic_config": {"types": ["SAR"]}}
+        upgrade_config_dict(d2)
+        assert d2["geodetic_config"]["types"] == ["SAR"]

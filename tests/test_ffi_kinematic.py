@@ -157,6 +157,65 @@ class TestKinematicComposite:
         point_off2["nucleation_strike"] = jnp.asarray(7e3)
         assert l_true > float(comp.loglike(point_off2))
 
+    def test_spectrum_domain_wavemap(self, setup):
+        """domain='spectrum' FFI: residuals/covariances live at
+        nsamples_fit (rfft bins), synthetics are amplitude spectra —
+        previously the composite mixed window-length residuals with
+        fit-length weights and failed at trace time."""
+        from beat_tpu.covariance import Covariance
+
+        import copy
+
+        table, wavemap, fault, lib = setup
+        rng = np.random.default_rng(5)
+        wm_s = WaveformMapping(
+            name="any_P", datasets=copy.deepcopy(wavemap.datasets),
+            table=table, taper=wavemap.taper, filterer=wavemap.filterer,
+            domain="spectrum")
+        for ds in wm_s.datasets:
+            ds.covariance = Covariance(
+                data=np.eye(wm_s.nsamples_fit) * 1e-4)
+
+        comp = SeismicDistributerComposite(
+            [(wm_s, {"uparr": lib})], fault, slip_varnames=("uparr",),
+            interpolation="multilinear")
+        n = fault.npatches
+        point = {
+            "uparr": jnp.asarray(rng.uniform(0.5, 1.5, n)),
+            "durations": jnp.ones(n),
+            "velocities": jnp.full(n, 3000.0),
+            "nucleation_strike": jnp.asarray(2e3),
+            "nucleation_dip": jnp.asarray(1e3),
+        }
+        l = float(comp.loglike(point))
+        assert np.isfinite(l)
+        synth = comp.synthetics_fit(point, 0)
+        assert synth.shape == (wm_s.ntargets, wm_s.nsamples_fit)
+        # amplitude spectra are non-negative
+        assert float(jnp.min(synth)) >= 0.0
+
+    def test_hp_specific_hypernames(self, setup):
+        """dataset_specific_residual_noise_estimation: one hyper per
+        target, honored by the likelihood (reference h_<wave>_<i>)."""
+        table, wavemap, fault, lib = setup
+        comp = SeismicDistributerComposite(
+            [(wavemap, {"uparr": lib})], fault, slip_varnames=("uparr",),
+            interpolation="multilinear", hp_specific=True)
+        names = comp.get_hypernames()
+        assert len(names) == wavemap.ntargets
+        assert all(n.startswith(wavemap.hypername) for n in names)
+        n = fault.npatches
+        point = {
+            "uparr": jnp.ones(n), "durations": jnp.ones(n),
+            "velocities": jnp.full(n, 3000.0),
+            "nucleation_strike": jnp.asarray(2e3),
+            "nucleation_dip": jnp.asarray(1e3),
+        }
+        l0 = float(comp.loglike({**point, **{nm: jnp.asarray(0.0) for nm in names}}))
+        l1 = float(comp.loglike({**point, names[0]: jnp.asarray(2.0),
+                                 **{nm: jnp.asarray(0.0) for nm in names[1:]}}))
+        assert l0 != l1  # the per-target hyper reaches the likelihood
+
     def test_laplacian_prior_prefers_smooth(self, setup):
         _, _, fault, _ = setup
         comp = LaplacianDistributerComposite(fault, slip_varnames=("uparr",))

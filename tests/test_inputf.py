@@ -44,6 +44,34 @@ def test_gnss_csv_components(tmp_path):
     assert east.coords[1, 1] > 1e4  # ~0.1 deg north ≈ 11 km
 
 
+def test_load_geodetic_datasets_projects_against_event(tmp_path):
+    """GNSS datasets re-project their station lat/lon to local coords
+    relative to the event at load time; never-projected zero coords
+    without an event are rejected loudly."""
+    import pytest
+
+    from beat_tpu.config import (EventConfig, GeodeticConfig,
+                                 load_geodetic_datasets,
+                                 save_geodetic_datasets)
+
+    p = tmp_path / "gnss.csv"
+    p.write_text(
+        "station,lat,lon,east,north,up,sigma_east,sigma_north,sigma_up\n"
+        "AAAA,10.0,20.0,0.01,-0.02,0.005,0.001,0.002,0.003\n"
+        "BBBB,10.1,20.1,0.03,0.01,-0.001,0.001,0.002,0.003\n")
+    datasets = load_gnss_csv(str(p))
+    save_geodetic_datasets(datasets, str(tmp_path))
+
+    loaded = load_geodetic_datasets(str(tmp_path), GeodeticConfig(),
+                                    event=EventConfig(lat=10.0, lon=20.0))
+    east = next(d for d in loaded if d.name == "gnss_east")
+    assert east.coords[1, 1] > 1e4       # BBBB ~11 km north of the event
+    assert np.allclose(east.coords[0], 0)  # AAAA at the event
+
+    with pytest.raises(ValueError, match="all-zero local coordinates"):
+        load_geodetic_datasets(str(tmp_path), GeodeticConfig())
+
+
 def test_seismic_round_trip(tmp_path):
     from beat_tpu.heart.seismic import SeismicDataset
 
@@ -111,7 +139,7 @@ class TestGlobk:
         # sigma -> diagonal covariance in meters
         np.testing.assert_allclose(np.diag(east.covariance.data),
                                    [1.0e-3**2, 0.5e-3**2])
-        assert east.station_names == ["AAAA", "CCCC"]
+        assert list(east.stations) == ["AAAA", "CCCC"]
 
 
 class TestBeatdownHelpers:
@@ -178,10 +206,16 @@ class TestImportCLI:
         import scipy.io
 
         from beat_tpu.apps.cli import main
-        from beat_tpu.config import GeodeticConfig, load_geodetic_datasets
+        from beat_tpu.config import (GeodeticConfig, dump_config, init_config,
+                                     load_geodetic_datasets)
 
         proj = tmp_path / "proj"
         proj.mkdir()
+        # lat/lon-bearing imports (GNSS) need the project event to project
+        # station coordinates into local east/north
+        cfg = init_config("p", str(proj), datatypes=("geodetic",))
+        cfg.event.lat, cfg.event.lon = 40.0, 30.0  # GLOBK columns are lon lat
+        dump_config(cfg, str(proj))
         # GLOBK fixture
         globk = tmp_path / "gps.txt"
         globk.write_text("h\nh\nh\n"
@@ -205,6 +239,9 @@ class TestImportCLI:
         assert names == ["asc", "gnss_east", "gnss_north", "gnss_up"]
         gnss = next(d for d in datasets if d.name == "gnss_east")
         assert gnss.displacement.size == 1  # BBBB blacklisted
+        # station coords were projected relative to the event (40N, 30E):
+        # AAAA at lon 30.1, lat 40.2 sits ~8.5 km east, ~22 km north
+        assert np.allclose(gnss.coords[0], [8518.0, 22239.0], rtol=0.01)
 
 
 NDK_FIXTURE = (

@@ -73,6 +73,21 @@ class TestSMC:
         q2, _ = smc_sample(logp, LOWER, UPPER, params2, homepath=home)
         np.testing.assert_allclose(q1, q2)
 
+    def test_rm_flag_clears_stale_stages(self, tmp_path):
+        """A fresh run with rm_flag=True removes previous-run stage dirs
+        so a later resume cannot pick up an old run's checkpoints
+        (reference clean_directory, backend.py:1079)."""
+        import os
+
+        logp = make_mixture_logp()
+        home = str(tmp_path / "smc_rm")
+        stale = os.path.join(home, "stage_97")
+        os.makedirs(stale)
+        params = SMCParams(n_chains=20, n_steps=10, seed=7, rm_flag=True)
+        smc_sample(logp, LOWER, UPPER, params, homepath=home)
+        assert not os.path.exists(stale)
+        assert os.path.exists(os.path.join(home, "stage_-1"))
+
 
 class TestSMCMath:
     def test_calc_beta_monotone(self):
@@ -119,6 +134,65 @@ class TestMetropolis:
         np.testing.assert_allclose(samples.mean(axis=0), np.asarray(mu), atol=0.05)
         np.testing.assert_allclose(samples.std(axis=0),
                                    np.sqrt(np.diag(np.asarray(cov))), rtol=0.25)
+
+
+class TestStageMechanics:
+    """run_metropolis_stage thinning + segmented tuning semantics."""
+
+    def _setup(self, n_chains=8):
+        from beat_tpu.samplers.metropolis import init_metropolis_state
+
+        logp = make_mixture_logp()
+        rng = np.random.default_rng(0)
+        q0 = rng.uniform(LOWER, UPPER, size=(n_chains, N_DIM))
+        state = init_metropolis_state(
+            logp, jnp.asarray(q0, dtype=jnp.float32), jax.random.PRNGKey(0))
+        lo = jnp.asarray(LOWER, dtype=jnp.float32)
+        hi = jnp.asarray(UPPER, dtype=jnp.float32)
+        chol = jnp.eye(N_DIM, dtype=jnp.float32) * 0.1
+        return logp, state, lo, hi, chol
+
+    def test_thinned_recording_runs_all_steps(self):
+        """record_every must not change the chain path: the final state
+        equals the record_every=1 run (same RNG), including when
+        record_every exceeds or does not divide n_steps."""
+        from beat_tpu.samplers.metropolis import run_metropolis_stage
+
+        logp, state, lo, hi, chol = self._setup()
+        ref, (q_ref, _) = run_metropolis_stage(
+            logp, state, jnp.float32(1.0), chol, lo, hi,
+            n_steps=10, record_every=1)
+        for record_every, n_rows in [(3, 4), (5, 2), (30, 1)]:
+            fin, (q_tr, llk_tr) = run_metropolis_stage(
+                logp, state, jnp.float32(1.0), chol, lo, hi,
+                n_steps=10, record_every=record_every)
+            np.testing.assert_allclose(np.asarray(fin.q), np.asarray(ref.q),
+                                       err_msg=f"record_every={record_every}")
+            assert q_tr.shape[0] == n_rows
+            # last recorded row is always the final state
+            np.testing.assert_allclose(np.asarray(q_tr[-1]),
+                                       np.asarray(fin.q))
+
+    def test_step_offset_enables_segmented_tuning(self):
+        """Scale tuning fires on GLOBAL step boundaries: segments shorter
+        than tune_interval still retune once their accumulated step count
+        crosses the interval (the PT segment pattern)."""
+        from beat_tpu.samplers.metropolis import run_metropolis_stage
+
+        logp, state, lo, hi, _ = self._setup()
+        # gigantic proposals => acceptance ~0 => tune factor 0.1
+        chol_huge = jnp.eye(N_DIM, dtype=jnp.float32) * 100.0
+
+        offset = 0
+        for _ in range(3):  # 3 segments x 4 steps, tune_interval=10
+            state, _ = run_metropolis_stage(
+                logp, state, jnp.float32(1.0), chol_huge, lo, hi,
+                n_steps=4, tune_interval=10, tune=True,
+                step_offset=np.int32(offset))
+            offset += 4
+        # global step 10 was crossed inside the third segment
+        assert np.all(np.asarray(state.scaling) < 1.0), \
+            "tuning never fired across segments"
 
 
 class TestPT:

@@ -602,3 +602,39 @@ class TestDistanceWeeding:
             filterer=_FilterConfig(0.02, 0.5, 3))])
         with pytest.raises(ValueError, match="removed every station"):
             build_seismic_composite(sc_bad, pdir, [DCSource(depth=9e3)])
+
+    def test_subevent_wavemap_weeds_from_its_own_event(self, tmp_path, table):
+        """Multi-event problems: epicentral distance is measured from the
+        wavemap's event (event_idx), matching its arrival windows."""
+        from beat_tpu.config import (ArrivalTaperConfig as _ArrivalTaperConfig,
+                                     EventConfig,
+                                     FilterConfig as _FilterConfig,
+                                     SeismicConfig, WaveformFitConfig)
+        from beat_tpu.inputf import save_seismic_datasets
+        from beat_tpu.models.seismic import build_seismic_composite
+
+        pdir = str(tmp_path)
+        deg2m = 111194.9
+        # stations at 0.3 and 0.9 deg east of the MAIN event; the
+        # subevent sits 0.6 deg east, so relative to it they are at 0.3
+        # deg each and BOTH pass a (0.2, 0.4) deg window
+        dists_m = np.array([0.3, 0.9]) * deg2m
+        datasets = [SeismicDataset(station=f"S{i}", channel="Z",
+                                   east=d, north=0.0,
+                                   ydata=np.random.default_rng(i).normal(
+                                       0, 1e-6, table.nt))
+                    for i, d in enumerate(dists_m)]
+        save_seismic_datasets(datasets, pdir)
+        table.save(pdir + "/gf_table.npz")
+
+        events = [EventConfig(lat=0.0, lon=0.0),
+                  EventConfig(name="sub", lat=0.0, lon=0.6, time=4.0)]
+        sc = SeismicConfig(waveforms=[WaveformFitConfig(
+            event_idx=1, distances=(0.2, 0.4),
+            arrival_taper=_ArrivalTaperConfig(a=-3.0, b=-1.5, c=15.0, d=18.0),
+            filterer=_FilterConfig(0.02, 0.5, 3))])
+        comp = build_seismic_composite(sc, pdir,
+                                       [DCSource(depth=9e3),
+                                        DCSource(depth=9e3)], events=events)
+        kept = [ds.station for ds in comp.wavemaps[0].datasets]
+        assert kept == ["S0", "S1"]  # both ~0.3 deg from the subevent
