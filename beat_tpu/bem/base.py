@@ -59,6 +59,9 @@ class BEMResponse:
     displacements: np.ndarray | None   # (nobs, 3) or None if invalid
     slips: np.ndarray | None           # per-element slip components
     is_valid: bool = True
+    #: per-slip-column element areas in interaction-matrix column order
+    #: (a BC may target a subset of meshes, so columns need not span them)
+    col_areas: np.ndarray | None = None
 
     INVALID = -99.0
 
@@ -70,9 +73,11 @@ class BEMResponse:
             return None
         from beat_tpu.sources import moment_to_magnitude
 
-        areas = np.concatenate([m.areas for m in self.meshes])
-        total = np.abs(self.slips.reshape(-1, len(areas))).sum(axis=0)
-        m0 = float(np.sum(shear_modulus * areas * total))
+        if self.col_areas is not None:
+            areas = self.col_areas
+        else:  # legacy: columns spanned every mesh once
+            areas = np.concatenate([m.areas for m in self.meshes])
+        m0 = float(np.sum(shear_modulus * areas * np.abs(self.slips)))
         return float(moment_to_magnitude(max(m0, 1.0)))
 
 
@@ -126,8 +131,12 @@ class BEMEngine:
         # reference convention (``bem/base.py:230`` + Fernandina example)
         slips = lstsq_robust(G_tractions, -rhs)
         disp = self._surface_displacements(meshes, slips, coords)
+        col_areas = np.concatenate([
+            meshes[src_i].areas
+            for bc in self.boundary_conditions for src_i in bc.source_idxs])
         return BEMResponse(sources=sources, meshes=meshes,
-                           displacements=disp, slips=slips, is_valid=True)
+                           displacements=disp, slips=slips, is_valid=True,
+                           col_areas=col_areas)
 
     # -- assembly (kernels injected by beat_tpu.bem.tde) ---------------------
 

@@ -234,11 +234,15 @@ class CurvedBEMSource(RectangularBEMSource):
         mesh = super().discretize(mesh_size)
         verts = mesh.vertices - np.array([self.east_shift, self.north_shift,
                                           self.depth])
-        st = self.strike * D2R
+        st, di = self.strike * D2R, self.dip * D2R
         s_vec = np.array([np.sin(st), np.cos(st), 0.0])
+        d_vec = np.array([np.cos(di) * np.cos(st), -np.cos(di) * np.sin(st),
+                          np.sin(di)])
         t_vec = np.array([np.cos(st), -np.sin(st), 0.0])
         along = verts @ s_vec / max(self.length, 1e-9) + 0.5   # 0..1
-        downdip = np.clip(verts[:, 2] / max(self.width, 1e-9), 0, 1)
+        # down-dip fraction measured along the dip vector, not from the
+        # vertical coordinate (which only reaches sin(dip) x width)
+        downdip = np.clip(verts @ d_vec / max(self.width, 1e-9), 0, 1)
         bend = self.bend_amplitude * self.length * \
             (along - self.bend_location) ** 2
         curv = self.curv_amplitude_bottom * self.width * \
@@ -272,8 +276,11 @@ def check_intersection(meshes: list, min_distance: float = 1.0) -> bool:
 
 
 def _rotate(verts: np.ndarray, strike: float, dip: float, plunge: float) -> np.ndarray:
-    """Rotate a z=0 planar mesh: dip about the strike axis, plunge about
-    the dip axis, then strike about vertical."""
+    """Rotate a z=0 planar mesh built with its major (+x) axis along
+    east: first an azimuth rotation about vertical takes +x onto the
+    strike direction (without it the strike parameter would be a no-op
+    for horizontal sills), then dip tilts about the strike axis and
+    plunge about the dip axis."""
     st, di, pl = strike * D2R, dip * D2R, plunge * D2R
 
     def rot(axis, ang):
@@ -285,8 +292,9 @@ def _rotate(verts: np.ndarray, strike: float, dip: float, plunge: float) -> np.n
 
     s_axis = np.array([np.sin(st), np.cos(st), 0.0])
     d_axis = np.array([np.cos(st), -np.sin(st), 0.0])
-    R = rot(s_axis, di) @ rot(d_axis, pl)
-    # strike orientation is already encoded in the axes
+    # local +x (east) -> strike direction
+    R_az = rot(np.array([0.0, 0.0, 1.0]), np.pi / 2.0 - st)
+    R = rot(s_axis, di) @ rot(d_axis, pl) @ R_az
     return verts @ R.T
 
 

@@ -185,7 +185,7 @@ def element_displacement(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2
     physical field.  BEM assembly is a host-side precompute, so this
     costs nothing on device.
     """
-    lam = mu if lam is None else lam
+    lam = 2.0 * mu * nu / (1.0 - 2.0 * nu) if lam is None else lam
     tri_np = np.asarray(tri, dtype=np.float64)
     n_vec = np.cross(tri_np[1] - tri_np[0], tri_np[2] - tri_np[0])
     n_vec = n_vec / np.linalg.norm(n_vec)
@@ -209,7 +209,7 @@ def element_stress(obs, tri, b, mu=33e9, nu=0.25, lam=None, level: int = 2,
     """Stress tensors (N, 3, 3) at ``obs`` from the element (autodiff of
     the displacement field over the receiver coordinate; float64, see
     :func:`element_displacement`)."""
-    lam = mu if lam is None else lam
+    lam = 2.0 * mu * nu / (1.0 - 2.0 * nu) if lam is None else lam
     tri_np = np.asarray(tri, dtype=np.float64)
     n_vec = np.cross(tri_np[1] - tri_np[0], tri_np[2] - tri_np[0])
     n_vec = n_vec / np.linalg.norm(n_vec)
@@ -285,7 +285,7 @@ def element_surface_displacement_halfspace(obs_xy, tri, b, mu=33e9, nu=0.25,
     Returns (N, 3) displacements (x=east, y=north, z-down) — callers flip
     the z sign for up-positive conventions.
     """
-    lam = mu if lam is None else lam
+    lam = 2.0 * mu * nu / (1.0 - 2.0 * nu) if lam is None else lam
     tri_np = np.asarray(tri, dtype=np.float64)
     n_vec = np.cross(tri_np[1] - tri_np[0], tri_np[2] - tri_np[0])
     n_vec = n_vec / np.linalg.norm(n_vec)
@@ -368,7 +368,7 @@ def interaction_matrix(meshes, boundary_conditions, nu=0.25, mu=33e9,
         tri = mesh.triangles[e]
         b = _slip_vector(mesh, e, component)
         sigma = np.asarray(element_stress(rec_points, tri, b, mu=mu, nu=nu,
-                                          lam=mu, level=level, medium=medium))
+                                          level=level, medium=medium))
         traction = np.einsum("nij,nj->ni", sigma, rec_normals)
         G[:, j] = np.einsum("ni,ni->n", traction, rec_dirs)
 
@@ -378,7 +378,7 @@ def interaction_matrix(meshes, boundary_conditions, nu=0.25, mu=33e9,
         near = np.where(dist < 2.0 * size)[0]
         if near.size:
             sigma_n = np.asarray(element_stress(
-                rec_points[near], tri, b, mu=mu, nu=nu, lam=mu,
+                rec_points[near], tri, b, mu=mu, nu=nu,
                 level=near_level, medium=medium))
             traction_n = np.einsum("nij,nj->ni", sigma_n, rec_normals[near])
             G[near, j] = np.einsum("ni,ni->n", traction_n, rec_dirs[near])
@@ -408,13 +408,19 @@ def displacement_matrix(meshes, coords, nu=0.25, mu=33e9, level: int = 3,
                 b = _slip_vector(mesh, e, bc.slip_component)
                 if surface:
                     disp = element_surface_displacement_halfspace(
-                        coords, mesh.triangles[e], b, mu=mu, nu=nu, lam=mu,
+                        coords, mesh.triangles[e], b, mu=mu, nu=nu,
                         level=level)
                     disp = np.stack([disp[:, 0], disp[:, 1], -disp[:, 2]],
                                     axis=-1)  # z-down -> up
                 else:
                     disp = element_displacement(
-                        coords, mesh.triangles[e], b, mu=mu, nu=nu, lam=mu,
+                        coords, mesh.triangles[e], b, mu=mu, nu=nu,
                         level=level, medium=medium)
+                    disp = np.asarray(disp)
+                    # volume kernels are in the z-down frame too: flip to
+                    # the documented (east, north, up) convention, same as
+                    # the surface branch
+                    disp = np.stack([disp[:, 0], disp[:, 1], -disp[:, 2]],
+                                    axis=-1)
                 cols.append(np.asarray(disp).reshape(-1))
     return np.stack(cols, axis=1)

@@ -75,7 +75,8 @@ def _divide_patch(patch: RectangularSource) -> list:
     t_vec = np.array([np.cos(st), -np.sin(st)])
     kwargs = dict(strike=patch.strike, dip=patch.dip, rake=patch.rake,
                   slip=patch.slip, anchor="top", velocity=patch.velocity,
-                  time=patch.time)
+                  time=patch.time,
+                  opening_fraction=patch.opening_fraction)
     if patch.length >= patch.width:
         half = patch.length / 2.0
         out = []
@@ -195,6 +196,12 @@ def optimize_discretization(reference_source, coords, los,
                     gen, len(patches), len(new_patches), len(chosen))
         patches = new_patches
 
+    if len(r_diag) != len(patches):
+        # loop exited via max_generations right after a division:
+        # recompute the resolution for the geometry actually returned
+        G = _build_G(patches, coords, los, nu)
+        centers = np.stack([p.center() for p in patches])
+        r_diag = np.diag(model_resolution(G, centers / KM, config.epsilon))
     sf = IrregularSubfault(plane=reference_source, patches=patches)
     fault = FaultGeometry(subfaults=[sf], components=["uparr", "uperp"])
     quality = float(np.mean(r_diag))

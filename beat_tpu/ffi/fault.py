@@ -119,9 +119,15 @@ class FaultGeometry:
     # -- slip/moment --------------------------------------------------------
 
     def patch_areas(self) -> np.ndarray:
-        return np.concatenate([
-            np.full(sf.npatches, sf.patch_length * sf.patch_width)
-            for sf in self.subfaults])
+        out = []
+        for sf in self.subfaults:
+            if hasattr(sf, "patch_length"):       # regular grid
+                out.append(np.full(sf.npatches,
+                                   sf.patch_length * sf.patch_width))
+            else:                                 # IrregularSubfault
+                out.append(np.array([p.length * p.width
+                                     for p in sf.patches]))
+        return np.concatenate(out)
 
     def moment(self, slips: np.ndarray, shear_modulus: float = 33e9) -> float:
         """Σ µ·A·s (reference moment/magnitude methods :284-475)."""
@@ -202,12 +208,16 @@ class FaultGeometry:
         lons = event_lon + centers[:, 0] / (d2r * r_earth * np.cos(event_lat * d2r))
         v_neu = velocities_from_pole(jnp.asarray(lats), jnp.asarray(lons),
                                      pole_lat, pole_lon, omega)
-        # project horizontal velocity onto the patch slip (rake) direction
+        # project horizontal velocity onto the patch slip (rake) direction:
+        # Aki & Richards rake — positive sin(rake) moves the hanging wall
+        # UP-dip (rake=90 reverse), so the dip-slip horizontal component
+        # points OPPOSITE the down-dip vector (matches the Okada U2 and
+        # uperp=rake+90 conventions used by the forward kernels)
         st = np.deg2rad(sf.plane.strike)
         ra = np.deg2rad(sf.plane.rake)
         s_vec = np.array([np.sin(st), np.cos(st)])       # E,N strike
-        d_vec = np.array([np.cos(st), -np.sin(st)]) * np.cos(np.deg2rad(sf.plane.dip))
-        rake_dir = np.cos(ra) * s_vec + np.sin(ra) * d_vec
+        down_dip = np.array([np.cos(st), -np.sin(st)]) * np.cos(np.deg2rad(sf.plane.dip))
+        rake_dir = np.cos(ra) * s_vec - np.sin(ra) * down_dip
         rake_dir = rake_dir / max(np.linalg.norm(rake_dir), 1e-12)
         v_en = jnp.stack([v_neu[:, 1], v_neu[:, 0]], axis=-1)
         return v_en @ jnp.asarray(rake_dir)
@@ -233,7 +243,18 @@ class FaultGeometry:
 
         blocks = []
         for sf in self.subfaults:
-            if correlation_function == "nearest_neighbor":
+            if correlation_function == "nearest_neighbor" and \
+                    not hasattr(sf, "n_strike"):
+                # irregular (resolution-discretized) subfaults have no
+                # strike/dip grid — use the distance-correlated operator
+                # (the reference does the same for varying patch sizes)
+                logger.info("nearest_neighbor smoothing needs a regular "
+                            "grid; using gaussian-correlated operator for "
+                            "the irregular subfault")
+                coords = sf.patch_centers_enz() / KM
+                blocks.append(get_smoothing_operator_correlated(
+                    coords, "gaussian"))
+            elif correlation_function == "nearest_neighbor":
                 blocks.append(get_smoothing_operator_nearest_neighbor(
                     sf.n_strike, sf.n_dip,
                     sf.patch_length / KM, sf.patch_width / KM))

@@ -335,6 +335,12 @@ class SeismicGFLibrary:
     # -- persistence (reference save/load ffi/base.py:161-390) ---------------
 
     def save(self, dirpath: str, name: str) -> None:
+        if self.data is None:
+            raise ValueError(
+                "cannot save a library whose 5-D data array was dropped "
+                "(with_stacking_layout(keep_data=False)) — save the "
+                "original library before converting, or rebuild with "
+                "keep_data=True")
         os.makedirs(dirpath, exist_ok=True)
         np.savez_compressed(
             os.path.join(dirpath, f"{name}.npz"),

@@ -55,6 +55,40 @@ class TestMeshes:
         mesh = src.discretize(200.0)
         np.testing.assert_allclose(mesh.areas.sum(), np.pi * 2000 * 800, rtol=0.02)
 
+    def test_ellipse_strike_rotates_major_axis(self):
+        """The a half-axis lies along strike: strike=0 -> north,
+        strike=90 -> east (previously strike was a no-op for flat
+        ellipses)."""
+        a, b = 2000.0, 800.0
+        m_n = EllipseBEMSource(depth=3e3, a_half_axis=a, b_half_axis=b,
+                               strike=0.0).discretize(300.0)
+        m_e = EllipseBEMSource(depth=3e3, a_half_axis=a, b_half_axis=b,
+                               strike=90.0).discretize(300.0)
+        vn = m_n.vertices - m_n.vertices.mean(axis=0)
+        ve = m_e.vertices - m_e.vertices.mean(axis=0)
+        assert np.abs(vn[:, 1]).max() > 1.9e3 and np.abs(vn[:, 0]).max() < 1e3
+        assert np.abs(ve[:, 0]).max() > 1.9e3 and np.abs(ve[:, 1]).max() < 1e3
+        # and strike=45 differs from both
+        m_45 = EllipseBEMSource(depth=3e3, a_half_axis=a, b_half_axis=b,
+                                strike=45.0).discretize(300.0)
+        assert np.abs(m_45.vertices - m_n.vertices).max() > 100.0
+
+    def test_curved_downdip_profile_spans_width(self):
+        """Down-dip curvature fraction is measured along the dip vector:
+        for dip=30 the profile must still span 0..1 (previously it only
+        reached sin(dip), mislocating the curvature minimum)."""
+        bent = CurvedBEMSource(depth=3e3, length=4e3, width=2e3, dip=30.0,
+                               curv_amplitude_bottom=0.2,
+                               curv_location_bottom=0.0).discretize(500.0)
+        flat = RectangularBEMSource(depth=3e3, length=4e3, width=2e3,
+                                    dip=30.0).discretize(500.0)
+        off = np.linalg.norm(bent.vertices - flat.vertices, axis=1)
+        # bottom edge (max depth) fraction must reach 1.0: offset =
+        # amplitude * width * 1^2 = 400 m; top edge stays put
+        z = flat.vertices[:, 2]
+        np.testing.assert_allclose(off[z > z.max() - 1.0], 400.0, rtol=0.05)
+        np.testing.assert_allclose(off[z < z.min() + 1.0], 0.0, atol=1e-6)
+
     def test_ringfault_area(self):
         src = RingfaultBEMSource(depth=1e3, diameter=2e3, height=1e3)
         mesh = src.discretize(150.0)
@@ -195,6 +229,44 @@ class TestEngine:
         assert np.all(np.isfinite(disp))
         mag = resp.derived_magnitude()
         assert 3.0 < mag < 6.0
+
+    def test_penny_crack_non_default_poisson(self):
+        """nu != 0.25 must stay elastically consistent: lambda is derived
+        from nu in the moment density and Hooke's law (previously
+        hard-wired to lambda=mu, i.e. nu=0.25, regardless of the
+        configured Poisson ratio)."""
+        mu, nu, p, a = 33e9, 0.3, 10.0, 1000.0
+        engine = BEMEngine([BoundaryCondition("normal", [0], [0], traction=p)],
+                           mesh_size=450.0, poissons_ratio=nu,
+                           shear_modulus=mu, check_mesh_intersection=False,
+                           medium="fullspace", quadrature_level=1,
+                           near_quadrature_level=5)
+        resp = engine.process([DiskBEMSource(depth=50e3, a_half_axis=a)],
+                              np.array([[0.0, 0.0]]))
+        assert resp.is_valid
+        mesh = resp.meshes[0]
+        r = np.linalg.norm(mesh.centroids[:, :2], axis=1)
+        d0 = 4 * (1 - nu) * p * 1e6 * a / (np.pi * mu)
+        inner = r < 0.4 * a
+        np.testing.assert_allclose(np.abs(resp.slips[inner]).mean(), d0,
+                                   rtol=0.12)
+
+    def test_buried_observation_up_convention(self):
+        """3-D observation points return (east, north, UP) like the
+        surface branch: just below the free surface the two must agree."""
+        from beat_tpu.bem.tde import displacement_matrix
+
+        src = DiskBEMSource(depth=3e3, a_half_axis=800.0)
+        mesh = src.discretize(400.0)
+        bcs = [BoundaryCondition("normal", [0], [0], traction=1.0)]
+        obs2d = np.array([[500.0, 0.0], [0.0, 1500.0]])
+        obs3d = np.column_stack([obs2d, np.full(2, 1.0)])  # 1 m deep
+        D2 = displacement_matrix([mesh], obs2d, boundary_conditions=bcs,
+                                 medium="halfspace")
+        D3 = displacement_matrix([mesh], obs3d, boundary_conditions=bcs,
+                                 medium="halfspace")
+        # same sign and ~same value for every (obs, component, column)
+        np.testing.assert_allclose(D3, D2, rtol=0.05, atol=1e-18)
 
     def test_shallow_sill_free_surface_amplification(self):
         """A horizontal pressurized crack at depth ~ its radius opens

@@ -114,6 +114,30 @@ class TestOptimizeDiscretization:
         L = fault.get_smoothing_operator("gaussian")
         assert L.shape == (fault.npatches, fault.npatches)
         np.testing.assert_allclose(L.sum(axis=0), 0.0, atol=1e-9)
+        # nearest_neighbor has no grid on irregular faults: falls back to
+        # the correlated operator instead of crashing
+        L2 = fault.get_smoothing_operator("nearest_neighbor")
+        assert L2.shape == (fault.npatches, fault.npatches)
+
+    def test_irregular_fault_moment_and_rdiag_consistent(self, scene):
+        """moment/magnitude/patch_areas work on resolution-discretized
+        faults, and diag(R) matches the returned patch count even when
+        the generation cap ends the loop right after a division."""
+        src, coords, los = scene
+        config = ResolutionDiscretizationConfig(
+            epsilon=0.05, patch_lengths_min=1e3, patch_widths_min=1e3,
+            patch_lengths_max=8e3, patch_widths_max=8e3)
+        fault, r_diag, quality = optimize_discretization(
+            src, coords, los, config, max_generations=1)
+        assert len(r_diag) == fault.npatches
+        areas = fault.patch_areas()
+        assert areas.shape == (fault.npatches,)
+        np.testing.assert_allclose(areas.sum(), src.length * src.width,
+                                   rtol=1e-6)
+        slips = np.ones(fault.npatches)
+        m = fault.moment(slips)
+        np.testing.assert_allclose(m, 33e9 * areas.sum(), rtol=1e-6)
+        assert 4.0 < fault.magnitude(slips) < 9.0
 
 
 @pytest.mark.slow

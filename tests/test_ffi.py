@@ -110,6 +110,29 @@ class TestFaultGeometry:
         assert times.min() == 0.0
         assert times.max() < 12e3 / 3000.0 * 2  # bounded by fault length / v
 
+    def test_euler_backslip_sign_thrust(self):
+        """Aki & Richards rake: for a pure thrust (rake=90) a plate
+        velocity pointing UP-dip projects POSITIVELY onto the slip
+        direction (previously the dip-slip projection used the down-dip
+        vector, flipping the sign of signed backslip rates)."""
+        ref = RectangularSource(depth=5e3, strike=0.0, dip=30.0, rake=90.0,
+                                length=12e3, width=8e3, slip=1.0)
+        fault = discretize_sources([ref], patch_length=4e3, patch_width=4e3)
+        rates = np.asarray(fault.euler_pole2slips(
+            pole_lat=45.0, pole_lon=0.3, omega=1.0,
+            event_lat=0.0, event_lon=0.5))
+        # strike=0, rake=90 (pure thrust): up-dip horizontal = -east, so
+        # the backslip rate must equal MINUS the east velocity component
+        from beat_tpu.heart.corrections import velocities_from_pole
+
+        import jax.numpy as jnp
+
+        v = np.asarray(velocities_from_pole(jnp.asarray([0.0]),
+                                            jnp.asarray([0.5]),
+                                            45.0, 0.3, 1.0))  # (1, NEU)
+        assert abs(v[0, 1]) > 0
+        assert np.all(np.sign(rates) == -np.sign(v[0, 1]))
+
     def test_ordering(self):
         fault = self.make_fault()
         ordering = fault.ordering
