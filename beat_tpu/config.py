@@ -988,7 +988,8 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
         composites["seismic"] = build_seismic_composite(
             config.seismic_config, project_dir, sources,
             events=config.events if config.subevents else None,
-            finite_patches=pc.finite_patches("seismic"))
+            finite_patches=pc.finite_patches("seismic"),
+            stf_type=pc.stf_type)
     if "polarity" in pc.datatypes and config.polarity_config is not None:
         from beat_tpu.models.polarity import PolarityComposite, PolarityMapping
 

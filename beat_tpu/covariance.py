@@ -218,17 +218,24 @@ class SeismicNoiseAnalyser:
 
     def get_data_covariance(self, ydata: np.ndarray, dt: float,
                             arrival_index: int | None = None,
-                            residual: np.ndarray | None = None) -> np.ndarray:
+                            residual: np.ndarray | None = None,
+                            noise: np.ndarray | None = None) -> np.ndarray:
+        """Covariance over the samples of ``ydata`` (the FIT window — the
+        returned matrix is (ydata.size, ydata.size)).  ``noise``: the
+        pre-arrival noise segment setting the variance level; without it
+        the first ``arrival_index``/``pre_arrival_time`` samples of
+        ``ydata`` are used."""
         n = ydata.size
-        if self.structure == "variance":
-            cut = arrival_index if arrival_index is not None else max(2, int(self.pre_arrival_time / dt))
+        if noise is None:
+            cut = (arrival_index if arrival_index is not None
+                   else max(2, int(self.pre_arrival_time / dt)))
             noise = ydata[:cut]
-            var = float(np.var(noise)) if noise.size > 1 else float(np.var(ydata))
-            var = max(var, 1e-30)
+        var = float(np.var(noise)) if noise.size > 1 else float(np.var(ydata))
+        var = max(var, 1e-30)
+        if self.structure == "variance":
             return np.eye(n) * var
         elif self.structure == "exponential":
-            var = float(np.var(ydata))
-            return exponential_data_covariance(n, dt, tzero=max(dt * 4, 0.5)) * max(var, 1e-30)
+            return exponential_data_covariance(n, dt, tzero=max(dt * 4, 0.5)) * var
         elif self.structure == "non-toeplitz":
             res = residual if residual is not None else ydata
             return non_toeplitz_covariance(res, window_size=max(4, res.size // 5))
@@ -292,20 +299,23 @@ def seismic_cov_velocity_models(composite, point: dict, ensemble_tables,
     import jax.numpy as jnp
 
     wmap = composite.wavemaps[wmap_idx]
-    base_table = wmap.table
     base_dev = composite._device[wmap_idx]
     jpoint = {k: jnp.asarray(v) for k, v in point.items()}
     preds = []
     try:
         for table in ensemble_tables:
-            # the forward reads the device bundle, not wmap.table — swap
-            # the table and rebuild the bundle (same fit windows: the
-            # window starts/tapers stay those of the reference model)
-            wmap.table = table
-            composite._device[wmap_idx] = composite._wavemap_device(wmap)
+            # the forward reads the device bundle — swap only the two
+            # table-dependent entries (same fit windows: window starts/
+            # tapers stay those of the reference model).  Rebuilding the
+            # whole bundle would re-factorize every dataset covariance
+            # (O(n³) Choleskys) per ensemble member for nothing.
+            dev = dict(base_dev)
+            dev["table"] = table
+            dev["win_basis"] = table.windowed_ibasis(
+                wmap.window_starts, wmap.taper_window, wmap.nsamples_win)
+            composite._device[wmap_idx] = dev
             preds.append(np.asarray(composite.synthetics_fit(jpoint, wmap_idx)))
     finally:
-        wmap.table = base_table
         composite._device[wmap_idx] = base_dev
     preds = np.stack(preds)  # (n_models, ntargets, nsamples)
     return [prediction_covariance_from_ensemble(preds[:, i])

@@ -61,7 +61,7 @@ def multivariate_normal_chol_batched(residuals, chol_inverses, slog_pdets, hyper
     return -0.5 * (slog_pdets + norm + jnp.exp(-2.0 * hyperparams) * quad)
 
 
-def hyper_normal(residuals_fixed, chol_inverses, slog_pdets, hyperparams, nsamples):
+def hyper_normal(residuals_fixed, slog_pdets, hyperparams, nsamples):
     """
     Hyperparameter-only likelihood on fixed residuals (reference
     ``distributions.py:176``): identical math, but residual weighting can be

@@ -175,7 +175,7 @@ class WaveformMapping:
         start_times = self.arrival_times + self.taper.a - self.table.t0
         self.window_starts = np.clip(
             np.round(start_times / dt).astype(np.int32),
-            0, self.table.nt - self.nsamples_win - 1)
+            0, self.table.nt - self.nsamples_win)
         self.taper_window = self.taper.window(dt)
         # observed traces (assumed restituted to `quantity` already) see
         # the plain bandpass; synthetics from the displacement GF tables
@@ -229,11 +229,12 @@ class WaveformMapping:
                 # window noise level × sqrt(n)
                 cov = np.eye(self.nsamples_fit) * max(var, 1e-30) * self.nsamples_win
             else:
-                cov = analyser.get_data_covariance(
-                    filtered[:start + self.nsamples_win], dt,
-                    arrival_index=pre_arrival_idx)
-                if cov.shape[0] != self.nsamples_win:
-                    cov = np.eye(self.nsamples_win) * max(var, 1e-30)
+                # covariance over the FIT WINDOW samples, variance level
+                # from the pre-arrival noise segment (passing the full
+                # trace prefix here would size the matrix start+nwin and
+                # silently lose the configured structure)
+                window = filtered[start:start + self.nsamples_win]
+                cov = analyser.get_data_covariance(window, dt, noise=noise)
             ds.covariance = Covariance(data=cov)
 
     def get_station_names(self) -> list:

@@ -254,7 +254,10 @@ class GeodeticBEMComposite(GeodeticComposite):
         synth = self.synthetics_los(fixed_point)
         llk = 0.0
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            res = (data["data"][slc] - synth[slc]) * data["odw"][slc]
+            # same residual as loglike, corrections included — hypers must
+            # see the residuals the main sampler sees
+            corr = self._correction_displacement(fixed_point, ds, slc, data)
+            res = (data["data"][slc] - synth[slc] - corr) * data["odw"][slc]
             llk = llk + multivariate_normal_chol(
                 res, data["weights"][i], data["slog_pdets"][i],
                 self._hyper_of(point, i, ds))

@@ -87,6 +87,23 @@ class GeodeticDistributerComposite(Composite):
                 self._hyper_of(point, i, ds))
         return llk
 
+    def hyper_data(self, fixed_point: dict, data=None):
+        """Precomputed ``||W r||²`` terms for the hyper-only posterior
+        (one GF stack at ``fixed_point``; see ``hyper_normal``)."""
+        data = self._device if data is None else data
+        synth = self.synthetics_los(fixed_point, data)
+        wrw, pds, ns, names = [], [], [], []
+        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
+            res = (data["data"][slc] - synth[slc]) * data["odw"][slc]
+            tmp = data["weights"][i] @ res
+            wrw.append(jnp.dot(tmp, tmp))
+            pds.append(jnp.asarray(data["slog_pdets"][i]))
+            ns.append(float(ds.samples))
+            names.append(f"h_{ds.typ}_{i}" if self.hp_specific
+                         else f"h_{ds.typ}")
+        return (jnp.stack(wrw), jnp.stack(pds),
+                jnp.asarray(ns, dtype=jnp.float32), names)
+
     def get_synthetics(self, point: dict):
         point = {k: jnp.asarray(v) for k, v in point.items()}
         synth = np.asarray(self.synthetics_los(point))
@@ -307,6 +324,27 @@ class SeismicDistributerComposite(Composite):
                 self._hyper_vector(point, wmap), dev["nsamples"])
             total = total + jnp.sum(llks)
         return total
+
+    def hyper_data(self, fixed_point: dict, data=None):
+        """Precomputed fixed-residual terms for the hyper-only posterior
+        (one 5-D stack at ``fixed_point``; see ``hyper_normal``)."""
+        data = self._device if data is None else data
+        wrw, pds, ns, names = [], [], [], []
+        for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
+            dev = data[w_idx]
+            synth = self.synthetics_fit(fixed_point, w_idx, data)
+            res = dev["data"] - synth
+            tmp = jnp.einsum("dij,dj->di", dev["weights"], res)
+            wrw.append(jnp.sum(tmp * tmp, axis=-1))
+            pds.append(dev["slog_pdets"])
+            ns.append(dev["nsamples"])
+            if self.hp_specific:
+                names.extend(f"{wmap.hypername}_{i}"
+                             for i in range(wmap.ntargets))
+            else:
+                names.extend([wmap.hypername] * wmap.ntargets)
+        return (jnp.concatenate(wrw), jnp.concatenate(pds),
+                jnp.concatenate(ns), names)
 
     def get_synthetics(self, point: dict):
         point = {k: jnp.asarray(v) for k, v in point.items()}

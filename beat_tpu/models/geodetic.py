@@ -76,7 +76,11 @@ class GeodeticComposite(Composite):
             return
         synth = np.asarray(self.synthetics_los_np(point))
         for ds, slc in zip(self.datasets, self.stack.slices):
-            residual = self.stack.displacement[slc] - synth[slc]
+            # subtract the sampled correction displacements exactly as
+            # loglike does — otherwise ramps/plate motions are absorbed
+            # into the re-estimated noise covariance
+            corr = np.asarray(self._correction_displacement(point, ds, slc))
+            residual = self.stack.displacement[slc] - synth[slc] - corr
             ds.covariance.data = self.noise_analyser.get_data_covariance(
                 ds.coords, ds.displacement, residual=residual)
         self._update_device_arrays()
@@ -151,6 +155,27 @@ class GeodeticComposite(Composite):
                 self._hyper_of(point, i, ds))
         return llk
 
+    def hyper_data(self, fixed_point: dict, data=None):
+        """Precomputed fixed-residual terms for the hyper-only posterior
+        (reference ``hyper_normal``, ``models/distributions.py:176``):
+        one forward at ``fixed_point``, then every hyper draw is O(D).
+        Returns (``||W r||²`` (D,), slog_pdets (D,), nsamples (D,),
+        per-dataset hyper names)."""
+        data = self._device if data is None else data
+        synth = self.synthetics_los(fixed_point, data)
+        wrw, pds, ns, names = [], [], [], []
+        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
+            corr = self._correction_displacement(fixed_point, ds, slc, data)
+            res = (data["data"][slc] - synth[slc] - corr) * data["odw"][slc]
+            tmp = data["weights"][i] @ res
+            wrw.append(jnp.dot(tmp, tmp))
+            pds.append(jnp.asarray(data["slog_pdets"][i]))
+            ns.append(float(ds.samples))
+            names.append(f"h_{ds.typ}_{i}" if self.hp_specific
+                         else f"h_{ds.typ}")
+        return (jnp.stack(wrw), jnp.stack(pds),
+                jnp.asarray(ns, dtype=jnp.float32), names)
+
     # -- diagnostics --------------------------------------------------------
 
     def get_synthetics(self, point: dict) -> dict:
@@ -163,7 +188,9 @@ class GeodeticComposite(Composite):
         synth = np.asarray(self.synthetics_los_np(point))
         out = {}
         for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            res = (self.stack.displacement[slc] - synth[slc]) * self.stack.odw[slc]
+            corr = np.asarray(self._correction_displacement(point, ds, slc))
+            res = (self.stack.displacement[slc] - synth[slc] - corr) \
+                * self.stack.odw[slc]
             out[ds.name] = ds.covariance.chol_inverse @ res
         return out
 
@@ -171,8 +198,9 @@ class GeodeticComposite(Composite):
         synth = np.asarray(self.synthetics_los_np(point))
         out = {}
         for ds, slc in zip(self.datasets, self.stack.slices):
+            corr = np.asarray(self._correction_displacement(point, ds, slc))
             obs = self.stack.displacement[slc]
-            res = obs - synth[slc]
+            res = obs - synth[slc] - corr
             out[ds.name] = 1.0 - (res @ res) / max(obs @ obs, 1e-30)
         return out
 
@@ -324,7 +352,7 @@ class GeodeticGeometryComposite(GeodeticComposite):
                 east_p, north_p, depth_p, _, _ = rectangular_patch_grid(
                     get("strike"), get("dip"), length, width,
                     get("east_shift"), get("north_shift"), get("depth"),
-                    np_l, np_w)
+                    np_l, np_w, anchor=src.anchor)
                 area = length * width / (np_l * np_w)
                 slip_total = get("slip")
                 frac = get("opening_fraction")

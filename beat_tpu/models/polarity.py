@@ -80,8 +80,13 @@ class PolarityComposite(Composite):
         self.maps = list(maps)
         self.sources = list(sources)
         self.gamma = gamma
+        if not self.sources:
+            raise ValueError(
+                "PolarityComposite needs at least one source template "
+                "(the radiation pattern has nothing to evaluate without "
+                "one)")
         for m in self.maps:
-            if not (0 <= m.event_idx < max(len(self.sources), 1)):
+            if not (0 <= m.event_idx < len(self.sources)):
                 raise ValueError(
                     f"polarity map {m.hypername}: event_idx {m.event_idx} "
                     f"outside [0, {len(self.sources)})")

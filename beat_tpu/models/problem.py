@@ -97,16 +97,39 @@ class Problem:
     def make_hyper_logp_fn(self, fixed_point: dict):
         """Hyperparameter-only posterior with residuals frozen at
         ``fixed_point`` (reference ``built_hyper_model`` :261).
-        Returns ``(logp, data)`` like :meth:`make_logp_fn`."""
+        Returns ``(logp, data)`` like :meth:`make_logp_fn`.
+
+        Composites exposing ``hyper_data`` get their weighted residual
+        norms precomputed ONCE here (one forward synthesis total), so a
+        hyper draw costs O(n_datasets) instead of a full forward per
+        draw (reference fixed-residual ``hyper_normal``,
+        ``models/distributions.py:176``); others fall back to
+        ``hyper_loglike``."""
+        from beat_tpu.distributions import hyper_normal
+
         ordering = self.ordering
         comps = list(self.composites.values())
         fixed = {k: jnp.asarray(v) for k, v in fixed_point.items()}
 
+        precomp = []       # (wrw, slog_pdets, nsamples, hyper names)
+        fallback = []      # indexes into comps/data
+        for ci, comp in enumerate(comps):
+            hd = getattr(comp, "hyper_data", None)
+            if hd is not None:
+                precomp.append(hd(fixed))
+            else:
+                fallback.append(ci)
+
         def logp(q, data):
             point = ordering.to_point(q)
             total = 0.0
-            for comp, d in zip(comps, data):
-                total = total + comp.hyper_loglike(point, fixed, d)
+            for wrw, pds, ns, names in precomp:
+                hs = jnp.stack([jnp.reshape(jnp.asarray(
+                    point.get(n, 0.0)), ()) for n in names])
+                total = total + jnp.sum(hyper_normal(wrw, pds, hs, ns))
+            for ci in fallback:
+                total = total + comps[ci].hyper_loglike(point, fixed,
+                                                        data[ci])
             return total
 
         return logp, self.logp_data()

@@ -120,7 +120,8 @@ def double_dc_m6_pair(get):
 
 def finite_rectangular_spectra(table, get, station_east, station_north,
                                comp_idx, stf_type, filter_response,
-                               n_patches=(4, 4), shear_modulus=None):
+                               n_patches=(4, 4), shear_modulus=None,
+                               anchor: str = "top"):
     """
     Finite-source waveform spectra of a RectangularSource: the plane is
     discretized into a fixed ``n_patches`` grid of point sources, each
@@ -153,7 +154,7 @@ def finite_rectangular_spectra(table, get, station_east, station_north,
     np_l, np_w = n_patches
     east_p, north_p, depth_p, along, down = rectangular_patch_grid(
         get("strike"), get("dip"), length, width, get("east_shift"),
-        get("north_shift"), get("depth"), np_l, np_w)
+        get("north_shift"), get("depth"), np_l, np_w, anchor=anchor)
 
     nuc_along = get("nucleation_x") * length / 2.0
     nuc_down = (get("nucleation_y") + 1.0) / 2.0 * width
@@ -303,7 +304,7 @@ class SeismicGeometryComposite(Composite):
                 spec = finite_rectangular_spectra(
                     table, get, dev["station_east"], dev["station_north"],
                     dev["comp_idx"], self.stf_type, dev["filter"],
-                    n_patches=self.finite_patches)
+                    n_patches=self.finite_patches, anchor=src.anchor)
             elif isinstance(src, DoubleDCSource):
                 # two point DCs at +-distance/2 along azimuth, the second
                 # offset by delta_depth/delta_time (pyrocko DoubleDCSource)
@@ -417,6 +418,28 @@ class SeismicGeometryComposite(Composite):
             total = total + jnp.sum(llks)
         return total
 
+    def hyper_data(self, fixed_point: dict, data=None):
+        """Precomputed fixed-residual terms for the hyper-only posterior:
+        one full synthesis at ``fixed_point``, then hyper draws cost
+        O(ntargets) (``distributions.hyper_normal``)."""
+        data = self._device if data is None else data
+        wrw, pds, ns, names = [], [], [], []
+        for w_idx, wmap in enumerate(self.wavemaps):
+            dev = data[w_idx]
+            synth = self.synthetics_fit(fixed_point, w_idx, data)
+            res = dev["data"] - synth
+            tmp = jnp.einsum("dij,dj->di", dev["weights"], res)
+            wrw.append(jnp.sum(tmp * tmp, axis=-1))
+            pds.append(dev["slog_pdets"])
+            ns.append(dev["nsamples"])
+            if self.hp_specific:
+                names.extend(f"{wmap.hypername}_{i}"
+                             for i in range(wmap.ntargets))
+            else:
+                names.extend([wmap.hypername] * wmap.ntargets)
+        return (jnp.concatenate(wrw), jnp.concatenate(pds),
+                jnp.concatenate(ns), names)
+
     # -- updates / diagnostics ----------------------------------------------
 
     def update_weights(self, point: dict) -> None:
@@ -434,9 +457,12 @@ class SeismicGeometryComposite(Composite):
 
         for w_idx, wmap in enumerate(self.wavemaps):
             if non_toeplitz:
-                synth = np.asarray(self.synthetics_windows(
+                # residuals in FIT space: time windows, or amplitude
+                # spectra for domain='spectrum' — the covariance must be
+                # (nsamples_fit, nsamples_fit) to match the weights
+                synth = np.asarray(self.synthetics_fit(
                     {k: jnp.asarray(v) for k, v in point.items()}, w_idx))
-                res = wmap.data_windows - synth
+                res = wmap.data_fit - synth
                 for i, ds in enumerate(wmap.datasets):
                     cov = ds.covariance if ds.covariance is not None else Covariance()
                     cov.data = non_toeplitz_covariance(
@@ -468,10 +494,12 @@ class SeismicGeometryComposite(Composite):
         return out
 
     def get_standardized_residuals(self, point: dict) -> dict:
-        synths = self.get_synthetics(point)
+        point_j = {k: jnp.asarray(v) for k, v in point.items()}
         out = {}
         for w_idx, wmap in enumerate(self.wavemaps):
-            res = wmap.data_windows - synths[wmap.mapid]
+            # fit-space residuals: the whitening weights live there
+            synth = np.asarray(self.synthetics_fit(point_j, w_idx))
+            res = wmap.data_fit - synth
             out[wmap.mapid] = np.stack([
                 ds.covariance.chol_inverse @ res[i]
                 for i, ds in enumerate(wmap.datasets)])
@@ -479,7 +507,8 @@ class SeismicGeometryComposite(Composite):
 
 
 def build_seismic_composite(seismic_config, project_dir, sources,
-                            event=None, events=None, finite_patches=None):
+                            event=None, events=None, finite_patches=None,
+                            stf_type: str = "HalfSinusoid"):
     """
     Construct the composite from config + project data (CLI path;
     reference ``SeismicComposite.__init__`` + ``init_datahandler``/
@@ -603,7 +632,7 @@ def build_seismic_composite(seismic_config, project_dir, sources,
                     "windowed-iDFT forward is numerically the pre-cut "
                     "path, so this flag has no effect")
     return SeismicGeometryComposite(
-        wavemaps, sources,
+        wavemaps, sources, stf_type=stf_type,
         hp_specific=getattr(seismic_config,
                             "dataset_specific_residual_noise_estimation", False),
         noise_analyser=analyser,

@@ -544,15 +544,21 @@ stf_catalog = {
 
 
 def rectangular_patch_grid(strike, dip, length, width, east_shift,
-                           north_shift, depth, n_length: int, n_width: int):
+                           north_shift, depth, n_length: int, n_width: int,
+                           anchor: str = "top"):
     """
-    Traced patch-center grid of a RectangularSource (anchor 'top' =
-    top-center, reference anchor handling ``beat/sources.py:118-157``).
+    Traced patch-center grid of a RectangularSource (reference anchor
+    handling ``beat/sources.py:118-157``: the given position is the
+    plane's 'top' (top-center), 'center' or 'bottom' point).
 
     Returns (east, north, depth, along, down): flat (n_length·n_width,)
     arrays; ``along`` measured from the plane center along strike,
-    ``down`` from the top edge down dip (both [m]).
+    ``down`` from the TOP edge down dip (both [m]) regardless of anchor.
     """
+    try:
+        anchor_frac = {"top": 0.0, "center": 0.5, "bottom": 1.0}[anchor]
+    except KeyError:
+        raise ValueError(f"Unknown anchor {anchor!r} (top|center|bottom)")
     st = jnp.deg2rad(strike)
     di = jnp.deg2rad(dip)
     along = ((jnp.arange(n_length) + 0.5) / n_length - 0.5)
@@ -560,7 +566,8 @@ def rectangular_patch_grid(strike, dip, length, width, east_shift,
     along, down = [a.ravel() for a in jnp.meshgrid(along, down)]
     along = along * length
     down = down * width
-    east = east_shift + jnp.sin(st) * along + jnp.cos(di) * jnp.cos(st) * down
-    north = north_shift + jnp.cos(st) * along - jnp.cos(di) * jnp.sin(st) * down
-    depth_p = depth + jnp.sin(di) * down
+    down_rel = down - anchor_frac * width   # from the anchored point
+    east = east_shift + jnp.sin(st) * along + jnp.cos(di) * jnp.cos(st) * down_rel
+    north = north_shift + jnp.cos(st) * along - jnp.cos(di) * jnp.sin(st) * down_rel
+    depth_p = depth + jnp.sin(di) * down_rel
     return east, north, depth_p, along, down

@@ -67,7 +67,7 @@ def test_hyper_normal_consistency(dataset):
     pdet = log_determinant(C)
     h = 0.4
     quad = float((W @ r) @ (W @ r))
-    got = float(hyper_normal(jnp.asarray([quad]), None, jnp.asarray([pdet]),
+    got = float(hyper_normal(jnp.asarray([quad]), jnp.asarray([pdet]),
                              jnp.asarray([h]), jnp.asarray([r.size]))[0])
     want = scipy_llk(C, r, h)
     np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -94,6 +94,22 @@ class TestGeodeticInversion:
 
 
 class TestHyperEstimation:
+    def test_hyper_logp_matches_direct(self, tmp_path):
+        """The precomputed hyper-only posterior (hyper_normal on frozen
+        ||W r||²) equals the direct hyper_loglike evaluation."""
+        problem = make_problem(tmp_path)
+        fixed = problem.priors.test_point()
+        logp_fn, data = problem.make_hyper_logp_fn(fixed)
+        rng = np.random.default_rng(2)
+        lower, upper = problem.priors.bounds_arrays()
+        q = jnp.asarray(rng.uniform(lower, upper), dtype=jnp.float32)
+        got = float(logp_fn(q, data))
+        point = problem.ordering.to_point(q)
+        fixed_j = {k: jnp.asarray(v) for k, v in fixed.items()}
+        comp = problem.composites["geodetic"]
+        want = float(comp.hyper_loglike(point, fixed_j))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
     def test_hyper_bounds_rewritten(self, tmp_path):
         problem = make_problem(tmp_path)
         # add explicit deviation: noise hyper exists in space
@@ -122,6 +138,34 @@ class TestCorrections:
         logp = lambda q: logp_fn(q, data)
         q = problem.priors.test_array()
         assert np.isfinite(float(logp(jnp.asarray(q))))
+
+    def test_diagnostics_subtract_corrections(self, tmp_path):
+        """VR / standardized residuals / update_weights use the same
+        corrected residual as loglike: data = synth + ramp with the ramp
+        parameters in the point must give VR ≈ 1 (previously the ramp
+        stayed in the diagnostic residual)."""
+        from beat_tpu.heart.corrections import (RampCorrection,
+                                                get_ramp_displacement)
+
+        ds = make_scene(seed=9)
+        src = RectangularSource(**TRUE, **FIXED)
+        synth_los = np.asarray(
+            (src.surface_displacement(jnp.asarray(ds.coords))
+             * ds.los_vector).sum(axis=1))
+        az, rg, off = 2e-6, -1e-6, 0.004
+        ramp = np.asarray(get_ramp_displacement(
+            ds.coords[:, 0], ds.coords[:, 1], az, rg, off))
+        ds.displacement = synth_los + ramp
+        comp = GeodeticGeometryComposite(
+            [ds], [src], corrections=[RampCorrection(dataset_name=ds.name)])
+        point = {"scene_asc_azimuth_ramp": az, "scene_asc_range_ramp": rg,
+                 "scene_asc_offset": off}
+        vr = comp.get_variance_reductions(point)
+        assert vr[ds.name] > 0.999, vr
+        std = comp.get_standardized_residuals(point)
+        # ramp left in the residual would standardize to O(10); the
+        # corrected residual is float32 round-off
+        assert np.abs(std[ds.name]).max() < 0.1
 
 
 class TestMogi:

@@ -566,6 +566,79 @@ class TestFilterChain:
             build_filterer(FilterConfig(type="nope"))
 
 
+class TestBuildPathWiring:
+    def test_stf_type_forwarded(self, tmp_path, table):
+        """ProblemConfig.stf_type reaches the geometry composite
+        (previously silently replaced by the HalfSinusoid default)."""
+        from beat_tpu.config import (dump_config, init_config, load_config,
+                                     problem_from_config)
+        from beat_tpu.inputf import save_seismic_datasets
+
+        from beat_tpu.config import ArrivalTaperConfig, FilterConfig
+
+        pdir = str(tmp_path / "p")
+        config = init_config("p", pdir, source_types=("DCSource",),
+                             n_sources=(1,), datatypes=("seismic",))
+        config.problem_config.stf_type = "Triangular"
+        config.seismic_config.waveforms[0].arrival_taper = \
+            ArrivalTaperConfig(a=-3.0, b=-1.5, c=15.0, d=18.0)
+        config.seismic_config.waveforms[0].filterer = \
+            FilterConfig(0.02, 0.5, 3)
+        dump_config(config, pdir)
+        datasets = [SeismicDataset(station="S0", channel="Z", east=50e3,
+                                   north=0.0, ydata=np.zeros(table.nt))]
+        save_seismic_datasets(datasets, pdir)
+        table.save(pdir + "/gf_table.npz")
+        problem = problem_from_config(load_config(pdir), pdir)
+        assert problem.composites["seismic"].stf_type == "Triangular"
+
+    def test_exponential_noise_structure_kept(self, table):
+        """analyse_noise with a non-'variance' structure yields a
+        window-sized covariance with the configured structure (previously
+        a shape mismatch silently degraded it to white noise)."""
+        from beat_tpu.covariance import SeismicNoiseAnalyser
+
+        rng = np.random.default_rng(8)
+        datasets = [SeismicDataset(station="S0", channel="Z", east=60e3,
+                                   north=0.0,
+                                   ydata=rng.normal(0, 1e-6, table.nt))]
+        wmap = WaveformMapping(
+            name="any_P", datasets=datasets, table=table,
+            taper=ArrivalTaper(a=-3.0, b=-1.5, c=15.0, d=18.0),
+            filterer=Filter(lower_corner=0.02, upper_corner=0.5, order=3))
+        wmap.analyse_noise(SeismicNoiseAnalyser(structure="exponential"))
+        cov = datasets[0].covariance.data
+        assert cov.shape == (wmap.nsamples_win, wmap.nsamples_win)
+        # exponential structure: nonzero off-diagonal correlation
+        assert cov[0, 1] > 0.1 * cov[0, 0]
+
+
+def test_patch_grid_anchor_conventions():
+    """rectangular_patch_grid honors top/center/bottom anchors: the
+    grid's mean depth moves accordingly (previously everything was
+    treated as 'top')."""
+    from beat_tpu.sources import rectangular_patch_grid
+
+    kw = dict(strike=30.0, dip=60.0, length=8e3, width=4e3,
+              east_shift=0.0, north_shift=0.0, depth=6e3,
+              n_length=4, n_width=4)
+    _, _, d_top, _, down = rectangular_patch_grid(**kw, anchor="top")
+    _, _, d_cen, _, _ = rectangular_patch_grid(**kw, anchor="center")
+    _, _, d_bot, _, _ = rectangular_patch_grid(**kw, anchor="bottom")
+    sd = np.sin(np.deg2rad(60.0))
+    np.testing.assert_allclose(np.mean(np.asarray(d_top)),
+                               6e3 + sd * 2e3, rtol=1e-6)
+    np.testing.assert_allclose(np.mean(np.asarray(d_cen)), 6e3, rtol=1e-6)
+    np.testing.assert_allclose(np.mean(np.asarray(d_bot)),
+                               6e3 - sd * 2e3, rtol=1e-6)
+    # 'down' stays measured from the top edge for rupture-onset math
+    np.testing.assert_allclose(np.asarray(down).min(), 4e3 / 8, rtol=1e-6)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="anchor"):
+        rectangular_patch_grid(**kw, anchor="nope")
+
+
 class TestDistanceWeeding:
     """WaveformFitConfig.distances [deg] station weeding (reference
     heart.py:2952) wired through the config build path."""
