@@ -75,12 +75,19 @@ def _cmd_init(args):
 
         priors = config.problem_config.priors
         changed = False
+
+        def seed(comp, value):
+            # testvalue must match the prior's dimension (n_sources > 1:
+            # one entry per source) or the config fails bound validation
+            dim = len(priors[comp].get("lower", [0.0]))
+            priors[comp]["testvalue"] = [float(value)] * dim
+
         for i, comp in enumerate(("mnn", "mee", "mdd", "mne", "mnd", "med")):
             if comp in priors:
-                priors[comp]["testvalue"] = [float(gcmt["m6"][i])]
+                seed(comp, gcmt["m6"][i])
                 changed = True
         if "magnitude" in priors:
-            priors["magnitude"]["testvalue"] = [float(gcmt["magnitude"])]
+            seed("magnitude", gcmt["magnitude"])
             changed = True
         if changed:
             dump_config(config, project_dir)
@@ -130,7 +137,6 @@ def _cmd_import(args):
 
     from beat_tpu import inputf
     from beat_tpu.config import save_geodetic_datasets
-    from beat_tpu.covariance import Covariance
 
     if args.results:
         from beat_tpu.config import import_results_as_priors
@@ -171,7 +177,7 @@ def _cmd_import(args):
             os.path.dirname(args.gnss_globk) or ".",
             os.path.basename(args.gnss_globk), blacklist=blacklist)
     if args.gnss_csv:
-        geodetic += inputf.load_gnss_csv(args.gnss_csv)
+        geodetic += inputf.load_gnss_csv(args.gnss_csv, blacklist=blacklist)
 
     if geodetic:
         # project geographic station coordinates (GNSS imports) to local
@@ -195,12 +201,9 @@ def _cmd_import(args):
                         "run 'beat-tpu init' (and 'beat-tpu update' if "
                         "prompted) first")
                 ds.update_local_coords(event.lat, event.lon)
-            if ds.odw is None:
-                ds.odw = np.ones(np.asarray(ds.displacement).size)
-            if ds.covariance is None:
-                sd = 0.05 * max(float(np.abs(ds.displacement).max()), 1e-9)
-                ds.covariance = Covariance(
-                    data=np.eye(np.asarray(ds.displacement).size) * sd**2)
+            # odw/covariance defaults are guaranteed by
+            # GeodeticDataset.__post_init__ (ones / diag displacement
+            # variance) — importers that know better set them explicitly
         path = save_geodetic_datasets(geodetic, args.project_dir)
         print(f"Imported {len(geodetic)} geodetic datasets -> {path}")
 
@@ -806,10 +809,10 @@ def _cmd_check(args):
     from beat_tpu.models import load_model
 
     if args.what == "traces":
+        # trace checking only needs the outfolder — no config load, so
+        # it works even on a config awaiting 'beat-tpu update'
         from beat_tpu.backend import SampleStage
-        from beat_tpu.config import load_config
 
-        config = load_config(args.project_dir, args.mode)
         outfolder = os.path.join(args.project_dir, args.mode)
         handler = SampleStage(outfolder)
         top = handler.highest_sampled_stage()

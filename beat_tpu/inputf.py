@@ -63,15 +63,27 @@ def load_kite_scene(path: str) -> GeodeticDataset:
     return ds
 
 
-def load_gnss_csv(path: str, components=("east", "north", "up")) -> list:
+def load_gnss_csv(path: str, components=("east", "north", "up"),
+                  blacklist=()) -> list:
     """
     GNSS displacements from CSV with columns
     station,lat,lon,east,north,up,sigma_east,sigma_north,sigma_up [m]
     — native analogue of ``load_ascii_gnss_globk``
-    (``beat/inputf.py:135``).  Returns one compound dataset per component.
+    (``beat/inputf.py:135``).  Returns one compound dataset per component;
+    ``blacklist`` drops stations by name (same semantics as the GLOBK
+    importer).
     """
     arr = np.genfromtxt(path, delimiter=",", names=True, dtype=None, encoding=None)
     arr = np.atleast_1d(arr)
+    if blacklist and "station" in (arr.dtype.names or ()):
+        keep = ~np.isin(arr["station"].astype(str), list(blacklist))
+        dropped = arr["station"][~keep]
+        if dropped.size:
+            logger.info("GNSS CSV: blacklisted stations dropped: %s",
+                        ", ".join(map(str, dropped)))
+        arr = arr[keep]
+        if arr.size == 0:
+            raise ValueError(f"blacklist removed every station of {path}")
     out = []
     lats = arr["lat"].astype(float)
     lons = arr["lon"].astype(float)

@@ -102,10 +102,21 @@ def plot_moment_rate(problem, po: PlotOptions | None = None, fault=None,
         durations = np.asarray(np.atleast_1d(point.get("durations",
                                                        np.ones(fault.npatches))))
         if "velocities" in point:
-            st = np.asarray(fault.point2starttimes(
-                0, jnp.asarray(point["velocities"]),
-                float(point.get("nucleation_strike", 0.0)),
-                float(point.get("nucleation_dip", 0.0))))
+            # per-subfault slices: velocities/nucleation are vector-
+            # valued on multi-subfault faults (hypo_vars per subfault)
+            nuc_s = np.atleast_1d(np.asarray(
+                point.get("nucleation_strike", 0.0)))
+            nuc_d = np.atleast_1d(np.asarray(
+                point.get("nucleation_dip", 0.0)))
+            parts = []
+            for i in range(fault.nsubfaults):
+                vel_i = fault.ordering.vector2subfault(
+                    i, jnp.asarray(point["velocities"]))
+                parts.append(np.asarray(fault.point2starttimes(
+                    i, vel_i,
+                    float(nuc_s[min(i, nuc_s.size - 1)]),
+                    float(nuc_d[min(i, nuc_d.size - 1)]))))
+            st = np.concatenate(parts)
         else:
             st = np.zeros(fault.npatches)
         rate = np.zeros_like(t)

@@ -32,6 +32,15 @@ def plot_stage_posteriors(problem, po: PlotOptions | None = None, stages=None,
              for i in range(0, len(all_specs), max_vars)] or [[]]
     colors = plt.cm.viridis(np.linspace(0.2, 0.9, len(stages)))
 
+    # one disk read per stage, not per page (an FFI problem can have
+    # dozens of pages over the same trace)
+    stage_data = []
+    for stage in stages:
+        trace = handler.load_trace(stage)
+        flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
+        llk_flat = trace.llk_trace.reshape(-1)
+        stage_data.append((flat, flat[int(np.argmax(llk_flat))]))
+
     paths = []
     for page_no, specs in enumerate(pages):
         n = len(specs)
@@ -40,11 +49,7 @@ def plot_stage_posteriors(problem, po: PlotOptions | None = None, stages=None,
         fig, axes = plt.subplots(nrows, ncols,
                                  figsize=(3.2 * ncols, 2.4 * nrows),
                                  squeeze=False)
-        for si, stage in enumerate(stages):
-            trace = handler.load_trace(stage)
-            flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
-            llk_flat = trace.llk_trace.reshape(-1)
-            q_map = flat[int(np.argmax(llk_flat))]
+        for si, (flat, q_map) in enumerate(stage_data):
             final = si == len(stages) - 1
             for i, (spec, k) in enumerate(specs):
                 ax = axes[i // ncols][i % ncols]

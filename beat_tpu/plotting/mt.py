@@ -10,8 +10,9 @@ from beat_tpu.mt_utils import hudson_coords, lune_coords, radiation_amplitude
 from beat_tpu.plotting.common import PlotOptions, format_axes, save_figure
 
 
-def _posterior_m6s(problem, po, n_samples=500):
-    """Sample m6 tensors from the posterior trace."""
+def _posterior_m6s(problem, po, n_samples=500, source_idx: int = 0):
+    """Sample m6 tensors of source ``source_idx`` from the posterior
+    trace (multi-source problems carry vector-valued MT parameters)."""
     import jax.numpy as jnp
 
     from beat_tpu.backend import SampleStage
@@ -22,37 +23,53 @@ def _posterior_m6s(problem, po, n_samples=500):
     flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
     idx = np.linspace(0, flat.shape[0] - 1, min(n_samples, flat.shape[0])).astype(int)
 
-    template = None
+    sources = None
     for comp in problem.composites.values():
-        if hasattr(comp, "sources"):
-            template = comp.sources[0]
+        if getattr(comp, "sources", None):
+            sources = comp.sources
             break
-    if template is None:
+    if sources is None:
         raise ValueError("No source templates in problem")
+    if not (0 <= source_idx < len(sources)):
+        raise ValueError(f"source_idx {source_idx} outside "
+                         f"[0, {len(sources)})")
+    template = sources[source_idx]
 
     m6s = []
     for q in flat[idx]:
         point = {k: jnp.asarray(v) for k, v in problem.ordering.to_point(q).items()}
-        m6s.append(np.asarray(source_m6(template, point, 0, 1)))
+        m6s.append(np.asarray(source_m6(template, point, source_idx,
+                                        len(sources))))
     return np.stack(m6s)
 
 
-def plot_hudson(problem, po: PlotOptions | None = None, n_samples=500):
-    """Posterior cloud on the Hudson skewed diamond (reference ``hudson``)."""
+def plot_hudson(problem, po: PlotOptions | None = None, n_samples=500,
+                source_idx: int = 0):
+    """Posterior cloud on the Hudson τ-k diamond (reference ``hudson``;
+    unskewed variant: coordinates u = τ(1-|k|), v = k, whose reachable
+    region IS the drawn diamond with corners (±1, 0), (0, ±1) —
+    reference marks: DC at the origin, ±crack/±dipole along the edges)."""
     import matplotlib.pyplot as plt
 
     po = po or PlotOptions()
-    m6s = _posterior_m6s(problem, po, n_samples)
+    m6s = _posterior_m6s(problem, po, n_samples, source_idx)
     uv = np.array([hudson_coords(m6) for m6 in m6s])
 
     fig, ax = plt.subplots(figsize=(5, 5))
-    # diamond outline
-    ax.plot([0, 4 / 3, 0, -4 / 3, 0], [1, 1 / 3, -1, -1 / 3, 1], "k", lw=0.8)
+    # τ-k diamond outline (the exact boundary of the coordinates used)
+    ax.plot([0, 1, 0, -1, 0], [1, 0, -1, 0, 1], "k", lw=0.8)
     ax.plot([-1, 1], [0, 0], "k:", lw=0.5)
     ax.plot([0, 0], [-1, 1], "k:", lw=0.5)
+    # canonical source-type marks
+    for (u, v, label) in [(0, 1, "+ISO"), (0, -1, "-ISO"),
+                          (1, 0, "CLVD"), (-1, 0, "CLVD")]:
+        ax.annotate(label, (u, v), fontsize=6, ha="center",
+                    xytext=(u * 1.08, v * 1.08))
     ax.scatter(uv[:, 0], uv[:, 1], s=6, alpha=0.3, color="#2c7fb8")
-    ax.set_xlabel("u (CLVD)")
-    ax.set_ylabel("v (ISO)")
+    ax.set_xlabel("u = τ(1-|k|) (CLVD)")
+    ax.set_ylabel("v = k (ISO)")
+    ax.set_xlim(-1.2, 1.2)
+    ax.set_ylim(-1.2, 1.2)
     ax.set_aspect("equal")
     format_axes(ax)
     return save_figure(fig, problem.outfolder, "hudson", po)

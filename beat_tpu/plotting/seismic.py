@@ -58,8 +58,16 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
         syn = np.asarray(synths[wmap.mapid])
         obs = np.asarray(wmap.data_windows)
         spectral = getattr(wmap, "domain", "time") == "spectrum"
+        if spectral:
+            # fit space: amplitude spectra of the windows (what the
+            # likelihood compares), on the true rfft frequency grid
+            syn = wmap.fit_transform_np(syn)
+            obs = wmap.data_fit
         if ens_synths:
-            ens = np.stack([np.asarray(s[wmap.mapid]) for s in ens_synths])
+            ens = np.stack([
+                wmap.fit_transform_np(np.asarray(s[wmap.mapid]))
+                if spectral else np.asarray(s[wmap.mapid])
+                for s in ens_synths])
             lo_env, hi_env = ens.min(axis=0), ens.max(axis=0)
         nt = wmap.ntargets
         ncols = 2
@@ -67,7 +75,7 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
         fig, axes = plt.subplots(nrows, ncols, figsize=(10, 1.8 * nrows),
                                  squeeze=False)
         if spectral:
-            t = np.arange(obs.shape[1]) / (obs.shape[1] * wmap.table.dt * 2)
+            t = np.fft.rfftfreq(wmap.nsamples_win, wmap.table.dt)
             xlabel = "frequency [Hz]"
         else:
             t = np.arange(wmap.nsamples_win) * wmap.table.dt + wmap.taper.a

@@ -72,6 +72,22 @@ def test_load_geodetic_datasets_projects_against_event(tmp_path):
         load_geodetic_datasets(str(tmp_path), GeodeticConfig())
 
 
+def test_gnss_csv_blacklist(tmp_path):
+    p = tmp_path / "gnss.csv"
+    p.write_text(
+        "station,lat,lon,east,north,up,sigma_east,sigma_north,sigma_up\n"
+        "AAAA,10.0,20.0,0.01,-0.02,0.005,0.001,0.002,0.003\n"
+        "BBBB,10.1,20.1,0.03,0.01,-0.001,0.001,0.002,0.003\n")
+    datasets = load_gnss_csv(str(p), blacklist=("BBBB",))
+    east = datasets[0]
+    assert list(east.stations) == ["AAAA"]
+    np.testing.assert_allclose(east.displacement, [0.01])
+    import pytest
+
+    with pytest.raises(ValueError, match="every station"):
+        load_gnss_csv(str(p), blacklist=("AAAA", "BBBB"))
+
+
 def test_seismic_round_trip(tmp_path):
     from beat_tpu.heart.seismic import SeismicDataset
 
@@ -306,6 +322,25 @@ class TestGCMTNDK:
         # MT prior test values seeded from the catalog mechanism
         tv = config.problem_config.priors["mdd"]["testvalue"]
         assert abs(float(tv[0])) > 0
+
+    def test_init_from_ndk_multi_source(self, tmp_path):
+        """GCMT seeding matches the prior dimension for n_sources > 1
+        (a length-1 testvalue used to brick the config)."""
+        from beat_tpu.apps.cli import main
+        from beat_tpu.config import load_config
+
+        path = tmp_path / "cat.ndk"
+        path.write_text(NDK_FIXTURE)
+        pdir = str(tmp_path / "proj2")
+        rc = main(["init", "gcmt2", pdir, "--datatypes", "seismic",
+                   "--source_types", "MTSource", "--n_sources", "2",
+                   "--gcmt_ndk", str(path), "--event_name", "B010105A"])
+        assert rc == 0
+        config = load_config(pdir)  # would raise on inconsistent shapes
+        tv = config.problem_config.priors["mdd"]["testvalue"]
+        assert len(tv) == 2
+        prior_set = config.problem_config.get_prior_set()
+        assert prior_set["mdd"].testvalue.shape == (2,)
 
 
 class TestPickedArrivals:

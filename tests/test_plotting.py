@@ -122,6 +122,41 @@ def test_ffi_plots(ffi_problem, name):
     assert os.path.exists(path) and os.path.getsize(path) > 1000
 
 
+def test_moment_rate_multi_subfault_kinematic(tmp_path):
+    """moment_rate slices velocities/nucleation per subfault
+    (previously crashed reshaping the full vector into subfault 0)."""
+    from beat_tpu.ffi import discretize_sources, geo_construct_gf_linear
+    from beat_tpu.models.distributer import GeodeticDistributerComposite
+    from beat_tpu.plotting.ffi import plot_moment_rate
+
+    rng = np.random.default_rng(4)
+    refs = [RectangularSource(depth=1e3, dip=60.0, length=4e3, width=4e3),
+            RectangularSource(east_shift=8e3, depth=1e3, dip=60.0,
+                              length=6e3, width=4e3)]
+    fault = discretize_sources(refs, patch_length=2e3, patch_width=2e3)
+    coords = rng.uniform(-1e4, 1e4, (15, 2))
+    los = np.tile([0.0, 0.0, 1.0], (15, 1))
+    lib = geo_construct_gf_linear(fault, coords, los, components=("uparr",))
+    ds = GeodeticDataset(name="ifg", typ="SAR", coords=coords,
+                         displacement=rng.normal(0, 0.01, 15), los_vector=los,
+                         covariance=Covariance(data=np.eye(15) * 1e-4))
+    comp = GeodeticDistributerComposite([ds], lib, fault)
+    n = fault.npatches
+    priors = (PriorSet()
+              .add(Parameter("uparr", np.zeros(n), np.full(n, 3.0)))
+              .add(Parameter("velocities", np.full(n, 2000.0),
+                             np.full(n, 4000.0)))
+              .add(Parameter("nucleation_strike", np.zeros(2),
+                             np.full(2, 4e3)))
+              .add(Parameter("nucleation_dip", np.zeros(2),
+                             np.full(2, 4e3))))
+    problem = Problem(priors, {"geodetic": comp},
+                      outfolder=str(tmp_path / "ffi2"))
+    fake_trace(problem)
+    path = plot_moment_rate(problem, PlotOptions(), n_samples=5)
+    assert os.path.exists(path)
+
+
 def test_colormaps():
     from beat_tpu.plotting.colormap import roma_colormap, slip_colormap
 
