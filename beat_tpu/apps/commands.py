@@ -192,7 +192,7 @@ def _cmd_import(args):
         except (FileNotFoundError, ValueError):
             pass
         for ds in geodetic:
-            if ds.lats is not None and getattr(ds, "lons", None) is not None:
+            if ds.lats is not None and ds.lons is not None:
                 if event is None:
                     raise SystemExit(
                         f"dataset {ds.name} carries lat/lon station "

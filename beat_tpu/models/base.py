@@ -25,6 +25,43 @@ from beat_tpu.parameter import Parameter
 logger = logging.getLogger("beat_tpu.models")
 
 
+def dataset_hyper_terms(residuals, weights, slog_pdets, nsamples, names):
+    """Stack per-dataset fixed-residual terms for the precomputed
+    hyper-only posterior (``distributions.hyper_normal``): returns
+    (``||W r||²`` (D,), slog_pdets (D,), nsamples (D,), hyper names)."""
+    import jax.numpy as jnp
+
+    wrw = []
+    for r, w in zip(residuals, weights):
+        tmp = w @ r
+        wrw.append(jnp.dot(tmp, tmp))
+    return (jnp.stack(wrw),
+            jnp.stack([jnp.asarray(p) for p in slog_pdets]),
+            jnp.asarray(nsamples, dtype=jnp.float32), list(names))
+
+
+def wavemap_hyper_terms(devs, synths, wavemaps, hp_specific):
+    """Per-wavemap batched variant of :func:`dataset_hyper_terms`:
+    each dev carries (D, M) data/(D, M, M) weights; synths are the
+    fit-space synthetics at the fixed point."""
+    import jax.numpy as jnp
+
+    wrw, pds, ns, names = [], [], [], []
+    for dev, synth, wmap in zip(devs, synths, wavemaps):
+        res = dev["data"] - synth
+        tmp = jnp.einsum("dij,dj->di", dev["weights"], res)
+        wrw.append(jnp.sum(tmp * tmp, axis=-1))
+        pds.append(dev["slog_pdets"])
+        ns.append(dev["nsamples"])
+        if hp_specific:
+            names.extend(f"{wmap.hypername}_{i}"
+                         for i in range(wmap.ntargets))
+        else:
+            names.extend([wmap.hypername] * wmap.ntargets)
+    return (jnp.concatenate(wrw), jnp.concatenate(pds),
+            jnp.concatenate(ns), names)
+
+
 class Composite:
     name = "composite"
 

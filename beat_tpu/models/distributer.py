@@ -90,19 +90,17 @@ class GeodeticDistributerComposite(Composite):
     def hyper_data(self, fixed_point: dict, data=None):
         """Precomputed ``||W r||²`` terms for the hyper-only posterior
         (one GF stack at ``fixed_point``; see ``hyper_normal``)."""
+        from beat_tpu.models.base import dataset_hyper_terms
+
         data = self._device if data is None else data
         synth = self.synthetics_los(fixed_point, data)
-        wrw, pds, ns, names = [], [], [], []
-        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            res = (data["data"][slc] - synth[slc]) * data["odw"][slc]
-            tmp = data["weights"][i] @ res
-            wrw.append(jnp.dot(tmp, tmp))
-            pds.append(jnp.asarray(data["slog_pdets"][i]))
-            ns.append(float(ds.samples))
-            names.append(f"h_{ds.typ}_{i}" if self.hp_specific
-                         else f"h_{ds.typ}")
-        return (jnp.stack(wrw), jnp.stack(pds),
-                jnp.asarray(ns, dtype=jnp.float32), names)
+        residuals = [(data["data"][slc] - synth[slc]) * data["odw"][slc]
+                     for slc in self.stack.slices]
+        return dataset_hyper_terms(
+            residuals, data["weights"], data["slog_pdets"],
+            [float(ds.samples) for ds in self.datasets],
+            [f"h_{ds.typ}_{i}" if self.hp_specific else f"h_{ds.typ}"
+             for i, ds in enumerate(self.datasets)])
 
     def get_synthetics(self, point: dict):
         point = {k: jnp.asarray(v) for k, v in point.items()}
@@ -328,23 +326,14 @@ class SeismicDistributerComposite(Composite):
     def hyper_data(self, fixed_point: dict, data=None):
         """Precomputed fixed-residual terms for the hyper-only posterior
         (one 5-D stack at ``fixed_point``; see ``hyper_normal``)."""
+        from beat_tpu.models.base import wavemap_hyper_terms
+
         data = self._device if data is None else data
-        wrw, pds, ns, names = [], [], [], []
-        for w_idx, (wmap, libs) in enumerate(self.wavemaps_libs):
-            dev = data[w_idx]
-            synth = self.synthetics_fit(fixed_point, w_idx, data)
-            res = dev["data"] - synth
-            tmp = jnp.einsum("dij,dj->di", dev["weights"], res)
-            wrw.append(jnp.sum(tmp * tmp, axis=-1))
-            pds.append(dev["slog_pdets"])
-            ns.append(dev["nsamples"])
-            if self.hp_specific:
-                names.extend(f"{wmap.hypername}_{i}"
-                             for i in range(wmap.ntargets))
-            else:
-                names.extend([wmap.hypername] * wmap.ntargets)
-        return (jnp.concatenate(wrw), jnp.concatenate(pds),
-                jnp.concatenate(ns), names)
+        synths = [self.synthetics_fit(fixed_point, w, data)
+                  for w in range(len(self.wavemaps_libs))]
+        return wavemap_hyper_terms(
+            data, synths, [wm for wm, _ in self.wavemaps_libs],
+            self.hp_specific)
 
     def get_synthetics(self, point: dict):
         point = {k: jnp.asarray(v) for k, v in point.items()}

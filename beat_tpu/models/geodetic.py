@@ -161,20 +161,20 @@ class GeodeticComposite(Composite):
         one forward at ``fixed_point``, then every hyper draw is O(D).
         Returns (``||W r||²`` (D,), slog_pdets (D,), nsamples (D,),
         per-dataset hyper names)."""
+        from beat_tpu.models.base import dataset_hyper_terms
+
         data = self._device if data is None else data
         synth = self.synthetics_los(fixed_point, data)
-        wrw, pds, ns, names = [], [], [], []
-        for i, (ds, slc) in enumerate(zip(self.datasets, self.stack.slices)):
-            corr = self._correction_displacement(fixed_point, ds, slc, data)
-            res = (data["data"][slc] - synth[slc] - corr) * data["odw"][slc]
-            tmp = data["weights"][i] @ res
-            wrw.append(jnp.dot(tmp, tmp))
-            pds.append(jnp.asarray(data["slog_pdets"][i]))
-            ns.append(float(ds.samples))
-            names.append(f"h_{ds.typ}_{i}" if self.hp_specific
-                         else f"h_{ds.typ}")
-        return (jnp.stack(wrw), jnp.stack(pds),
-                jnp.asarray(ns, dtype=jnp.float32), names)
+        residuals = [
+            (data["data"][slc] - synth[slc]
+             - self._correction_displacement(fixed_point, ds, slc, data))
+            * data["odw"][slc]
+            for ds, slc in zip(self.datasets, self.stack.slices)]
+        return dataset_hyper_terms(
+            residuals, data["weights"], data["slog_pdets"],
+            [float(ds.samples) for ds in self.datasets],
+            [f"h_{ds.typ}_{i}" if self.hp_specific else f"h_{ds.typ}"
+             for i, ds in enumerate(self.datasets)])
 
     # -- diagnostics --------------------------------------------------------
 

@@ -422,23 +422,13 @@ class SeismicGeometryComposite(Composite):
         """Precomputed fixed-residual terms for the hyper-only posterior:
         one full synthesis at ``fixed_point``, then hyper draws cost
         O(ntargets) (``distributions.hyper_normal``)."""
+        from beat_tpu.models.base import wavemap_hyper_terms
+
         data = self._device if data is None else data
-        wrw, pds, ns, names = [], [], [], []
-        for w_idx, wmap in enumerate(self.wavemaps):
-            dev = data[w_idx]
-            synth = self.synthetics_fit(fixed_point, w_idx, data)
-            res = dev["data"] - synth
-            tmp = jnp.einsum("dij,dj->di", dev["weights"], res)
-            wrw.append(jnp.sum(tmp * tmp, axis=-1))
-            pds.append(dev["slog_pdets"])
-            ns.append(dev["nsamples"])
-            if self.hp_specific:
-                names.extend(f"{wmap.hypername}_{i}"
-                             for i in range(wmap.ntargets))
-            else:
-                names.extend([wmap.hypername] * wmap.ntargets)
-        return (jnp.concatenate(wrw), jnp.concatenate(pds),
-                jnp.concatenate(ns), names)
+        synths = [self.synthetics_fit(fixed_point, w, data)
+                  for w in range(len(self.wavemaps))]
+        return wavemap_hyper_terms(data, synths, self.wavemaps,
+                                   self.hp_specific)
 
     # -- updates / diagnostics ----------------------------------------------
 
