@@ -92,20 +92,29 @@ def download_waveforms(event, project_dir, radius_deg=(3.0, 90.0),
 
 def bandpass_and_decimate(ydata, dt, target_dt, lower=0.01, upper=None,
                           order=4):
-    """Zero-phase bandpass + anti-aliased resampling onto ``target_dt``
-    (the reference's restitution-stage filtering/downsampling)."""
-    from scipy.signal import butter, resample_poly, sosfiltfilt
+    """Anti-aliased resampling onto ``target_dt`` + zero-phase band
+    limiting (the reference's restitution-stage filtering/downsampling).
 
-    ny = 0.5 / dt
-    upper = upper if upper is not None else 0.4 / target_dt
-    sos = butter(order, [max(lower, 1e-4) / ny, min(upper / ny, 0.99)],
-                 btype="band", output="sos")
-    filtered = sosfiltfilt(sos, np.asarray(ydata, dtype=np.float64))
-    # rational resampling factor
+    Resampling first: ``resample_poly`` applies its own FIR anti-alias
+    low-pass, and the IIR corners are then specified at the TARGET rate
+    — a single Butterworth bandpass at the raw rate has normalized
+    corners of ~1e-3 and is numerically unstable (it can pass, even
+    amplify, far-out-of-band energy).  Low-pass and high-pass apply as
+    separate stable sections."""
     from fractions import Fraction
 
+    from scipy.signal import butter, resample_poly, sosfiltfilt
+
     frac = Fraction(dt / target_dt).limit_denominator(1000)
-    return resample_poly(filtered, frac.numerator, frac.denominator)
+    out = resample_poly(np.asarray(ydata, dtype=np.float64),
+                        frac.numerator, frac.denominator)
+    ny = 0.5 / target_dt
+    hi = min((upper if upper is not None else 0.4 / target_dt) / ny, 0.99)
+    out = sosfiltfilt(butter(order, hi, btype="low", output="sos"), out)
+    lo = lower / ny
+    if lo > 1e-3:
+        out = sosfiltfilt(butter(order, lo, btype="high", output="sos"), out)
+    return out
 
 
 def weed_stations(traces, stations, event_time, snr_min=2.0,
@@ -125,12 +134,21 @@ def weed_stations(traces, stations, event_time, snr_min=2.0,
             continue
         ok = True
         for channel, (tmin, dt, ydata) in chans.items():
-            n_pre = int(max(min((event_time - tmin) / dt,
-                                noise_window / dt), 1))
             ydata = np.asarray(ydata, dtype=np.float64)
-            pre = ydata[:n_pre]
+            # noise = the noise_window immediately BEFORE the event
+            # onset; signal = everything from the onset on (comparing
+            # against the whole pre-event span would let early noise
+            # bursts masquerade as signal)
+            n_onset = int(np.clip((event_time - tmin) / dt, 0, ydata.size))
+            n_noise0 = max(int(n_onset - noise_window / dt), 0)
+            pre = ydata[n_noise0:max(n_onset, 1)]
+            if pre.size < 2 or n_onset >= ydata.size:
+                logger.info("Weeding %s.%s: no usable pre-event noise or "
+                            "signal window", sta, channel)
+                ok = False
+                break
             noise = np.sqrt(np.mean(pre**2)) + 1e-30
-            snr = np.abs(ydata[n_pre:]).max() / noise if ydata.size > n_pre else 0.0
+            snr = np.abs(ydata[n_onset:]).max() / noise
             if snr < snr_min:
                 logger.info("Weeding %s.%s: SNR %.2f < %.2f",
                             sta, channel, snr, snr_min)
@@ -188,7 +206,15 @@ def prepare_local_traces(traces, stations, event, table, project_dir,
 
 
 def _to_table_grid(ydata, tmin, dt, event_time, table):
-    """Resample/align one trace onto the GF table time grid."""
+    """Resample/align one trace onto the GF table time grid.  When
+    downsampling, the trace is first anti-alias filtered + decimated
+    (:func:`bandpass_and_decimate`) so energy above the table Nyquist
+    does not fold into the fit band; the final alignment interpolation
+    then happens near the target rate."""
+    ydata = np.asarray(ydata, dtype=np.float64)
+    if table.dt > 1.5 * dt:
+        ydata = bandpass_and_decimate(ydata, dt, table.dt)
+        dt = table.dt  # resample_poly lands on the target rate
     t_src = tmin - event_time + np.arange(len(ydata)) * dt
     t_dst = table.t0 + np.arange(table.nt) * table.dt
     return np.interp(t_dst, t_src, ydata, left=0.0, right=0.0)
@@ -223,9 +249,15 @@ def main(argv=None) -> int:
                                 "lon": args.lon}, args.project_dir,
                                radius_deg=tuple(args.radius))
         elif args.cmd == "prepare":
+            import os
+
             from beat_tpu.inputf import load_obspy_traces
 
-            traces, stations = load_obspy_traces(args.datadir, args.inventory)
+            # datadir is relative to the project dir the download wrote
+            # into (unless given absolute)
+            datadir = (args.datadir if os.path.isabs(args.datadir)
+                       else os.path.join(args.project_dir, args.datadir))
+            traces, stations = load_obspy_traces(datadir, args.inventory)
             traces, stations = weed_stations(traces, stations,
                                              args.event_time,
                                              snr_min=args.snr_min)

@@ -93,9 +93,9 @@ parameter_info: dict[str, Bounds] = {
     # --- Tape & Tape 2015 lune parameterisation ---
     "w": Bounds((-3.0 / 8.0 * PI, 3.0 / 8.0 * PI), (-3.0 / 8.0 * PI, 3.0 / 8.0 * PI), u_rad),
     "v": Bounds((-1.0 / 3.0, 1.0 / 3.0), (-1.0 / 3.0, 1.0 / 3.0), u_rad),
-    "kappa": Bounds((0.0, 2 * PI), (0.0, 2 * PI), u_deg),
-    "sigma": Bounds((-PI / 2.0, PI / 2.0), (-PI / 2.0, PI / 2.0), u_deg),
-    "h": Bounds((0.0, 1.0), (0.0, 1.0), u_deg),
+    "kappa": Bounds((0.0, 2 * PI), (0.0, 2 * PI), u_rad),
+    "sigma": Bounds((-PI / 2.0, PI / 2.0), (-PI / 2.0, PI / 2.0), u_rad),
+    "h": Bounds((0.0, 1.0), (0.0, 1.0), u_hyp),
     # --- FFI / distributed slip ---
     "uparr": Bounds((-1.0, 150.0), (-0.05, 6.0), u_m),
     "uperp": Bounds((-150.0, 150.0), (-0.3, 4.0), u_m),
@@ -170,6 +170,7 @@ def load_user_defaults(path: str = DEFAULTS_PATH) -> dict[str, Bounds]:
             merged[name] = Bounds(
                 tuple(rec.get("physical_bounds", physical_bounds(name))),
                 tuple(rec.get("default_bounds", default_bounds(name))),
-                rec.get("unit", parameter_info.get(name, Bounds((), ())).unit if name in parameter_info else u_hyp),
+                rec.get("unit", parameter_info[name].unit
+                        if name in parameter_info else u_hyp),
             )
     return merged

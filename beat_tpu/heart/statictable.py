@@ -62,6 +62,19 @@ class StaticGFTable:
             self.mu_tops = np.array([0.0])
             self.mus = np.array([33e9])
             self.lams = np.array([33e9])
+        # same contract as GreensTable: the bilinear gather assumes a
+        # uniform increasing step — reject anything else loudly
+        for name in ("distances", "depths"):
+            g = np.asarray(getattr(self, name), dtype=np.float64)
+            if g.size > 1:
+                steps = np.diff(g)
+                if steps.min() <= 0 or (steps.max() - steps.min()
+                                        > 1e-6 * steps.mean()):
+                    raise ValueError(
+                        f"StaticGFTable {name} must be uniformly spaced "
+                        f"and increasing (bilinear index assumes a "
+                        f"constant step); got steps "
+                        f"[{steps.min():g}, {steps.max():g}]")
 
     def shear_modulus(self, depth):
         """µ at (traced) depth from the stored profile."""
@@ -85,10 +98,14 @@ class StaticGFTable:
         depth scalar traced.  Returns (N, 6, 3)."""
         d_grid = jnp.asarray(self.distances)
         z_grid = jnp.asarray(self.depths)
-        di = jnp.clip((distance - d_grid[0]) / (d_grid[1] - d_grid[0]),
-                      0.0, d_grid.size - 1.001)
-        zi = jnp.clip((depth - z_grid[0]) / (z_grid[1] - z_grid[0]),
-                      0.0, z_grid.size - 1.001)
+        # size-1 axes degrade to nearest-node lookup (step of 1.0 keeps
+        # the index math finite; the clip pins the fraction to 0)
+        d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
+        z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
+        di = jnp.clip((distance - d_grid[0]) / d_step,
+                      0.0, max(d_grid.size - 1.001, 0.0))
+        zi = jnp.clip((depth - z_grid[0]) / z_step,
+                      0.0, max(z_grid.size - 1.001, 0.0))
         d0 = jnp.floor(di).astype(jnp.int32)
         z0 = jnp.floor(zi).astype(jnp.int32)
         fd = (di - d0)[:, None, None]

@@ -201,12 +201,16 @@ def greens_table_from_store(store_id: str, store_superdir: str,
                     spectra[k, c, id_, iz, :] = trace_to_spectrum(
                         tr.ydata, tr.tmin, tr.deltat, nt, dt, t0)
 
-    # medium velocities for travel-time estimates from the store model
+    # medium properties from the store model: velocities for travel-time
+    # estimates, density for the shear modulus (moment/magnitude scaling
+    # uses table.rho * table.vs**2)
     model = store.config.earthmodel_1d
     vp = float(model.profile("vp")[0]) if model is not None else 6000.0
     vs = float(model.profile("vs")[0]) if model is not None else 3500.0
+    rho = float(model.profile("rho")[0]) if model is not None else 2700.0
     logger.info("Converted store %s -> GreensTable (%i x %i grid)",
                 store_id, distances.size, depths.size)
     pairs = np.stack([spectra.real, spectra.imag], axis=-1).astype(np.float32)
     return GreensTable(spectra=jnp.asarray(pairs), distances=distances,
-                       depths=depths, dt=dt, nt=nt, t0=t0, vp=vp, vs=vs)
+                       depths=depths, dt=dt, nt=nt, t0=t0, vp=vp, vs=vs,
+                       rho=rho)

@@ -71,7 +71,9 @@ class TimingRegistry:
             row = {"name": r.name, "wall_s": round(r.wall_s, 6)}
             if r.n_evals:
                 row["n_evals"] = r.n_evals
-                row["evals_per_s"] = round(r.evals_per_s, 1)
+                rate = r.evals_per_s   # None when wall_s is degenerate
+                if rate is not None:
+                    row["evals_per_s"] = round(rate, 1)
             row.update(r.extra)
             rows.append(row)
         total = sum(r.wall_s for r in self.records)

@@ -197,6 +197,26 @@ class TestBeatdownHelpers:
         assert corr_low > 0.2
         assert np.abs(out).max() < 1.5  # no ringing blowup
 
+    def test_to_table_grid_antialiases_downsampling(self):
+        """Downsampling onto a coarse table grid low-passes first: energy
+        above the table Nyquist must not fold into the fit band."""
+        from beat_tpu.apps.beatdown import _to_table_grid
+
+        class T:
+            nt, dt, t0 = 256, 0.5, 0.0
+
+        dt = 0.05
+        t = np.arange(0, 140, dt)
+        high = np.sin(2 * np.pi * 6.0 * t)   # above 1 Hz table Nyquist
+        out = _to_table_grid(high, tmin=0.0, dt=dt, event_time=0.0, table=T)
+        assert out.shape == (256,)
+        # aliased copy would retain O(1) amplitude; the filter kills it
+        assert np.abs(out[10:-10]).max() < 0.1
+        low = np.sin(2 * np.pi * 0.2 * t)
+        out_low = _to_table_grid(low, tmin=0.0, dt=dt, event_time=0.0,
+                                 table=T)
+        assert np.abs(out_low[20:200]).max() > 0.8
+
     def test_obspy_paths_gated(self):
         import pytest
 

@@ -159,6 +159,25 @@ class TestStaticTable:
         assert float(t.shear_modulus(1e3)) == pytest.approx(1e10)
         assert float(t.shear_modulus(5e3)) == pytest.approx(3e10)
 
+    def test_single_node_axis_and_grid_validation(self):
+        """Size-1 depth grids degrade to nearest-node lookup instead of
+        crashing; non-uniform grids are rejected at construction (same
+        contract as GreensTable)."""
+        from beat_tpu.heart.statictable import StaticGFTable
+
+        vals = np.zeros((6, 3, 3, 1))
+        vals[0, 0, :, 0] = [1.0, 2.0, 3.0]
+        t = StaticGFTable(values=jnp.asarray(vals),
+                          distances=np.array([1e3, 2e3, 3e3]),
+                          depths=np.array([5e3]))
+        g = np.asarray(t.gather(jnp.asarray([1.5e3]), jnp.asarray(9e3)))
+        assert g.shape == (1, 6, 3)
+        assert g[0, 0, 0] == pytest.approx(1.5)  # distance interpolated
+        with pytest.raises(ValueError, match="uniformly spaced"):
+            StaticGFTable(values=jnp.zeros((6, 3, 3, 1)),
+                          distances=np.array([1e3, 2e3, 10e3]),
+                          depths=np.array([5e3]))
+
 
 class TestCompositeIntegration:
     def _scene(self, forward, seed=0):
