@@ -65,6 +65,20 @@ class IrregularSubfault:
     def patch_centers_enz(self) -> np.ndarray:
         return np.stack([np.asarray(p.center()) for p in self.patches])
 
+    def patch_centers_local(self) -> np.ndarray:
+        """(npatches, 2) centers in fault-plane (along-strike, down-dip)
+        coordinates [m] from the plane's left-top corner — same
+        convention as ``SubfaultGrid.patch_centers_local`` (the plane is
+        anchored top-center, so along-strike adds length/2)."""
+        p = self.plane
+        st, di = np.deg2rad(p.strike), np.deg2rad(p.dip)
+        s_vec = np.array([np.sin(st), np.cos(st), 0.0])
+        d_vec = np.array([np.cos(di) * np.cos(st),
+                          -np.cos(di) * np.sin(st), np.sin(di)])
+        rel = self.patch_centers_enz() - np.array(
+            [p.east_shift, p.north_shift, p.depth])
+        return np.column_stack([rel @ s_vec + p.length / 2.0, rel @ d_vec])
+
 
 def _divide_patch(patch: RectangularSource) -> list:
     """Split a patch in two along its longer dimension (reference

@@ -41,18 +41,48 @@ def plot_slip_distribution(problem, po: PlotOptions | None = None, point=None,
 
     n_sf = fault.nsubfaults
     fig, axes = plt.subplots(n_sf, 1, figsize=(8, 4 * n_sf), squeeze=False)
+    from beat_tpu.plotting.colormap import slip_colormap
+
     for i in range(n_sf):
         sf = fault.get_subfault(i)
         slc = fault.ordering.slices[i]
-        grid = slip[slc].reshape(sf.n_dip, sf.n_strike)
         ax = axes[i][0]
-        from beat_tpu.plotting.colormap import slip_colormap
+        if not hasattr(sf, "n_strike"):
+            # irregular (resolution-discretized) subfault: per-patch
+            # rectangles in fault-plane coordinates
+            from matplotlib.collections import PatchCollection
+            from matplotlib.patches import Rectangle
 
-        im = ax.imshow(grid, cmap=slip_colormap(), aspect="auto",
-                       extent=[0, sf.plane.length / 1e3, sf.plane.width / 1e3, 0])
+            centers = sf.patch_centers_local() / 1e3
+            rects = [Rectangle((c[0] - p.length / 2e3, c[1] - p.width / 2e3),
+                               p.length / 1e3, p.width / 1e3)
+                     for c, p in zip(centers, sf.patches)]
+            pc = PatchCollection(rects, cmap=slip_colormap(),
+                                 edgecolor="k", linewidth=0.3)
+            pc.set_array(slip[slc])
+            im = ax.add_collection(pc)
+            ax.set_xlim(0, sf.plane.length / 1e3)
+            ax.set_ylim(sf.plane.width / 1e3, 0)
+        else:
+            grid = slip[slc].reshape(sf.n_dip, sf.n_strike)
+            im = ax.imshow(grid, cmap=slip_colormap(), aspect="auto",
+                           extent=[0, sf.plane.length / 1e3,
+                                   sf.plane.width / 1e3, 0])
+            # slip-direction arrows (along-strike uparr, up-dip uperp —
+            # the reference draws per-patch slip vectors)
+            if np.any(uperp[slc]) and np.any(uparr[slc]):
+                s = (np.arange(sf.n_strike) + 0.5) * sf.patch_length / 1e3
+                d = (np.arange(sf.n_dip) + 0.5) * sf.patch_width / 1e3
+                ss, dd = np.meshgrid(s, d)
+                ax.quiver(ss, dd, uparr[slc].reshape(sf.n_dip, sf.n_strike),
+                          -uperp[slc].reshape(sf.n_dip, sf.n_strike),
+                          color="w", width=0.003, scale_units="width",
+                          scale=max(np.abs(slip[slc]).max() * 25, 1e-9))
         fig.colorbar(im, ax=ax, label="slip [m]")
         # rupture-onset contours if kinematic variables sampled
-        if "velocities" in mean_point and "nucleation_strike" in mean_point:
+        # (kinematic mode uses regular grids)
+        if "velocities" in mean_point and "nucleation_strike" in mean_point \
+                and hasattr(sf, "n_strike"):
             import jax.numpy as jnp
 
             times = np.asarray(fault.point2starttimes(

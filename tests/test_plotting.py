@@ -157,6 +157,43 @@ def test_moment_rate_multi_subfault_kinematic(tmp_path):
     assert os.path.exists(path)
 
 
+def test_slip_distribution_irregular_fault(tmp_path):
+    """Resolution-discretized (irregular) faults render as per-patch
+    rectangles instead of crashing on the missing strike/dip grid."""
+    from beat_tpu.ffi import geo_construct_gf_linear
+    from beat_tpu.ffi.discretization import (
+        ResolutionDiscretizationConfig, optimize_discretization)
+    from beat_tpu.models.distributer import GeodeticDistributerComposite
+    from beat_tpu.plotting.ffi import plot_slip_distribution
+
+    rng = np.random.default_rng(6)
+    src = RectangularSource(depth=1e3, dip=50.0, length=12e3, width=8e3)
+    coords = rng.uniform(-1.5e4, 1.5e4, (25, 2))
+    los = np.tile([0.0, 0.0, 1.0], (25, 1))
+    config = ResolutionDiscretizationConfig(
+        epsilon=0.05, patch_lengths_min=2e3, patch_widths_min=2e3,
+        patch_lengths_max=6e3, patch_widths_max=6e3)
+    fault, _, _ = optimize_discretization(src, coords, los, config,
+                                          max_generations=2)
+    lib = geo_construct_gf_linear(fault, coords, los, components=("uparr",))
+    ds = GeodeticDataset(name="ifg", typ="SAR", coords=coords,
+                         displacement=rng.normal(0, 0.01, 25), los_vector=los,
+                         covariance=Covariance(data=np.eye(25) * 1e-4))
+    comp = GeodeticDistributerComposite([ds], lib, fault)
+    n = fault.npatches
+    priors = PriorSet().add(Parameter("uparr", np.zeros(n),
+                                      np.full(n, 3.0)))
+    problem = Problem(priors, {"geodetic": comp},
+                      outfolder=str(tmp_path / "irr"))
+    fake_trace(problem)
+    path = plot_slip_distribution(problem, PlotOptions())
+    assert os.path.exists(path)
+    # local plane coordinates cover the plane extent
+    centers = fault.get_subfault(0).patch_centers_local()
+    assert centers[:, 0].min() > 0 and centers[:, 0].max() < src.length
+    assert centers[:, 1].min() > 0 and centers[:, 1].max() < src.width
+
+
 def test_colormaps():
     from beat_tpu.plotting.colormap import roma_colormap, slip_colormap
 
