@@ -29,15 +29,26 @@ def plot_scene_fits(problem, po: PlotOptions | None = None, point=None):
         point = problem.ordering.to_point(pop[int(np.argmax(llks))])
 
     synths = comp.get_synthetics(point)
+    vrs = comp.get_variance_reductions(point) \
+        if hasattr(comp, "get_variance_reductions") else {}
     n_ds = len(comp.datasets)
     fig, axes = plt.subplots(n_ds, 3, figsize=(12, 3.4 * n_ds), squeeze=False)
-    for i, ds in enumerate(comp.datasets):
+    slices = getattr(getattr(comp, "stack", None), "slices",
+                     [None] * n_ds)
+    for i, (ds, slc) in enumerate(zip(comp.datasets, slices)):
         obs = ds.displacement
-        syn = synths[ds.name]
+        syn = np.asarray(synths[ds.name])
+        # the model panel includes the sampled correction displacements
+        # (ramps / plate motions) so the residual is the one the
+        # likelihood sees
+        if slc is not None and hasattr(comp, "_correction_displacement"):
+            syn = syn + np.asarray(
+                comp._correction_displacement(point, ds, slc))
         res = obs - syn
         vmax = np.abs(obs).max()
         for j, (vals, title) in enumerate(
-                ((obs, "data"), (syn, "synthetic"), (res, "residual"))):
+                ((obs, "data"), (syn, "model + corrections"),
+                 (res, "residual"))):
             ax = axes[i][j]
             sc = ax.scatter(ds.coords[:, 0] / 1e3, ds.coords[:, 1] / 1e3,
                             c=vals, s=14, cmap="RdBu_r", vmin=-vmax, vmax=vmax)
@@ -45,6 +56,9 @@ def plot_scene_fits(problem, po: PlotOptions | None = None, point=None):
             ax.set_aspect("equal")
             if j == 2:
                 fig.colorbar(sc, ax=ax, shrink=0.8, label="LOS disp [m]")
+                if ds.name in vrs:
+                    ax.text(0.02, 0.02, f"VR {100 * vrs[ds.name]:.0f}%",
+                            fontsize=8, transform=ax.transAxes)
     fig.tight_layout()
     return save_figure(fig, problem.outfolder, "scene_fits", po)
 
