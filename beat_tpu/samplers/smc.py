@@ -37,8 +37,6 @@ from beat_tpu.utility import ensure_cov_psd
 
 logger = logging.getLogger("beat_tpu.smc")
 
-sample_factor_final_stage = 1
-
 
 def calc_beta(beta: float, likelihoods: np.ndarray, coef_variation: float = 1.0):
     """
@@ -102,6 +100,9 @@ class SMCParams:
     buffer_thinning: int = 1
     rm_flag: bool = False
     max_stages: int = 100
+    #: multiplies n_steps in the final (β=1) stage (reference
+    #: ``sample_factor_final_stage``, ``sampler/smc.py:23``)
+    sample_factor_final_stage: int = 1
     seed: int = 0
 
 
@@ -272,7 +273,8 @@ def smc_sample(
         population = population[resampling_idx]
         likelihoods = likelihoods[resampling_idx]
 
-        n_steps = params.n_steps * (sample_factor_final_stage if final_stage else 1)
+        n_steps = params.n_steps * (params.sample_factor_final_stage
+                                    if final_stage else 1)
         logger.info("Stage %i: beta %.6f -> %.6f, %i steps x %i chains",
                     stage, old_beta, new_beta, n_steps, params.n_chains)
 
