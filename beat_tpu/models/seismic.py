@@ -483,6 +483,54 @@ class SeismicGeometryComposite(Composite):
             out[wmap.mapid] = 1.0 - float((res * res).sum()) / max(float((obs * obs).sum()), 1e-30)
         return out
 
+    def seis_derivative(self, point: dict, parameter: str, wmap_idx: int = 0,
+                        mode: str = "autodiff", h: float = None,
+                        stencil_order: int = 3) -> np.ndarray:
+        """
+        Sensitivity of the synthetic waveform windows with respect to a
+        source parameter (reference ``heart.seis_derivative``
+        ``heart.py:3768``).  The reference numerically differentiates
+        with 3/5-point stencils around re-run pyrocko syntheses; here the
+        default is **exact forward-mode autodiff** through the whole
+        table synthesis (``jax.jacfwd``, one jit) — ``mode="fd"`` keeps
+        the reference's stencil scheme for cross-checks.
+
+        Returns (ntargets, nsamples_win) for scalar parameters, an extra
+        trailing axis per parameter component otherwise.
+        """
+        point = {k: jnp.asarray(v, dtype=jnp.float32) for k, v in point.items()}
+        if parameter not in point:
+            raise AttributeError(
+                f"Parameter '{parameter}' not in point; derivatives are "
+                f"available for: {', '.join(sorted(point))}")
+        v0 = point[parameter]
+
+        def wins(v):
+            p = dict(point)
+            p[parameter] = v
+            return self.synthetics_windows(p, wmap_idx)
+
+        if mode == "autodiff":
+            jac = jax.jit(jax.jacfwd(wins))(v0)
+            return np.asarray(jac)
+        if mode != "fd":
+            raise ValueError(f"mode must be 'autodiff' or 'fd', got {mode!r}")
+
+        # reference-style central stencil (utility.STENCILS)
+        from beat_tpu.utility import STENCILS
+
+        if h is None:
+            h = 1e-3 * max(float(jnp.max(jnp.abs(v0))), 1.0)
+        st = STENCILS[stencil_order]
+        offs = np.arange(len(st["coefficients"])) - len(st["coefficients"]) // 2
+        f = jax.jit(wins)
+        acc = 0.0
+        for c, o in zip(st["coefficients"], offs):
+            if c == 0.0:
+                continue
+            acc = acc + c * np.asarray(f(v0 + jnp.float32(o * h)))
+        return acc / (st["denominator"] * h)
+
     def get_standardized_residuals(self, point: dict) -> dict:
         point_j = {k: jnp.asarray(v) for k, v in point.items()}
         out = {}
