@@ -180,73 +180,6 @@ def mogi_surface_displacement(coords, east_shift=0.0, north_shift=0.0,
                      axis=-1)
 
 
-def _eigh_sym3(M):
-    """
-    Closed-form eigendecomposition of a symmetric 3×3 matrix
-    (trigonometric method) — portable to backends without a LAPACK-style
-    ``eigh`` custom call.  Returns (eigenvalues (3,), eigenvectors (3, 3)
-    as columns), eigenvalues ascending.
-    """
-    # scale-normalise: moment tensors are ~1e17 Nm and the adjugate
-    # columns below square cross products — float32 would overflow
-    scale = jnp.maximum(jnp.max(jnp.abs(M)), 1e-30)
-    M = M / scale
-    q = jnp.trace(M) / 3.0
-    B = M - q * jnp.eye(3)
-    p2 = jnp.sum(B * B) / 6.0
-    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
-    detB = jnp.linalg.det(B / p)
-    r = jnp.clip(detB / 2.0, -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    lam2 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)   # smallest-ish
-    lam0 = q + 2.0 * p * jnp.cos(phi)                        # largest
-    lam1 = 3.0 * q - lam0 - lam2
-    lams = jnp.stack([lam2, lam1, lam0])  # ascending
-
-    def eigvec(lam):
-        # column of adj(M - lam I) with the largest norm
-        A = M - lam * jnp.eye(3)
-        c0 = jnp.cross(A[:, 1], A[:, 2])
-        c1 = jnp.cross(A[:, 2], A[:, 0])
-        c2 = jnp.cross(A[:, 0], A[:, 1])
-        cs = jnp.stack([c0, c1, c2])
-        norms = jnp.sum(cs**2, axis=1)
-        v = cs[jnp.argmax(norms)]
-        return v / jnp.sqrt(jnp.maximum(jnp.sum(v**2), 1e-30)), jnp.max(norms)
-
-    # Degeneracy-robust construction: anchor on the best-ISOLATED
-    # eigenvalue (its adjugate eigenvector is always well-conditioned;
-    # the old code anchored on lams[0], which is garbage when the two
-    # smallest eigenvalues coincide — e.g. every elementary MT), then
-    # diagonalize the 2x2 complement exactly.  For repeated eigenvalues
-    # any orthonormal basis of the eigenspace is exact, which this
-    # produces by construction.
-    anchor_low = (lams[1] - lams[0]) >= (lams[2] - lams[1])
-    lam_a = jnp.where(anchor_low, lams[0], lams[2])
-    va, quality = eigvec(lam_a)
-    # fully isotropic M: adjugate vanishes — any direction is exact
-    va = jnp.where(quality > 1e-20, va, jnp.array([0.0, 0.0, 1.0]))
-
-    seed = jnp.where(jnp.abs(va[2]) < 0.9,
-                     jnp.array([0.0, 0.0, 1.0]), jnp.array([1.0, 0.0, 0.0]))
-    u = jnp.cross(va, seed)
-    u = u / jnp.sqrt(jnp.maximum(jnp.sum(u**2), 1e-30))
-    w = jnp.cross(va, u)
-
-    b00 = u @ M @ u
-    b01 = u @ M @ w
-    b11 = w @ M @ w
-    theta = 0.5 * jnp.arctan2(2.0 * b01, b00 - b11)
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-    e1 = ct * u + st * w
-    e2 = -st * u + ct * w
-
-    vals = jnp.stack([va @ M @ va, e1 @ M @ e1, e2 @ M @ e2])
-    vecs_rows = jnp.stack([va, e1, e2])
-    order = jnp.argsort(vals)
-    return vals[order] * scale, vecs_rows[order].T
-
-
 def mt_surface_displacement(coords, m6, east_shift=0.0, north_shift=0.0,
                             depth=5000.0, nu=POISSON_DEFAULT,
                             shear_modulus=33e9, patch_frac=0.08):
@@ -265,34 +198,52 @@ def mt_surface_displacement(coords, m6, east_shift=0.0, north_shift=0.0,
 
     coords (N, 2) [m]; m6 = (mnn, mee, mdd, mne, mnd, med) [Nm].
     Returns (N, 3) displacements (E, N, Up).
+
+    Implementation note (TPU-first): the displacement field is exactly
+    LINEAR in M, so instead of eigen-decomposing the sampled tensor
+    (data-dependent branches + float32 branch flips near degenerate
+    eigenvalues — every DC is near-degenerate), M is expanded on a FIXED
+    set of 9 crack normals (the 3 axes + the 6 axis bisectors) whose
+    potencies are a static linear map of m6.  Branch-free, exactly
+    linear, and the 9 small patches vmap into one fused kernel.
     """
+    import jax
+
     mu = shear_modulus
     lam = 2.0 * mu * nu / (1.0 - 2.0 * nu)
-    mnn, mee, mdd, mne, mnd, med = (m6[..., i] for i in range(6))
-    M = jnp.array([[mnn, mne, mnd], [mne, mee, med], [mnd, med, mdd]])
-    lams, vecs = _eigh_sym3(M)
+    mnn, mee, mdd, mne, mnd, med = (jnp.asarray(m6)[..., i] for i in range(6))
 
-    S = jnp.trace(M) / (3.0 * lam + 2.0 * mu)
-    potencies = (lams - lam * S) / (2.0 * mu)   # [m^3] per crack
+    # diagonal bases: B_kk = c1 (λI + 2µ n_k n_kᵀ) + c2 Σ_{j≠k}(λI + 2µ n_j n_jᵀ)
+    c1 = (lam + mu) / (mu * (3.0 * lam + 2.0 * mu))
+    c2 = -lam / (2.0 * mu * (3.0 * lam + 2.0 * mu))
+    # off-diagonal bases: ±1/(2µ) potency on the two 45° bisector normals
+    q = 1.0 / (2.0 * mu)
+    potencies = jnp.stack([
+        c1 * mnn + c2 * (mee + mdd),      # normal N
+        c1 * mee + c2 * (mnn + mdd),      # normal E
+        c1 * mdd + c2 * (mnn + mee),      # normal D
+        q * mne, -q * mne,                # normals (N±E)/√2
+        q * mnd, -q * mnd,                # normals (N±D)/√2
+        q * med, -q * med,                # normals (E±D)/√2
+    ])
+    # (strike φ, dip δ) of the crack plane for each fixed normal, from
+    # ν = (−sinδ sinφ, sinδ cosφ, −cosδ) with ν_d ≤ 0
+    strikes = jnp.array([-90.0, 0.0, 0.0, -45.0, -135.0,
+                         90.0, -90.0, 180.0, 0.0])
+    dips = jnp.array([90.0, 90.0, 0.0, 90.0, 90.0,
+                      45.0, 45.0, 45.0, 45.0])
 
     size = patch_frac * depth
     area = size * size
-    disp = jnp.zeros((jnp.asarray(coords).shape[0], 3))
-    for i in range(3):
-        v = vecs[:, i]                            # crack normal (NED)
-        # plane orientation from the normal: ν = (−sinδ sinφ, sinδ cosφ, −cosδ)
-        # keep the normal pointing up (ν_d ≤ 0) for well-defined (φ, δ)
-        v = jnp.where(v[2] > 0, -v, v)
-        sin_d = jnp.sqrt(jnp.clip(v[0] ** 2 + v[1] ** 2, 0.0, 1.0))
-        delta = jnp.rad2deg(jnp.arctan2(sin_d, -v[2]))
-        phi = jnp.rad2deg(jnp.arctan2(-v[0], v[1]))
-        opening = potencies[i] / area
-        disp = disp + okada_surface_displacement(
+
+    def one_crack(phi, delta, pot):
+        return okada_surface_displacement(
             coords, east_shift=east_shift, north_shift=north_shift,
             depth=depth, strike=phi, dip=delta, rake=0.0,
-            length=size, width=size, slip=0.0, opening=opening,
+            length=size, width=size, slip=0.0, opening=pot / area,
             nu=nu, anchor="center")
-    return disp
+
+    return jnp.sum(jax.vmap(one_crack)(strikes, dips, potencies), axis=0)
 
 
 def okada_surface_displacement(

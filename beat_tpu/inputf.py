@@ -40,6 +40,33 @@ def load_sar_csv(path: str, name: str | None = None, incidence: float = 39.0,
                     incidence=inc, heading=head)
 
 
+def kite_scene_to_dataset(scene, name: str) -> GeodeticDataset:
+    """
+    Convert an in-memory kite ``Scene`` to a :class:`GeodeticDataset`.
+
+    Kite's quadtree stores per-leaf look geometry as ``leaf_thetas``
+    (elevation angle of the satellite above the horizon, radians) and
+    ``leaf_phis`` (horizontal look azimuth counter-clockwise from east,
+    radians).  The reference converts these to satellite
+    incidence/heading first — ``incidence = 90 - rad2deg(theta)``,
+    ``heading = -rad2deg(phi) + 180`` (``beat/heart.py:1513-1515``) —
+    and then builds the LOS unit vector from incidence/heading
+    (``beat/heart.py:1393-1400``), which is exactly :func:`diff_ifg`.
+    """
+    qt = scene.quadtree
+    coords = np.column_stack([
+        np.asarray(qt.leaf_focal_points[:, 0], dtype=float),
+        np.asarray(qt.leaf_focal_points[:, 1], dtype=float)])
+    incidence = 90.0 - np.rad2deg(np.asarray(qt.leaf_thetas, dtype=float))
+    heading = -np.rad2deg(np.asarray(qt.leaf_phis, dtype=float)) + 180.0
+    ds = diff_ifg(name, coords, np.asarray(qt.leaf_means, dtype=float),
+                  incidence=incidence, heading=heading)
+    cov = getattr(getattr(scene, "covariance", None), "covariance_matrix", None)
+    if cov is not None:
+        ds.covariance = Covariance(data=np.asarray(cov, dtype=float))
+    return ds
+
+
 def load_kite_scene(path: str) -> GeodeticDataset:
     """Kite scene importer (reference ``load_kite_scenes``
     ``beat/inputf.py:110``; requires the ``kite`` package)."""
@@ -49,18 +76,7 @@ def load_kite_scene(path: str) -> GeodeticDataset:
         raise ImportError(
             "kite is required for kite scene import; use load_sar_csv or the "
             "npz dataset format instead") from e
-    sc = Scene.load(path)
-    qt = sc.quadtree
-    coords = np.column_stack([qt.leaf_focal_points[:, 0],
-                              qt.leaf_focal_points[:, 1]])
-    ds = GeodeticDataset(
-        name=os.path.basename(path), typ="SAR", coords=coords,
-        displacement=qt.leaf_means,
-        los_vector=np.column_stack([
-            -np.sin(qt.leaf_thetas) * np.cos(qt.leaf_phis),
-            np.sin(qt.leaf_thetas) * np.sin(qt.leaf_phis),
-            np.cos(qt.leaf_thetas)]))
-    return ds
+    return kite_scene_to_dataset(Scene.load(path), os.path.basename(path))
 
 
 def load_gnss_csv(path: str, components=("east", "north", "up"),

@@ -295,8 +295,18 @@ class GeodeticGeometryComposite(GeodeticComposite):
                     coords, east_shift=get("east_shift"),
                     north_shift=get("north_shift"), depth=get("depth"),
                     volume_change=get("volume_change"), nu=self.nu)
-            elif isinstance(src, (MTSource, MTQTSource, DCSource, CLVDSource,
-                                  DoubleDCSource)):
+            elif isinstance(src, DoubleDCSource):
+                # two separated point DCs (mirrors the seismic branch;
+                # the co-located sum is wrong once distance >> 0)
+                from beat_tpu.models.seismic import double_dc_sub_sources
+
+                for m6_k, de_k, dn_k, dz_k, _ in double_dc_sub_sources(get):
+                    disp = disp + mt_surface_displacement(
+                        coords, m6_k, east_shift=get("east_shift") + de_k,
+                        north_shift=get("north_shift") + dn_k,
+                        depth=get("depth") + dz_k,
+                        nu=self.nu, shear_modulus=self.shear_modulus)
+            elif isinstance(src, (MTSource, MTQTSource, DCSource, CLVDSource)):
                 from beat_tpu.models.seismic import source_m6
 
                 m6 = source_m6(src, point, i, len(self.sources))
@@ -337,8 +347,9 @@ class GeodeticGeometryComposite(GeodeticComposite):
         one gather each, rectangles as patch grids of point MTs with the
         local shear modulus (pscmp patch integration, ref heart.py:4158)."""
         from beat_tpu.models.seismic import point_getter, source_m6
-        from beat_tpu.sources import (RingfaultSource, rectangular_patch_grid,
-                                      sdr_to_m6, tensile_m6)
+        from beat_tpu.sources import (DoubleDCSource, RingfaultSource,
+                                      rectangular_patch_grid, sdr_to_m6,
+                                      tensile_m6)
 
         table = data["static_table"]
         coords = data["coords"]
@@ -381,6 +392,14 @@ class GeodeticGeometryComposite(GeodeticComposite):
                         m6_k, get("east_shift") + de_k,
                         get("north_shift") + dn_k, get("depth") + dz_k,
                         obs_e, obs_n))(m6s, de, dn, dz), axis=0)
+            elif isinstance(src, DoubleDCSource):
+                from beat_tpu.models.seismic import double_dc_sub_sources
+
+                for m6_k, de_k, dn_k, dz_k, _ in double_dc_sub_sources(get):
+                    disp = disp + table.synthesize_enu(
+                        m6_k, get("east_shift") + de_k,
+                        get("north_shift") + dn_k, get("depth") + dz_k,
+                        obs_e, obs_n)
             else:
                 m6 = source_m6(src, point, i, len(self.sources))
                 disp = disp + table.synthesize_enu(

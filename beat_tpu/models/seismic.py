@@ -118,6 +118,20 @@ def double_dc_m6_pair(get):
     return m1, m2
 
 
+def double_dc_sub_sources(get):
+    """The two separated point DCs of a DoubleDCSource:
+    ``(m6, d_east, d_north, d_depth, d_time)`` per couple.  The couples
+    sit at ±distance/2 along ``azimuth``; the second is additionally
+    offset by ``delta_depth``/``delta_time`` (pyrocko DoubleDCSource
+    semantics, used by the reference for both waveforms and statics)."""
+    m1, m2 = double_dc_m6_pair(get)
+    az = jnp.deg2rad(get("azimuth"))
+    de = get("distance") / 2.0 * jnp.sin(az)
+    dn = get("distance") / 2.0 * jnp.cos(az)
+    return ((m1, -de, -dn, jnp.zeros(()), jnp.zeros(())),
+            (m2, de, dn, get("delta_depth"), get("delta_time")))
+
+
 def finite_rectangular_spectra(table, get, station_east, station_north,
                                comp_idx, stf_type, filter_response,
                                n_patches=(4, 4), shear_modulus=None,
@@ -308,19 +322,13 @@ class SeismicGeometryComposite(Composite):
             elif isinstance(src, DoubleDCSource):
                 # two point DCs at +-distance/2 along azimuth, the second
                 # offset by delta_depth/delta_time (pyrocko DoubleDCSource)
-                m1, m2 = double_dc_m6_pair(get)
-                az = jnp.deg2rad(get("azimuth"))
-                de = get("distance") / 2.0 * jnp.sin(az)
-                dn = get("distance") / 2.0 * jnp.cos(az)
                 dur = jnp.maximum(self._source_scalar(
                     point, "duration", i, getattr(src, "duration", 0.0) or 1.0), 1e-3)
                 spec = 0.0
-                for m6_k, sgn, dz, dt in ((m1, -1.0, 0.0, 0.0),
-                                          (m2, 1.0, get("delta_depth"),
-                                           get("delta_time"))):
+                for m6_k, de_k, dn_k, dz, dt in double_dc_sub_sources(get):
                     spec = spec + table.synthesize_spectra(
-                        m6_k, get("east_shift") + sgn * de,
-                        get("north_shift") + sgn * dn,
+                        m6_k, get("east_shift") + de_k,
+                        get("north_shift") + dn_k,
                         get("depth") + dz, get("time") + dt, dur,
                         dev["station_east"], dev["station_north"],
                         dev["comp_idx"], stf_type=self.stf_type,

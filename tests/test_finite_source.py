@@ -207,6 +207,63 @@ class TestPointCatalogSources:
             assert np.isfinite(synth).all() and np.abs(synth).max() > 0
 
 
+    def test_geodetic_doubledc_statics_separated(self):
+        """DoubleDC statics honor the sampled separation: with
+        distance >> 0 the field differs from the co-located m1+m2 sum
+        and equals two single-DC syntheses superposed at +-distance/2
+        along azimuth (+delta_depth for the second couple) — mirroring
+        the seismic branch (reference: pyrocko DoubleDCSource
+        discretizes into two offset point DCs for every engine)."""
+        from beat_tpu.covariance import Covariance
+        from beat_tpu.heart.geodesy import GeodeticDataset
+        from beat_tpu.models.geodetic import GeodeticGeometryComposite
+        from beat_tpu.sources import moment_to_magnitude
+
+        e = np.linspace(-15e3, 15e3, 7)
+        coords = np.stack(np.meshgrid(e, e), -1).reshape(-1, 2)
+        los = np.tile([0.3, -0.1, 0.9], (coords.shape[0], 1))
+        los /= np.linalg.norm(los, axis=1, keepdims=True)
+        ds = GeodeticDataset(
+            name="s", typ="SAR", coords=coords,
+            displacement=np.zeros(coords.shape[0]), los_vector=los,
+            covariance=Covariance(data=np.eye(coords.shape[0]) * 1e-4))
+
+        mag, mix, dist, az, ddepth = 5.5, 0.3, 12e3, 35.0, 2e3
+        sdr = dict(strike1=10.0, dip1=80.0, rake1=5.0,
+                   strike2=100.0, dip2=45.0, rake2=90.0)
+        ddc = DoubleDCSource(depth=6e3, magnitude=mag, mix=mix,
+                             distance=dist, azimuth=az,
+                             delta_depth=ddepth, **sdr)
+        u_sep = np.asarray(GeodeticGeometryComposite(
+            [ds], [ddc]).synthetics_los({}))
+
+        ddc0 = DoubleDCSource(depth=6e3, magnitude=mag, mix=mix,
+                              distance=0.0, azimuth=az, delta_depth=0.0,
+                              **sdr)
+        u_coloc = np.asarray(GeodeticGeometryComposite(
+            [ds], [ddc0]).synthetics_los({}))
+        assert np.abs(u_sep - u_coloc).max() > 0.1 * np.abs(u_coloc).max()
+
+        m0 = magnitude_to_moment(mag)
+        de = dist / 2.0 * np.sin(np.deg2rad(az))
+        dn = dist / 2.0 * np.cos(np.deg2rad(az))
+        dc1 = DCSource(east_shift=-de, north_shift=-dn, depth=6e3,
+                       magnitude=moment_to_magnitude((1.0 - mix) * m0),
+                       strike=sdr["strike1"], dip=sdr["dip1"],
+                       rake=sdr["rake1"])
+        dc2 = DCSource(east_shift=de, north_shift=dn, depth=6e3 + ddepth,
+                       magnitude=moment_to_magnitude(mix * m0),
+                       strike=sdr["strike2"], dip=sdr["dip2"],
+                       rake=sdr["rake2"])
+        u_pair = (np.asarray(GeodeticGeometryComposite([ds], [dc1])
+                             .synthetics_los({}))
+                  + np.asarray(GeodeticGeometryComposite([ds], [dc2])
+                               .synthetics_los({})))
+        # f32 compute path: superposition exact up to float32 accumulation
+        np.testing.assert_allclose(u_sep, u_pair,
+                                   atol=1e-4 * np.abs(u_pair).max())
+
+
 class TestRingfault:
     def test_sub_sources_geometry(self):
         from beat_tpu.sources import RingfaultSource

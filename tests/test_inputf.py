@@ -405,3 +405,38 @@ class TestPickedArrivals:
         dshift = int(round(3.0 / table.dt))
         assert shifted.window_starts[0] - base.window_starts[0] == dshift
         assert shifted.window_starts[1] == base.window_starts[1]
+
+
+def test_kite_scene_los_convention():
+    """Fake-Scene fixture locking the kite angle convention to the
+    reference: incidence = 90 - rad2deg(leaf_thetas), heading =
+    -rad2deg(leaf_phis) + 180 (``beat/heart.py:1513-1515``) fed through
+    the standard incidence/heading LOS formula (``heart.py:1393-1400``).
+    Equivalently LOS = (cos t cos p, cos t sin p, sin t) for elevation t
+    and look azimuth p (ccw from east)."""
+    from types import SimpleNamespace
+
+    from beat_tpu.inputf import kite_scene_to_dataset
+
+    thetas = np.deg2rad(np.array([90.0, 50.0, 30.0]))   # elevation
+    phis = np.deg2rad(np.array([0.0, 30.0, -110.0]))    # azimuth ccw from E
+    qt = SimpleNamespace(
+        leaf_focal_points=np.column_stack([np.arange(3.0) * 1e3,
+                                           np.zeros(3)]),
+        leaf_thetas=thetas, leaf_phis=phis,
+        leaf_means=np.array([0.01, 0.02, -0.005]))
+    cov = np.diag([1e-6, 2e-6, 3e-6])
+    scene = SimpleNamespace(quadtree=qt,
+                            covariance=SimpleNamespace(covariance_matrix=cov))
+    ds = kite_scene_to_dataset(scene, "asc_scene")
+
+    expected = np.column_stack([np.cos(thetas) * np.cos(phis),
+                                np.cos(thetas) * np.sin(phis),
+                                np.sin(thetas)])
+    np.testing.assert_allclose(ds.los_vector, expected, atol=1e-12)
+    # nadir-looking leaf (theta=90deg): LOS is purely vertical
+    np.testing.assert_allclose(ds.los_vector[0], [0.0, 0.0, 1.0], atol=1e-12)
+    np.testing.assert_allclose(np.linalg.norm(ds.los_vector, axis=1), 1.0,
+                               atol=1e-12)
+    np.testing.assert_allclose(ds.covariance.data, cov)
+    np.testing.assert_allclose(ds.displacement, qt.leaf_means)
