@@ -690,12 +690,14 @@ def load_polarity_targets(project_dir: str, datadir: str = "./",
         az = np.deg2rad(z["azimuths_deg"])
         pol = z["polarities"].astype(int)
         stations = [str(s) for s in z["stations"]]
+        dists = z["distances_m"].astype(float) if "distances_m" in z.files \
+            else None
         if "takeoffs_deg" in z.files:
             to = np.deg2rad(z["takeoffs_deg"])
         else:
             from beat_tpu.heart.velocity_model import takeoff_angles
 
-            if "distances_m" not in z.files:
+            if dists is None:
                 raise ValueError(
                     "polarity_data.npz needs 'takeoffs_deg' or 'distances_m'")
             if source_depth is None:
@@ -703,10 +705,48 @@ def load_polarity_targets(project_dir: str, datadir: str = "./",
                     "ray-traced takeoffs need the event source depth")
             model = velocity_model or load_velocity_model(project_dir)
             to = takeoff_angles(model, float(source_depth),
-                                z["distances_m"], phase=phase)
+                                dists, phase=phase)
     return [PolarityTarget(station=stations[i], azimuth_rad=float(az[i]),
-                           takeoff_rad=float(to[i]), polarity=int(pol[i]))
+                           takeoff_rad=float(to[i]), polarity=int(pol[i]),
+                           distance_m=(float(dists[i]) if dists is not None
+                                       else None))
             for i in range(len(stations)) if stations[i] not in blacklist]
+
+
+def _build_polarity_takeoff_table(project_dir: str, priors, targets,
+                                  event_depth: float, phase: str,
+                                  n_depths: int = 25, n_dists: int = 48):
+    """(depth × distance) takeoff grid covering the sampled location
+    priors, host-ray-traced once through the project's layered model —
+    the device-resident analogue of the reference's cake interpolation
+    tables (``heart.py:2333``) used for per-draw polarity geometry."""
+    from beat_tpu.heart.polarity import build_takeoff_table
+
+    if "depth" in priors:
+        p = priors["depth"]
+        zlo, zhi = float(np.min(p.lower)), float(np.max(p.upper))
+    else:
+        zlo = zhi = float(event_depth)
+    if zhi - zlo < 1.0:  # degenerate span: widen so bilinear has a cell
+        zlo, zhi = zlo - max(0.05 * zlo, 50.0), zhi + max(0.05 * zhi, 50.0)
+    zlo = max(zlo, 1.0)
+
+    dists = np.asarray([t.distance_m for t in targets], dtype=float)
+    shift = 0.0
+    for name in ("east_shift", "north_shift"):
+        if name in priors:
+            p = priors[name]
+            shift = max(shift, float(np.max(np.abs(p.lower))),
+                        float(np.max(np.abs(p.upper))))
+    # shifts move the epicenter; distances change by at most the
+    # horizontal shift magnitude (hypot of both components)
+    rlo = max(float(dists.min()) - np.sqrt(2.0) * shift, 1.0)
+    rhi = float(dists.max()) + np.sqrt(2.0) * shift + 1.0
+
+    model = load_velocity_model(project_dir)
+    return build_takeoff_table(
+        model, np.linspace(zlo, zhi, n_depths),
+        np.linspace(rlo, rhi, n_dists), phase=phase)
 
 
 def import_results_as_priors(project_dir: str, mode: str, from_mode: str,
@@ -812,12 +852,16 @@ def save_polarity_targets(targets, project_dir: str, datadir: str = "./") -> str
     outdir = os.path.join(project_dir, datadir)
     os.makedirs(outdir, exist_ok=True)
     path = os.path.join(outdir, "polarity_data.npz")
-    np.savez_compressed(
-        path,
+    payload = dict(
         stations=np.array([t.station for t in targets]),
         azimuths_deg=np.rad2deg([t.azimuth_rad for t in targets]),
         takeoffs_deg=np.rad2deg([t.takeoff_rad for t in targets]),
         polarities=np.array([t.polarity for t in targets]))
+    if all(t.distance_m is not None for t in targets):
+        # keep distances so per-draw takeoff re-interpolation stays
+        # available when the project later samples the location
+        payload["distances_m"] = np.array([t.distance_m for t in targets])
+    np.savez_compressed(path, **payload)
     return path
 
 
@@ -1014,8 +1058,23 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
             targets = load_polarity_targets(
                 project_dir, polc.datadir, source_depth=depth,
                 phase=phase, filename=fname, blacklist=pfc.blacklist)
+            # per-draw geometry: when the location is sampled and the
+            # data carries epicentral distances, precompute a
+            # (depth-grid × distance-grid) takeoff table that the
+            # composite gathers at the traced location each draw — the
+            # analogue of the reference's per-draw cake re-ray-tracing
+            # (beat/pytensorf.py:345-362, tables heart.py:2333)
+            table = None
+            samples_location = any(k in priors
+                                   for k in ("depth", "east_shift",
+                                             "north_shift"))
+            if samples_location and all(t.distance_m is not None
+                                        for t in targets) and targets:
+                table = _build_polarity_takeoff_table(
+                    project_dir, priors, targets, depth, phase)
             maps.append(PolarityMapping(pfc.name, targets,
-                                        event_idx=event_idx, mapnumber=i))
+                                        event_idx=event_idx, mapnumber=i,
+                                        takeoff_table=table))
         composites["polarity"] = PolarityComposite(sources=sources, maps=maps)
 
     outfolder = os.path.join(project_dir, pc.mode)

@@ -213,6 +213,59 @@ class TestPolarityCLI:
         assert abs(summary["strike"]["mean"] - 30.0) < 15.0
         assert abs(summary["rake"]["mean"] + 90.0) < 20.0
 
+    def test_sampled_depth_attaches_takeoff_table(self, tmp_path):
+        """When the location is sampled and targets carry distances,
+        problem_from_config precomputes a per-draw takeoff table
+        (reference re-ray-traces each draw, ``pytensorf.py:345-362``)."""
+        import jax.numpy as jnp
+
+        from beat_tpu.config import save_polarity_targets
+        from beat_tpu.heart.polarity import PolarityTarget
+        from beat_tpu.heart.velocity_model import (LayeredModel,
+                                                   takeoff_angles)
+        from beat_tpu.parameter import Parameter
+        from beat_tpu.sources import sdr_to_m6
+
+        pdir = str(tmp_path / "poldepth")
+        assert run_cli("init", "poldepth", pdir, "--datatypes", "polarity",
+                       "--source_types", "DCSource") == 0
+
+        model = LayeredModel.default_crust()
+        rng = np.random.default_rng(1)
+        n = 16
+        dists = rng.uniform(30e3, 150e3, n)
+        az = rng.uniform(0, 2 * np.pi, n)
+        to = takeoff_angles(model, 12e3, dists)
+        targets = [PolarityTarget(station=f"S{i}", azimuth_rad=az[i],
+                                  takeoff_rad=to[i], polarity=1,
+                                  distance_m=float(dists[i]))
+                   for i in range(n)]
+        save_polarity_targets(targets, pdir)
+
+        config = load_config(pdir)
+        P = config.problem_config.priors
+        for name in list(P):
+            if name not in ("strike", "dip", "rake", "depth"):
+                del P[name]
+        P["depth"] = Parameter("depth", [4.0], [20.0],
+                               testvalue=[10.0]).to_dict()  # km → SI
+        dump_config(config, pdir)
+
+        problem = problem_from_config(load_config(pdir), pdir)
+        m = problem.composites["polarity"].maps[0]
+        assert m.takeoff_table is not None
+        # table spans the prior depth range (SI meters)
+        zg = np.asarray(m.takeoff_table.depth_grid)
+        assert zg.min() <= 4e3 + 1 and zg.max() >= 20e3 - 1
+        # and the likelihood actually moves with the sampled depth
+        pt = {k: jnp.asarray(v) for k, v in
+              dict(strike=30.0, dip=60.0, rake=-90.0).items()}
+        l1 = float(problem.composites["polarity"].loglike(
+            dict(pt, depth=jnp.asarray(5e3))))
+        l2 = float(problem.composites["polarity"].loglike(
+            dict(pt, depth=jnp.asarray(19e3))))
+        assert abs(l1 - l2) > 1e-6
+
 
 class TestFFICLIWorkflow:
     def test_geometry_then_ffi(self, tmp_path):

@@ -147,3 +147,128 @@ class TestPolarityComposite:
             PolarityComposite(sources=[DCSource()],
                               maps=[PolarityMapping("any_P", targets,
                                                     event_idx=1)])
+
+
+class TestPerDrawGeometry:
+    """Per-draw takeoff re-interpolation when the location is sampled —
+    the reference re-ray-traces targets each draw
+    (``beat/pytensorf.py:345-362``, cake tables ``heart.py:2333``);
+    here a device-resident (depth × distance) table is gathered inside
+    the jitted likelihood."""
+
+    Z_TRUE = 15e3
+    Z_FROZEN = 7e3
+    MECH = dict(strike=40.0, dip=55.0, rake=-100.0)
+
+    def _setup(self):
+        from beat_tpu.heart.polarity import build_takeoff_table
+        from beat_tpu.heart.velocity_model import (LayeredModel,
+                                                   takeoff_angles)
+
+        model = LayeredModel.default_crust()
+        rng = np.random.default_rng(7)
+        n = 40
+        dists = rng.uniform(30e3, 200e3, n)
+        az = rng.uniform(0, 2 * np.pi, n)
+        # observed polarities come from the TRUE depth's ray geometry
+        to_true = takeoff_angles(model, self.Z_TRUE, dists)
+        m6 = np.asarray(sdr_to_m6(**self.MECH, moment=1.0))
+        g = takeoff_vector(jnp.asarray(az), jnp.asarray(to_true))
+        amps = np.asarray(pol_synthetics(jnp.asarray(m6),
+                                         radiation_weights_p(g)))
+        # frozen targets carry takeoffs ray-traced at the (wrong)
+        # configured depth, as the load path would
+        to_frozen = takeoff_angles(model, self.Z_FROZEN, dists)
+        targets = [PolarityTarget(station=f"S{i}", azimuth_rad=az[i],
+                                  takeoff_rad=to_frozen[i],
+                                  polarity=int(np.sign(amps[i])),
+                                  distance_m=float(dists[i]))
+                   for i in range(n)]
+        table = build_takeoff_table(model, np.linspace(4e3, 20e3, 33),
+                                    np.linspace(20e3, 220e3, 101))
+        return model, targets, table
+
+    def _point(self, depth, **over):
+        pt = {k: jnp.asarray(v) for k, v in self.MECH.items()}
+        pt["magnitude"] = jnp.asarray(5.0)
+        pt["depth"] = jnp.asarray(depth)
+        pt.update({k: jnp.asarray(v) for k, v in over.items()})
+        return pt
+
+    def test_table_interp_matches_ray_tracer(self):
+        from beat_tpu.heart.velocity_model import first_arrival
+
+        model, _, table = self._setup()
+        rng = np.random.default_rng(3)
+        # off-grid probes away from the direct/head-wave crossover,
+        # where takeoff(depth, distance) is smooth
+        for z, r in zip(rng.uniform(5e3, 19e3, 6),
+                        rng.uniform(25e3, 60e3, 6)):
+            want = np.deg2rad(first_arrival(model, z, r)[1])
+            got = float(table.interp(jnp.asarray(z), jnp.asarray(r)))
+            assert abs(got - want) < 0.03, (z, r, got, want)
+
+    def test_frozen_geometry_is_biased_table_is_not(self):
+        from beat_tpu.models.polarity import PolarityMapping
+
+        _, targets, table = self._setup()
+        src = DCSource(magnitude=5.0, depth=self.Z_FROZEN, **self.MECH)
+        frozen = PolarityComposite(
+            sources=[src], maps=[PolarityMapping("any_P", targets)])
+        perdraw = PolarityComposite(
+            sources=[src],
+            maps=[PolarityMapping("any_P", targets, takeoff_table=table)])
+        obs = np.array([t.polarity for t in targets])
+
+        # frozen geometry mispredicts some first motions at the truth —
+        # and sampling depth cannot fix it (llk is depth-independent)
+        syn_frozen = frozen.get_synthetics(self._point(self.Z_TRUE))
+        n_wrong = int(np.sum(syn_frozen["polarities"] != obs))
+        assert n_wrong >= 3
+        lf_true = float(frozen.loglike(self._point(self.Z_TRUE)))
+        lf_cfg = float(frozen.loglike(self._point(self.Z_FROZEN)))
+        np.testing.assert_allclose(lf_true, lf_cfg, rtol=1e-6)
+
+        # per-draw geometry: all polarities right at the true depth,
+        # and the likelihood prefers the true depth over the frozen one
+        syn = perdraw.get_synthetics(self._point(self.Z_TRUE))
+        np.testing.assert_array_equal(syn["polarities"], obs)
+        lt_true = float(perdraw.loglike(self._point(self.Z_TRUE)))
+        lt_cfg = float(perdraw.loglike(self._point(self.Z_FROZEN)))
+        assert lt_true > lt_cfg + 1.0
+
+    def test_traced_shifts_move_epicentre(self):
+        """east/north shifts change per-target distance/azimuth and the
+        traced radiation weights follow."""
+        from beat_tpu.models.polarity import PolarityMapping
+
+        _, targets, table = self._setup()
+        src = DCSource(magnitude=5.0, depth=self.Z_TRUE, **self.MECH)
+        comp = PolarityComposite(
+            sources=[src],
+            maps=[PolarityMapping("any_P", targets, takeoff_table=table)])
+        base = float(comp.loglike(self._point(self.Z_TRUE)))
+        shifted = float(comp.loglike(self._point(
+            self.Z_TRUE, east_shift=25e3, north_shift=-18e3)))
+        assert abs(shifted - base) > 1e-3
+
+    def test_jit_grad_through_table(self):
+        """The gather is pure XLA: jit + grad w.r.t. depth both work."""
+        import jax
+
+        from beat_tpu.models.polarity import PolarityMapping
+
+        _, targets, table = self._setup()
+        src = DCSource(magnitude=5.0, depth=self.Z_TRUE, **self.MECH)
+        comp = PolarityComposite(
+            sources=[src],
+            maps=[PolarityMapping("any_P", targets, takeoff_table=table)])
+
+        def f(z):
+            return comp.loglike(self._point(z))
+
+        jf = jax.jit(f)
+        np.testing.assert_allclose(float(jf(self.Z_TRUE)),
+                                   float(f(self.Z_TRUE)), rtol=1e-6)
+        g = float(jax.grad(f)(jnp.asarray(10e3)))
+        assert np.isfinite(g)
