@@ -179,11 +179,16 @@ class GreensTable:
             d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
             z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
             di = jnp.clip((distance - d_grid[0]) / d_step,
-                          0.0, max(d_grid.size - 1.001, 0.0))
+                          0.0, float(d_grid.size - 1))
             zi = jnp.clip((depth - z_grid[0]) / z_step,
-                          0.0, max(z_grid.size - 1.001, 0.0))
-            d0 = jnp.floor(di).astype(jnp.int32)
-            z0 = jnp.floor(zi).astype(jnp.int32)
+                          0.0, float(z_grid.size - 1))
+            # cell index clamps to the LAST cell so a query at the top
+            # grid node lands exactly on it (fd/fz reach 1.0) instead of
+            # blending 0.1 % of the neighbour in
+            d0 = jnp.minimum(jnp.floor(di).astype(jnp.int32),
+                             max(d_grid.size - 2, 0))
+            z0 = jnp.minimum(jnp.floor(zi).astype(jnp.int32),
+                             max(z_grid.size - 2, 0))
             fd, fz = di - d0, zi - z0
             t = jnp.asarray(tt)
             return ((1 - fd) * (1 - fz) * t[d0, z0]
@@ -216,11 +221,17 @@ class GreensTable:
         d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
         z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
         di = jnp.clip((distance - d_grid[0]) / d_step,
-                      0.0, max(d_grid.size - 1.001, 0.0))
+                      0.0, float(d_grid.size - 1))
         zi = jnp.clip((depth - z_grid[0]) / z_step,
-                      0.0, max(z_grid.size - 1.001, 0.0))
-        d0 = jnp.floor(di).astype(jnp.int32)
-        z0 = jnp.floor(zi).astype(jnp.int32)
+                      0.0, float(z_grid.size - 1))
+        # cell index clamps to the LAST cell so a query at the top grid
+        # node is exact (fd/fz reach 1.0) — clamping the fractional
+        # coordinate to size−1.001 instead blended 0.1 % of the
+        # neighbour into top-edge queries
+        d0 = jnp.minimum(jnp.floor(di).astype(jnp.int32),
+                         max(d_grid.size - 2, 0))
+        z0 = jnp.minimum(jnp.floor(zi).astype(jnp.int32),
+                         max(z_grid.size - 2, 0))
 
         sp = self.spectra  # (6, 3, nd, nz, nf, 2)
         if comp_idx is not None:

@@ -103,11 +103,16 @@ class StaticGFTable:
         d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
         z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
         di = jnp.clip((distance - d_grid[0]) / d_step,
-                      0.0, max(d_grid.size - 1.001, 0.0))
+                      0.0, float(d_grid.size - 1))
         zi = jnp.clip((depth - z_grid[0]) / z_step,
-                      0.0, max(z_grid.size - 1.001, 0.0))
-        d0 = jnp.floor(di).astype(jnp.int32)
-        z0 = jnp.floor(zi).astype(jnp.int32)
+                      0.0, float(z_grid.size - 1))
+        # cell index clamps to the LAST cell so a query at the top grid
+        # node is exact (fd/fz reach 1.0) rather than blending 0.1 % of
+        # the neighbour in (same fix as gftable.gather_spectra)
+        d0 = jnp.minimum(jnp.floor(di).astype(jnp.int32),
+                         max(d_grid.size - 2, 0))
+        z0 = jnp.minimum(jnp.floor(zi).astype(jnp.int32),
+                         max(z_grid.size - 2, 0))
         fd = (di - d0)[:, None, None]
         fz = jnp.reshape(zi - z0, ())
 
