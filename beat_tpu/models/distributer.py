@@ -360,7 +360,12 @@ def transd_sample_ffi(composite, params, slip_varname: str | None = None,
     over the fault plane with patch slips = nearest-active-node values
     (:mod:`beat_tpu.ffi.transd`).
 
-    composite : GeodeticDistributerComposite (single-subfault fault).
+    composite : GeodeticDistributerComposite.  Multi-subfault faults are
+        unrolled into one along-strike atlas: subfault ``i`` occupies the
+        strike interval ``[Σ_{j<i} length_j, Σ_{j≤i} length_j]`` with its
+        local down-dip coordinate, so one Voronoi node field spans the
+        whole fault (the reference's ``transd_vars_dist`` registry spans
+        all subfaults, ``beat/config.py:88-96``).
     value_bounds : slip prior bounds; defaults to the registry bounds of
         the slip component.
     homepath : optional stage dir — saves the thinned slip trace as a
@@ -371,10 +376,6 @@ def transd_sample_ffi(composite, params, slip_varname: str | None = None,
     from beat_tpu.ffi.transd import transd_sample
 
     fault = composite.fault
-    if fault.nsubfaults != 1:
-        raise NotImplementedError(
-            "trans-d Voronoi sampling currently supports a single subfault "
-            f"(got {fault.nsubfaults}); sample each subfault separately")
     comp = slip_varname or composite.gflibrary.component_names[0]
     if value_bounds is None:
         from beat_tpu.parameter import Parameter
@@ -383,8 +384,15 @@ def transd_sample_ffi(composite, params, slip_varname: str | None = None,
         value_bounds = (float(np.atleast_1d(par.lower)[0]),
                         float(np.atleast_1d(par.upper)[0]))
 
-    sf = fault.get_subfault(0)
-    centers = sf.patch_centers_local()
+    # unrolled fault atlas: concatenate patch grids side by side along
+    # strike (fault ordering is subfault-major, so the concatenated
+    # centers line up with the slip-vector layout loglike consumes)
+    sfs = [fault.get_subfault(i) for i in range(fault.nsubfaults)]
+    s_off = np.concatenate([[0.0],
+                            np.cumsum([sf.plane.length for sf in sfs])])
+    centers = np.concatenate(
+        [sf.patch_centers_local() + np.array([s_off[i], 0.0])
+         for i, sf in enumerate(sfs)])
 
     # GF library/data/weights ride through the jit boundary as an explicit
     # argument pytree (logp_args), never as closure constants — same
@@ -396,7 +404,8 @@ def transd_sample_ffi(composite, params, slip_varname: str | None = None,
 
     out = transd_sample(
         logp, centers[:, 0], centers[:, 1],
-        extent_s=(0.0, sf.plane.length), extent_d=(0.0, sf.plane.width),
+        extent_s=(0.0, float(s_off[-1])),
+        extent_d=(0.0, max(float(sf.plane.width) for sf in sfs)),
         value_bounds=value_bounds, params=params, logp_args=args)
 
     if homepath is not None:

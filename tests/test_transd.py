@@ -133,3 +133,50 @@ def test_transd_ffi_composite(tmp_path):
                           ordering=Ordering([("uparr", (fault.npatches,))]))
     tr = handler.load_trace(-1)
     assert tr.q_trace.shape[-1] == fault.npatches
+
+
+def test_transd_ffi_two_subfaults():
+    """Multi-subfault trans-d: one Voronoi node field spans both planes
+    via the unrolled along-strike atlas (reference registry spans all
+    subfaults, ``beat/config.py:88-96``); slip levels differing per
+    subfault are recovered jointly."""
+    from beat_tpu.covariance import Covariance
+    from beat_tpu.ffi import discretize_sources, geo_construct_gf_linear
+    from beat_tpu.heart.geodesy import GeodeticDataset
+    from beat_tpu.models.distributer import (GeodeticDistributerComposite,
+                                             transd_sample_ffi)
+    from beat_tpu.sources import RectangularSource
+
+    rng = np.random.default_rng(6)
+    # two planes side by side along strike
+    refs = [RectangularSource(east_shift=-3e3, depth=1e3, strike=90.0,
+                              dip=70.0, length=6e3, width=4e3),
+            RectangularSource(east_shift=3e3, depth=1e3, strike=90.0,
+                              dip=70.0, length=6e3, width=4e3)]
+    fault = discretize_sources(refs, patch_length=1e3, patch_width=1e3)
+    assert fault.nsubfaults == 2
+    coords = rng.uniform(-10e3, 10e3, (80, 2))
+    los = np.tile([0.0, 0.0, 1.0], (80, 1))
+    lib = geo_construct_gf_linear(fault, coords, los, components=("uparr",))
+
+    # true slip: subfault 0 slips 1.5 m, subfault 1 slips 0.3 m
+    n0 = fault.get_subfault(0).npatches
+    true = np.concatenate([np.full(n0, 1.5),
+                           np.full(fault.npatches - n0, 0.3)])
+    synth = np.asarray(lib.stack_all(uparr=jnp.asarray(true)))
+    sd = 0.03 * np.abs(synth).max()
+    ds = GeodeticDataset(name="ifg", typ="SAR", coords=coords,
+                         displacement=synth + rng.normal(0, sd, synth.shape),
+                         los_vector=los,
+                         covariance=Covariance(data=np.eye(80) * sd**2))
+    comp = GeodeticDistributerComposite([ds], lib, fault)
+
+    out = transd_sample_ffi(
+        comp, TransDParams(k_max=10, n_chains=96, n_steps=3000,
+                           record_every=20, seed=7),
+        value_bounds=(0.0, 3.0))
+    mean_slip = out["slip_trace"].reshape(-1, fault.npatches).mean(axis=0)
+    np.testing.assert_allclose(mean_slip[:n0].mean(), 1.5, atol=0.3)
+    np.testing.assert_allclose(mean_slip[n0:].mean(), 0.3, atol=0.3)
+    # two slip levels ⇒ posterior k concentrates well below k_max
+    assert out["k_trace"].mean() < 8.0
