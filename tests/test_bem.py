@@ -204,6 +204,7 @@ class TestEngine:
                       medium="quarterspace")
 
     @pytest.mark.parametrize("medium", ["fullspace", "halfspace"])
+    @pytest.mark.slow
     def test_penny_crack_analytic(self, medium):
         """Pressurized penny-shaped crack far from the surface: the BEM
         slip solution must match δ(r) = 4(1-ν)p√(a²-r²)/(πµ) — validates
@@ -268,6 +269,7 @@ class TestEngine:
         # same sign and ~same value for every (obs, component, column)
         np.testing.assert_allclose(D3, D2, rtol=0.05, atol=1e-18)
 
+    @pytest.mark.slow
     def test_shallow_sill_free_surface_amplification(self):
         """A horizontal pressurized crack at depth ~ its radius opens
         MORE in the halfspace than in the full space (the free surface

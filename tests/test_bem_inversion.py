@@ -50,6 +50,7 @@ def setup():
 
 
 class TestBEMComposite:
+    @pytest.mark.slow
     def test_forward_informative(self, setup):
         ds, engine = setup
         comp = GeodeticBEMComposite([ds], [DiskBEMSource(a_half_axis=1000.0)],
@@ -98,6 +99,7 @@ class TestBEMComposite:
         est = problem.ordering.to_point(q_tr[-1].mean(axis=0))
         assert abs(est["normal_traction"] - TRUE_TRACTION) / TRUE_TRACTION < 0.1
 
+    @pytest.mark.slow
     def test_vmapped_callback_batches_on_host(self, setup):
         """Under vmap the chain batch arrives in ONE host call and the
         thread-pooled per-chain solves equal the per-point forwards;

@@ -574,6 +574,7 @@ def test_version_and_completions(capsys):
 
 
 class TestBEMCLIWorkflow:
+    @pytest.mark.slow
     def test_bem_project_lifecycle(self, tmp_path):
         """Config-driven bem mode (reference BEMConfig, config.py:1202):
         init → synthetic InSAR scene → linear unit-traction sampling when

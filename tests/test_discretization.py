@@ -81,6 +81,7 @@ class TestResolution:
 
 
 class TestOptimizeDiscretization:
+    @pytest.mark.slow
     def test_refines_shallow_region(self, scene):
         src, coords, los = scene
         config = ResolutionDiscretizationConfig(

@@ -70,6 +70,7 @@ class TestFiniteRectangular:
         rel = np.abs(w1 - w2).max() / np.abs(w1).max()
         assert rel > 0.2, rel
 
+    @pytest.mark.slow
     def test_joint_rect_inversion_recovers_moment(self, table, tmp_path):
         """One RectangularSource drives BOTH waveforms and InSAR; the
         joint inversion recovers slip (hence seismic moment) — the

@@ -89,6 +89,7 @@ class TestJoint:
         assert abs(est["strike"] - TRUE_SDR["strike"]) < 6.0
         assert abs(est["slip"] - TRUE_SLIP) < 0.15
 
+    @pytest.mark.slow
     def test_pt_joint_recovery(self, joint_problem_factory, tmp_path):
         problem = joint_problem_factory(
             tmp_path / "pt", PTParams(n_chains=8, n_chains_posterior=2,

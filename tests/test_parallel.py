@@ -82,6 +82,7 @@ class TestChainMesh:
         shard = state.q.addressable_shards[0]
         assert shard.data.shape == (N_CHAINS // 8, DIM)
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         from __graft_entry__ import dryrun_multichip
 

@@ -206,6 +206,7 @@ def test_colormaps():
     np.testing.assert_allclose(rcr, rc[::-1], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bem_slip_distribution_3d(tmp_path):
     from beat_tpu.bem import BEMEngine, BoundaryCondition, DiskBEMSource
     from beat_tpu.models.bem import GeodeticBEMComposite
