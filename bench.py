@@ -88,6 +88,40 @@ def bench_gf_stack():
     return pallas_ms, xla_ms
 
 
+def bench_fullmt_inversion():
+    """
+    The BASELINE.json north star in its own terms: a **full FullMT SMC
+    inversion** (n_chains=500, n_steps=300 — the reference FullMT
+    per-stage step count, ``config_geometry.yaml:190``) end-to-end on
+    chip, reported as wall-clock seconds with a posterior-moment check
+    against the synthetic truth (depth 9 km, Mw 5.8).
+
+    vs-CPU: the reference's FullMT run (n_chains=2000) takes "several
+    hours / few days" on its multi-CPU author machine
+    (``docs/examples/FullMT_regional.rst:317``); assume 12 h and linear
+    scaling in chains → 500 chains ≈ 3 h = 10 800 s.  Documented
+    estimate, not a measurement — the reference publishes no numbers.
+    """
+    from __graft_entry__ import _build_flagship
+    from beat_tpu.samplers import SMCParams
+
+    problem = _build_flagship(n_stations=8, nt=256)
+    problem.sampler_params = SMCParams(n_chains=500, n_steps=300, seed=3)
+    t0 = time.time()
+    q_tr, _ = problem.sample()
+    wall = time.time() - t0
+
+    final = np.asarray(q_tr[-1])
+    est = problem.ordering.to_point(final.mean(axis=0))
+    depth = float(np.asarray(est["depth"]))
+    mag = float(np.asarray(est["magnitude"]))
+    moments_ok = bool(abs(depth - 9e3) < 500.0 and abs(mag - 5.8) < 0.05)
+    return wall, depth, mag, moments_ok
+
+
+FULLMT_CPU_SECONDS = 10_800.0  # documented estimate (see bench_fullmt_inversion)
+
+
 def _probe_backend(attempts: int = 3, timeout_s: int = 120) -> None:
     """Fail fast (with retries) when the TPU tunnel is unreachable —
     backend init otherwise hangs for many minutes before erroring."""
@@ -118,6 +152,7 @@ def main():
     _probe_backend()
     evals_per_sec = bench_smc_evals()
     stack_pallas_ms, stack_xla_ms = bench_gf_stack()
+    inv_wall, inv_depth, inv_mag, inv_ok = bench_fullmt_inversion()
     print(json.dumps({
         "metric": "SMC forward-model evals/sec/chip (FullMT)",
         "value": round(evals_per_sec, 1),
@@ -127,6 +162,13 @@ def main():
             "ffi_gf_stack_pallas_ms_per_2000chain_eval": round(stack_pallas_ms, 3),
             "ffi_gf_stack_xla_ms_per_2000chain_eval": round(stack_xla_ms, 3),
             "ffi_gf_stack_speedup": round(stack_xla_ms / stack_pallas_ms, 2),
+            # BASELINE.json north star: full FullMT inversion, 500 chains
+            "fullmt_inversion_500chain_wallclock_s": round(inv_wall, 1),
+            "fullmt_inversion_vs_cpu_estimate": round(
+                FULLMT_CPU_SECONDS / inv_wall, 1),
+            "fullmt_posterior_depth_m": round(inv_depth, 1),
+            "fullmt_posterior_mag": round(inv_mag, 3),
+            "fullmt_posterior_moments_ok": inv_ok,
         },
     }))
 
