@@ -749,6 +749,44 @@ def _build_polarity_takeoff_table(project_dir: str, priors, targets,
         np.linspace(rlo, rhi, n_dists), phase=phase)
 
 
+def _warn_coarse_finite_grid(pc, priors, seismic_config) -> None:
+    """Convergence guard for finite RectangularSource waveform synthesis:
+    warn when the configured fixed patch grid under-resolves the largest
+    prior fault at the highest filter corner (the reference's pyrocko
+    engine auto-discretizes wavelength-aware, ``heart.py:3564``; our
+    chain-invariant grids need the config to be told)."""
+    if "RectangularSource" not in pc.source_types:
+        return
+    from beat_tpu.models.seismic import recommended_finite_patches
+
+    def upper(name, default):
+        return float(np.max(priors[name].upper)) if name in priors else default
+
+    def lower(name, default):
+        return float(np.min(priors[name].lower)) if name in priors else default
+
+    corners = [w.filterer.upper_corner
+               for w in (seismic_config.waveforms or [])
+               if getattr(w, "filterer", None) is not None
+               and getattr(w, "include", True)]
+    if not corners:
+        return
+    # worst case: largest fault, slowest rupture, highest corner
+    n_rec = recommended_finite_patches(
+        upper("length", 0.0), upper("width", 0.0), max(corners),
+        velocity=lower("velocity", 3500.0))
+    n_cfg = pc.finite_patches("seismic")
+    if n_cfg[0] < n_rec[0] or n_cfg[1] < n_rec[1]:
+        logger.warning(
+            "finite-source grid %s under-resolves the prior: the largest "
+            "fault (length %.3g m, width %.3g m) at the highest filter "
+            "corner %.3g Hz with rupture velocity %.3g m/s needs >= %s "
+            "patches (onset step < T_min/4). Lower "
+            "decimation_factors['seismic'] or narrow the priors.",
+            n_cfg, upper("length", 0.0), upper("width", 0.0), max(corners),
+            lower("velocity", 3500.0), n_rec)
+
+
 def import_results_as_priors(project_dir: str, mode: str, from_mode: str,
                              alpha: float = 0.06) -> list:
     """
@@ -1029,6 +1067,7 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
     if "seismic" in pc.datatypes and config.seismic_config is not None:
         from beat_tpu.models.seismic import build_seismic_composite
 
+        _warn_coarse_finite_grid(pc, priors, config.seismic_config)
         composites["seismic"] = build_seismic_composite(
             config.seismic_config, project_dir, sources,
             events=config.events if config.subevents else None,

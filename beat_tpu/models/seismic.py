@@ -187,6 +187,26 @@ def finite_rectangular_spectra(table, get, station_east, station_north,
     return jnp.sum(specs, axis=0)
 
 
+def recommended_finite_patches(length: float, width: float, fmax: float,
+                               velocity: float = 2800.0) -> tuple:
+    """
+    Minimum (n_length, n_width) finite-source grid that resolves the
+    filter band: the rupture-onset step across one patch
+    (patch_size / rupture_velocity) must stay below a quarter of the
+    shortest period 1/fmax, else the discrete point-source comb aliases
+    into the fit band.  The reference delegates this to pyrocko's
+    wavelength-aware auto-discretization inside ``engine.process``
+    (``beat/heart.py:3564``); with our chain-invariant fixed grids the
+    bound becomes a config-validation guard
+    (tests/test_finite_source.py sweeps it to convergence).
+    """
+    def n_for(size):
+        return max(2, int(np.ceil(4.0 * float(size) * float(fmax)
+                                  / max(float(velocity), 1.0))))
+
+    return n_for(length), n_for(width)
+
+
 class SeismicGeometryComposite(Composite):
     """
     Waveform likelihood for point-source geometry inversion

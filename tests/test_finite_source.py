@@ -334,3 +334,90 @@ class TestRingfault:
         assert np.isfinite(uz).all()
         assert inner < 0, "caldera floor should subside for sign=+1"
         assert abs(inner) > 3 * outer, "subsidence should focus inside the ring"
+
+
+class TestDiscretizationConvergence:
+    """Convergence guard for the fixed finite-source grid (reference:
+    pyrocko auto-discretizes wavelength-aware inside ``engine.process``,
+    ``beat/heart.py:3564``; our chain-invariant grids need the config
+    warned instead)."""
+
+    def _waves(self, table, src, filt, n):
+        from beat_tpu.models.seismic import (finite_rectangular_spectra,
+                                             point_getter)
+
+        rng = np.random.default_rng(0)
+        n_st = 6
+        az = np.linspace(0, 2 * np.pi, n_st, endpoint=False) + 0.15
+        dist = rng.uniform(40e3, 100e3, n_st)
+        get = point_getter(src, {}, 0, 1)
+        spec = finite_rectangular_spectra(
+            table, get, jnp.asarray(dist * np.sin(az)),
+            jnp.asarray(dist * np.cos(az)),
+            jnp.asarray([0] * n_st, dtype=jnp.int32), "HalfSinusoid",
+            filt, n_patches=(n, n))
+        return np.asarray(table.to_time_domain(spec))
+
+    @pytest.mark.slow
+    def test_recommended_grid_converges(self, table):
+        """Sweep the patch grid for a large fault at the highest filter
+        corner: by the recommended count the waveform change between a
+        grid and its refinement is below the 3 % sampler-noise scale,
+        while the default 4x4 is demonstrably unconverged."""
+        from beat_tpu.heart.taper import Filter
+        from beat_tpu.models.seismic import recommended_finite_patches
+        from beat_tpu.ops.cplx import from_np_complex
+
+        fmax = 0.5
+        src = RectangularSource(depth=8e3, strike=30.0, dip=60.0,
+                                rake=-90.0, length=24e3, width=8e3,
+                                slip=1.5, duration=1.5, velocity=2800.0,
+                                nucleation_x=-0.8, nucleation_y=-0.5)
+        filt = jnp.asarray(from_np_complex(
+            Filter(0.02, fmax, 3).response(table.nt, table.dt)))
+
+        n_rec = recommended_finite_patches(src.length, src.width, fmax,
+                                           velocity=src.velocity)
+        assert n_rec == (18, 6)
+
+        ref = self._waves(table, src, filt, 36)       # oversampled truth
+        scale = np.abs(ref).max()
+
+        def err(n):
+            return np.max(np.abs(self._waves(table, src, filt, n) - ref)) / scale
+
+        e4, e9, e18 = err(4), err(9), err(18)
+        assert e4 > 0.05, f"4x4 unexpectedly converged ({e4:.3f})"
+        assert e9 < e4
+        assert e18 < 0.03, f"recommended grid not converged ({e18:.3f})"
+
+    def test_config_warns_on_coarse_grid(self, caplog):
+        import logging
+
+        from beat_tpu.config import (ProblemConfig, WaveformFitConfig,
+                                     _warn_coarse_finite_grid)
+        from beat_tpu.parameter import Parameter, PriorSet
+
+        pc = ProblemConfig(source_types=["RectangularSource"],
+                           datatypes=["seismic"])
+        pc.set_decimation_factors()          # seismic default: 2 -> 4x4
+        priors = PriorSet()
+        priors.add(Parameter("length", [1e3], [24e3]))
+        priors.add(Parameter("width", [1e3], [8e3]))
+        priors.add(Parameter("velocity", [2800.0], [3600.0]))
+
+        class _SC:
+            waveforms = [WaveformFitConfig()]
+
+        _SC.waveforms[0].filterer.upper_corner = 0.5
+
+        with caplog.at_level(logging.WARNING, "beat_tpu.config"):
+            _warn_coarse_finite_grid(pc, priors, _SC)
+        assert any("under-resolves" in r.message for r in caplog.records)
+
+        # fine grid or low corner: silence
+        caplog.clear()
+        _SC.waveforms[0].filterer.upper_corner = 0.02
+        with caplog.at_level(logging.WARNING, "beat_tpu.config"):
+            _warn_coarse_finite_grid(pc, priors, _SC)
+        assert not caplog.records
