@@ -1123,6 +1123,7 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
                       sampler_params=config.sampler_config.get_params(),
                       hyper_sampler_params=hyper_params,
                       initialization=getattr(pc, "initialization", "random"))
+    problem.event = config.event   # geographic origin for map plots
     apply_hyper_overrides(problem, pc)
     return problem
 
@@ -1333,6 +1334,7 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
                       sampler_params=config.sampler_config.get_params(),
                       hyper_sampler_params=hyper_params,
                       initialization=getattr(pc, "initialization", "random"))
+    problem.event = config.event   # geographic origin for map plots
     apply_hyper_overrides(problem, pc)
     return problem
 

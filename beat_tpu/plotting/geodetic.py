@@ -59,6 +59,11 @@ def plot_scene_fits(problem, po: PlotOptions | None = None, point=None):
                 if ds.name in vrs:
                     ax.text(0.02, 0.02, f"VR {100 * vrs[ds.name]:.0f}%",
                             fontsize=8, transform=ax.transAxes)
+        event = getattr(problem, "event", None)
+        if event is not None and (event.lat, event.lon) != (0.0, 0.0):
+            from beat_tpu.plotting.common import add_geographic_context
+
+            add_geographic_context(axes[i][0], event)
     fig.tight_layout()
     return save_figure(fig, problem.outfolder, "scene_fits", po)
 
@@ -199,6 +204,11 @@ def plot_station_map(problem, po: PlotOptions | None = None):
     ax.set_xlabel("east [km]")
     ax.set_ylabel("north [km]")
     ax.set_aspect("equal")
+    event = getattr(problem, "event", None)
+    if event is not None and (event.lat, event.lon) != (0.0, 0.0):
+        from beat_tpu.plotting.common import add_geographic_context
+
+        add_geographic_context(ax, event)
     if geo is not None:
         ax.legend(fontsize=7, loc="upper right")
     return save_figure(fig, problem.outfolder, "station_map", po)

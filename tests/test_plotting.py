@@ -228,3 +228,25 @@ def test_bem_slip_distribution_3d(tmp_path):
     fake_trace(problem, n_rec=3, n_chains=2)
     path = plots_catalog["slip_distribution_3d"](problem, PlotOptions())
     assert os.path.exists(path) and os.path.getsize(path) > 1000
+
+
+def test_geographic_context_graticule(geodetic_problem):
+    """Maps gain a lat/lon graticule from the event origin (reference
+    GMT basemaps; cartopy coastlines gated, graticule always)."""
+    import matplotlib.pyplot as plt
+
+    from beat_tpu.config import EventConfig
+    from beat_tpu.plotting.common import add_geographic_context
+
+    fig, ax = plt.subplots()
+    ax.set_xlim(-60, 60)
+    ax.set_ylim(-60, 60)
+    add_geographic_context(ax, EventConfig(lat=42.3, lon=13.4))
+    labels = [t.get_text() for t in ax.texts]
+    assert any("°E" in s for s in labels) and any("°N" in s for s in labels)
+    plt.close(fig)
+
+    # wired into station_map when the problem carries a located event
+    geodetic_problem.event = EventConfig(lat=42.3, lon=13.4)
+    path = plots_catalog["station_map"](geodetic_problem, PlotOptions())
+    assert os.path.exists(path)
