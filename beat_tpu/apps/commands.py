@@ -467,9 +467,10 @@ def _build_geometry_stores(args):
         gf = dict(config.geodetic_config.gf_config or {})
         model = _resolve_earth_model(args.earth_model or gf.get("earth_model"),
                                      args.project_dir, gf)
-        if model.nlayers == 1:
-            print("Geodetic geometry mode with a homogeneous model needs "
-                  "no table (direct Okada/Mogi kernels) — skipping")
+        rheology = gf.get("rheology")
+        if model.nlayers == 1 and not rheology:
+            print("Geodetic geometry mode with a homogeneous elastic model "
+                  "needs no table (direct Okada/Mogi kernels) — skipping")
         else:
             from beat_tpu.heart.statictable import build_static_table
 
@@ -479,6 +480,37 @@ def _build_geometry_stores(args):
             depths = np.linspace(gf.get("depth_min", 0.5e3),
                                  gf.get("depth_max", 25e3),
                                  int(gf.get("n_depths", 12)))
+            if rheology:
+                # time-dependent statics (the psgrn time axis): Burgers
+                # rheology per layer + snapshot epochs; acquisition-epoch
+                # evaluation is exact via the stored Prony coefficients
+                from beat_tpu.heart.viscoelastic import (
+                    DAY, BurgersRheology, build_viscoelastic_static_table)
+
+                rheo = BurgersRheology(
+                    eta1=rheology.get("eta1", [0.0] * model.nlayers),
+                    eta2=rheology.get("eta2", [0.0] * model.nlayers),
+                    alpha=rheology.get("alpha", [1.0] * model.nlayers))
+                epochs = sorted({0.0} | {
+                    float(d) * DAY
+                    for d in (gf.get("epochs_days")
+                              or (gf.get("times_days") or {}).values())})
+                if len(epochs) == 1:
+                    print("gf_config.rheology needs acquisition epochs: set "
+                          "gf_config.epochs_days: [t1, t2, ...] or "
+                          "gf_config.times_days: {dataset: days}")
+                    return 1
+                ttable = build_viscoelastic_static_table(
+                    model, rheo, distances, depths, times=epochs,
+                    s_per_decade=int(gf.get("s_per_decade", 8)))
+                vout = os.path.join(args.project_dir,
+                                    "static_gf_table_visco.npz")
+                ttable.save(vout)
+                print(f"Built viscoelastic static GF table -> {vout}: "
+                      f"{distances.size} x {depths.size} grid, "
+                      f"{len(epochs)} epochs, Prony resid "
+                      f"{ttable.prony.max_resid if ttable.prony else 0:.1e}")
+                return 0
             table = build_static_table(model, distances, depths)
             out = os.path.join(args.project_dir, "static_gf_table.npz")
             table.save(out)

@@ -940,6 +940,7 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig,
             def opt(key, name=name, z=z):
                 return z[f"{name}:{key}"] if f"{name}:{key}" in z.files else None
 
+            time = opt("time")
             datasets.append(GeodeticDataset(
                 name=name, typ=typ,
                 coords=z[f"{name}:coords"],
@@ -947,7 +948,8 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig,
                 los_vector=z[f"{name}:los"],
                 odw=opt("odw"),
                 lats=opt("lats"), lons=opt("lons"), stations=opt("stations"),
-                covariance=cov))
+                covariance=cov,
+                time=float(time) if time is not None else None))
     for ds in datasets:
         if ds.lats is not None and ds.lons is not None:
             if event is not None:
@@ -993,6 +995,10 @@ def save_geodetic_datasets(datasets, project_dir: str, datadir: str = "./") -> s
             val = getattr(ds, key, None)
             if val is not None:
                 arrays[f"{ds.name}:{key}"] = np.asarray(val)
+        if getattr(ds, "time", None) is not None:
+            # acquisition epoch [s] after the event — drives the
+            # viscoelastic (time-dependent) static GF table
+            arrays[f"{ds.name}:time"] = np.float64(ds.time)
     outdir = os.path.join(project_dir, datadir)
     os.makedirs(outdir, exist_ok=True)
     path = os.path.join(outdir, "geodetic_data.npz")
@@ -1039,7 +1045,31 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
         # synthesis (reference layered stores, heart.py:2426)
         static_table = None
         st_path = os.path.join(project_dir, "static_gf_table.npz")
-        if os.path.exists(st_path):
+        visco_path = os.path.join(project_dir, "static_gf_table_visco.npz")
+        if os.path.exists(visco_path):
+            # time-dependent (viscoelastic) table: per-dataset acquisition
+            # epochs select the per-observation epoch slab — scenes from
+            # different post-event times share one device program
+            # (the psgrn time axis, reference config.py:325-348)
+            from beat_tpu.heart.viscoelastic import (
+                EpochStaticGFTable, TimeDependentStaticGFTable)
+
+            ttable = TimeDependentStaticGFTable.load(visco_path)
+            times_days = (gc.gf_config or {}).get("times_days") or {}
+            for ds in datasets:
+                if ds.name in times_days:
+                    ds.time = float(times_days[ds.name]) * 86400.0
+            obs_times = np.concatenate([
+                np.full(ds.samples, ds.time if ds.time is not None else 0.0)
+                for ds in datasets]) if datasets else np.zeros(0)
+            static_table = EpochStaticGFTable.from_time_table(
+                ttable, obs_times)
+            uniq = np.unique(obs_times)
+            logger.info("Using viscoelastic static GF table %s at %i "
+                        "acquisition epochs (%s days)", visco_path,
+                        uniq.size,
+                        ", ".join(f"{t / 86400.0:g}" for t in uniq))
+        elif os.path.exists(st_path):
             from beat_tpu.heart.statictable import StaticGFTable
 
             static_table = StaticGFTable.load(st_path)

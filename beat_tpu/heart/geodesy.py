@@ -49,6 +49,10 @@ class GeodeticDataset:
     stations: np.ndarray | None = None
     #: correction names applying to this dataset
     corrections: list = field(default_factory=list)
+    #: acquisition epoch [s] after the event origin (None = co-seismic);
+    #: with a viscoelastic GF table each dataset is synthesized at its
+    #: own epoch (the psgrn/pscmp time axis, ref config.py:325-348)
+    time: float | None = None
 
     def __post_init__(self):
         n = self.samples

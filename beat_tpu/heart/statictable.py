@@ -96,8 +96,10 @@ class StaticGFTable:
     def gather(self, distance, depth):
         """Bilinear (distance, depth) interpolation: distance (N,),
         depth scalar traced.  Returns (N, 6, 3)."""
-        d_grid = jnp.asarray(self.distances)
-        z_grid = jnp.asarray(self.depths)
+        # grids stay NUMPY: the index arithmetic below needs concrete
+        # floats, and jax 0.9 stages jnp constants as tracers inside jit
+        d_grid = np.asarray(self.distances)
+        z_grid = np.asarray(self.depths)
         # size-1 axes degrade to nearest-node lookup (step of 1.0 keeps
         # the index math finite; the clip pins the fraction to 0)
         d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
