@@ -759,11 +759,24 @@ def _warn_coarse_finite_grid(pc, priors, seismic_config) -> None:
         return
     from beat_tpu.models.seismic import recommended_finite_patches
 
+    # fixed parameters (lower == upper, skipped from the prior set) are
+    # the COMMON way fault geometry is configured — the guard must see
+    # them or a fixed 40 km fault silently defaults to length 0
+    fixed = pc.get_fixed_params(to_si=True)
+
     def upper(name, default):
-        return float(np.max(priors[name].upper)) if name in priors else default
+        if name in priors:
+            return float(np.max(priors[name].upper))
+        if name in fixed:
+            return float(np.max(fixed[name]))
+        return default
 
     def lower(name, default):
-        return float(np.min(priors[name].lower)) if name in priors else default
+        if name in priors:
+            return float(np.min(priors[name].lower))
+        if name in fixed:
+            return float(np.min(fixed[name]))
+        return default
 
     corners = [w.filterer.upper_corner
                for w in (seismic_config.waveforms or [])
@@ -1043,6 +1056,8 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
         # layered statics: a psgrn-analogue table in the project dir
         # switches the composite from homogeneous Okada/MT to table
         # synthesis (reference layered stores, heart.py:2426)
+        from beat_tpu.heart.statictable import StaticGFTable
+
         static_table = None
         st_path = os.path.join(project_dir, "static_gf_table.npz")
         visco_path = os.path.join(project_dir, "static_gf_table_visco.npz")
@@ -1070,8 +1085,6 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
                         uniq.size,
                         ", ".join(f"{t / 86400.0:g}" for t in uniq))
         elif os.path.exists(st_path):
-            from beat_tpu.heart.statictable import StaticGFTable
-
             static_table = StaticGFTable.load(st_path)
             logger.info("Using layered static GF table %s", st_path)
         # earth-model uncertainty ensemble -> Covariance.pred_v

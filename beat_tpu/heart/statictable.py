@@ -38,6 +38,35 @@ from beat_tpu.heart.gftable import rotate_m6_to_ray_frame
 logger = logging.getLogger("beat_tpu.heart.statictable")
 
 
+def bilinear_cell(d_grid, z_grid, distance, depth):
+    """Bilinear cell indices + fractions for a uniform (distance, depth)
+    grid: returns (d0, z0, fd, fz) with fd shaped (N, 1, 1) and fz a
+    traced scalar — shared by the static and epoch-stacked gathers.
+
+    Grids stay NUMPY: the step/extent math needs concrete floats, and
+    jax 0.9 stages jnp constants as tracers inside jit.  Size-1 axes
+    degrade to nearest-node lookup (step of 1.0 keeps the index math
+    finite; the clip pins the fraction to 0).  The cell index clamps to
+    the LAST cell so a query at the top grid node is exact (fd/fz reach
+    1.0) rather than blending 0.1 % of the neighbour in (same fix as
+    gftable.gather_spectra)."""
+    d_grid = np.asarray(d_grid)
+    z_grid = np.asarray(z_grid)
+    d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
+    z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
+    di = jnp.clip((distance - d_grid[0]) / d_step,
+                  0.0, float(d_grid.size - 1))
+    zi = jnp.clip((depth - z_grid[0]) / z_step,
+                  0.0, float(z_grid.size - 1))
+    d0 = jnp.minimum(jnp.floor(di).astype(jnp.int32),
+                     max(d_grid.size - 2, 0))
+    z0 = jnp.minimum(jnp.floor(zi).astype(jnp.int32),
+                     max(z_grid.size - 2, 0))
+    fd = (di - d0)[:, None, None]
+    fz = jnp.reshape(zi - z0, ())
+    return d0, z0, fd, fz
+
+
 @dataclass
 class StaticGFTable:
     """
@@ -96,28 +125,8 @@ class StaticGFTable:
     def gather(self, distance, depth):
         """Bilinear (distance, depth) interpolation: distance (N,),
         depth scalar traced.  Returns (N, 6, 3)."""
-        # grids stay NUMPY: the index arithmetic below needs concrete
-        # floats, and jax 0.9 stages jnp constants as tracers inside jit
-        d_grid = np.asarray(self.distances)
-        z_grid = np.asarray(self.depths)
-        # size-1 axes degrade to nearest-node lookup (step of 1.0 keeps
-        # the index math finite; the clip pins the fraction to 0)
-        d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
-        z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
-        di = jnp.clip((distance - d_grid[0]) / d_step,
-                      0.0, float(d_grid.size - 1))
-        zi = jnp.clip((depth - z_grid[0]) / z_step,
-                      0.0, float(z_grid.size - 1))
-        # cell index clamps to the LAST cell so a query at the top grid
-        # node is exact (fd/fz reach 1.0) rather than blending 0.1 % of
-        # the neighbour in (same fix as gftable.gather_spectra)
-        d0 = jnp.minimum(jnp.floor(di).astype(jnp.int32),
-                         max(d_grid.size - 2, 0))
-        z0 = jnp.minimum(jnp.floor(zi).astype(jnp.int32),
-                         max(z_grid.size - 2, 0))
-        fd = (di - d0)[:, None, None]
-        fz = jnp.reshape(zi - z0, ())
-
+        d0, z0, fd, fz = bilinear_cell(self.distances, self.depths,
+                                       distance, depth)
         v = self.values  # (6, 3, nd, nz)
         g00 = jnp.moveaxis(v[:, :, d0, z0], 2, 0)
         g10 = jnp.moveaxis(v[:, :, d0 + 1, z0], 2, 0)

@@ -319,9 +319,14 @@ class TimeDependentStaticGFTable:
         to the stored span."""
         t = 0.0 if t is None else float(t)
         tt = np.asarray(self.times, dtype=np.float64)
-        if t == 0.0 and tt.size and tt[0] == 0.0:
-            vals = self.values[0]      # the exact unrelaxed snapshot
-        elif self.prony is not None and t > 0.0:
+        hit = np.nonzero(tt == t)[0]
+        if hit.size:
+            # exact stored snapshot (t=0 in particular is the exact
+            # unrelaxed elastic build, not a reconstruction)
+            vals = self.values[int(hit[0])]
+        elif self.prony is not None:
+            # analytic reconstruction, exact at ANY epoch >= 0 (at t=0
+            # it returns the fitted unrelaxed limit c + d*0 + sum(a))
             vals = self.prony.at_time(t)
         elif tt.size == 1:
             vals = self.values[0]
@@ -377,7 +382,11 @@ def build_viscoelastic_static_table(
     from beat_tpu.heart.layered_waveforms import nudge_depths_off_interfaces
     from beat_tpu.heart.statictable import build_static_table
 
-    times = np.sort(np.unique(np.asarray(times, dtype=np.float64)))
+    # always carry the t=0 (exact unrelaxed, co-seismic) snapshot so a
+    # dataset without an acquisition epoch can never silently read a
+    # relaxed field
+    times = np.sort(np.unique(np.concatenate(
+        [[0.0], np.asarray(times, dtype=np.float64).ravel()])))
     if (times < 0).any():
         raise ValueError("epochs must be >= 0")
     distances = np.asarray(distances, dtype=np.float64)
@@ -416,7 +425,10 @@ def build_viscoelastic_static_table(
     # exactly past the truncation instead
     m = rheo.eta2 > 0
     if m.any():
-        tau_mx = (rheo.eta2[m] / mu_u[m]).max()
+        # the clamp bites a layer when s < floor²/τ_i — binding for the
+        # FASTEST-relaxing (smallest-τ) Maxwell layer, so the clean
+        # window must respect tau.min()
+        tau_mx = (rheo.eta2[m] / mu_u[m]).min()
         s_clean = 100.0 * (vs_floor**2) / tau_mx
         if s_clean > s_lo:
             logger.info("Raising s_lo %.2e -> %.2e to stay clear of the "
@@ -501,23 +513,10 @@ class EpochStaticGFTable(StaticGFTable):
         """Bilinear (distance, depth) gather with each observation
         reading its own epoch slab.  distance (N,) must align with
         ``epoch_idx``; depth scalar traced.  Returns (N, 6, 3)."""
-        # grids stay NUMPY: the step/extent math needs concrete floats,
-        # and jax 0.9 stages jnp constants as tracers inside jit
-        d_grid = np.asarray(self.distances)
-        z_grid = np.asarray(self.depths)
-        d_step = float(d_grid[1] - d_grid[0]) if d_grid.size > 1 else 1.0
-        z_step = float(z_grid[1] - z_grid[0]) if z_grid.size > 1 else 1.0
-        di = jnp.clip((distance - d_grid[0]) / d_step,
-                      0.0, float(d_grid.size - 1))
-        zi = jnp.clip((depth - z_grid[0]) / z_step,
-                      0.0, float(z_grid.size - 1))
-        d0 = jnp.minimum(jnp.floor(di).astype(jnp.int32),
-                         max(d_grid.size - 2, 0))
-        z0 = jnp.minimum(jnp.floor(zi).astype(jnp.int32),
-                         max(z_grid.size - 2, 0))
-        fd = (di - d0)[:, None, None]
-        fz = jnp.reshape(zi - z0, ())
+        from beat_tpu.heart.statictable import bilinear_cell
 
+        d0, z0, fd, fz = bilinear_cell(self.distances, self.depths,
+                                       distance, depth)
         e = jnp.asarray(self.epoch_idx)
         v = self.values  # (ne, 6, 3, nd, nz)
         g00 = v[e, :, :, d0, z0]
@@ -529,23 +528,25 @@ class EpochStaticGFTable(StaticGFTable):
 
 
 def _epoch_flatten(t: EpochStaticGFTable):
+    # epoch_idx is a LEAF (one int32 per observation — a quadtree InSAR
+    # stack has ~10⁴ of them; as static aux every jit dispatch would
+    # hash and compare the full tuple for cache lookup)
     aux = (tuple(map(float, np.asarray(t.distances).ravel())),
            tuple(map(float, np.asarray(t.depths).ravel())),
            tuple(map(float, np.asarray(t.mu_tops).ravel())),
            tuple(map(float, np.asarray(t.mus).ravel())),
            tuple(map(float, np.asarray(t.lams).ravel())),
-           tuple(map(int, np.asarray(t.epoch_idx).ravel())),
            t.name)
-    return (t.values,), aux
+    return (t.values, t.epoch_idx), aux
 
 
 def _epoch_unflatten(aux, children) -> EpochStaticGFTable:
-    dists, deps, mu_tops, mus, lams, eidx, name = aux
+    dists, deps, mu_tops, mus, lams, name = aux
     return EpochStaticGFTable(
         values=children[0], distances=np.asarray(dists),
         depths=np.asarray(deps), mu_tops=np.asarray(mu_tops),
         mus=np.asarray(mus), lams=np.asarray(lams),
-        epoch_idx=np.asarray(eidx, dtype=np.int32), name=name)
+        epoch_idx=children[1], name=name)
 
 
 import jax  # noqa: E402  (registration only)

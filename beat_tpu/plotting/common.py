@@ -83,12 +83,14 @@ def add_geographic_context(ax, event, color="0.45"):
     for lon in ticks(lon0 + x0 / kx, lon0 + x1 / kx):
         x = (lon - lon0) * kx
         ax.axvline(x, color=color, lw=0.4, ls=":", zorder=0)
-        ax.annotate(f"{lon:.2f}°E", (x, y1), fontsize=6, color=color,
+        ax.annotate(f"{abs(lon):.2f}°{'E' if lon >= 0 else 'W'}",
+                    (x, y1), fontsize=6, color=color,
                     ha="center", va="bottom", clip_on=False)
     for lat in ticks(lat0 + y0 / ky, lat0 + y1 / ky):
         y = (lat - lat0) * ky
         ax.axhline(y, color=color, lw=0.4, ls=":", zorder=0)
-        ax.annotate(f"{lat:.2f}°N", (x1, y), fontsize=6, color=color,
+        ax.annotate(f"{abs(lat):.2f}°{'N' if lat >= 0 else 'S'}",
+                    (x1, y), fontsize=6, color=color,
                     ha="left", va="center", clip_on=False)
 
     # coastlines: best effort, never required (natural_earth may try to

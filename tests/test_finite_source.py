@@ -421,3 +421,31 @@ class TestDiscretizationConvergence:
         with caplog.at_level(logging.WARNING, "beat_tpu.config"):
             _warn_coarse_finite_grid(pc, priors, _SC)
         assert not caplog.records
+
+    def test_config_warns_on_coarse_grid_with_fixed_geometry(self, caplog):
+        """Fixed length/width (lower == upper — the common FFI-prep
+        setup) are skipped from the prior set; the guard must read them
+        from get_fixed_params instead of defaulting the fault to 0."""
+        import logging
+
+        from beat_tpu.config import (ProblemConfig, WaveformFitConfig,
+                                     _warn_coarse_finite_grid)
+        from beat_tpu.parameter import PriorSet
+
+        pc = ProblemConfig(source_types=["RectangularSource"],
+                           datatypes=["seismic"])
+        pc.set_decimation_factors()
+        # km config units: 40 x 15 km fault, fixed
+        pc.priors["length"] = dict(name="length", lower=[40.0],
+                                   upper=[40.0], testvalue=[40.0])
+        pc.priors["width"] = dict(name="width", lower=[15.0],
+                                  upper=[15.0], testvalue=[15.0])
+        priors = PriorSet()   # fixed params never reach the prior set
+
+        class _SC:
+            waveforms = [WaveformFitConfig()]
+
+        _SC.waveforms[0].filterer.upper_corner = 0.5
+        with caplog.at_level(logging.WARNING, "beat_tpu.config"):
+            _warn_coarse_finite_grid(pc, priors, _SC)
+        assert any("under-resolves" in r.message for r in caplog.records)

@@ -140,8 +140,10 @@ class TestTableLimits:
         scale = np.abs(unrelaxed).max()
         assert np.abs(relaxed - unrelaxed).max() > 0.02 * scale
 
-        np.testing.assert_allclose(tt.values[0], unrelaxed, atol=2e-3 * scale)
-        np.testing.assert_allclose(tt.values[1], relaxed, atol=2e-3 * scale)
+        np.testing.assert_allclose(np.asarray(tt.at_time(times[0]).values),
+                                   unrelaxed, atol=2e-3 * scale)
+        np.testing.assert_allclose(np.asarray(tt.at_time(times[1]).values),
+                                   relaxed, atol=2e-3 * scale)
 
     @pytest.mark.slow
     def test_maxwell_halfspace_matches_analytic_ground_truth(self):
@@ -277,6 +279,28 @@ class TestEpochTable:
         assert isinstance(back, EpochStaticGFTable)
         np.testing.assert_array_equal(np.asarray(back.epoch_idx),
                                       np.asarray(ep.epoch_idx))
+
+    def test_builder_always_carries_the_coseismic_epoch(self):
+        """Even when only post-event epochs are requested, the table
+        must carry the exact t=0 snapshot and at_time(0/None) must
+        return the UNRELAXED field — a co-seismic dataset sharing the
+        table must never silently read a relaxed field."""
+        m = two_layer_model()
+        eta2 = 1e17
+        tau = eta2 / (m.rho[1] * m.vs[1]**2)
+        rheo = BurgersRheology(eta1=[0.0, 0.0], eta2=[0.0, eta2],
+                               alpha=[1.0, 1.0])
+        tt = build_viscoelastic_static_table(
+            m, rheo, DISTANCES, DEPTHS, times=[25 * tau])   # no 0 given
+        assert tt.times[0] == 0.0
+        unrelaxed = np.asarray(build_static_table(m, DISTANCES, DEPTHS).values)
+        for t in (0.0, None):
+            np.testing.assert_allclose(
+                np.asarray(tt.at_time(t).values), unrelaxed, rtol=2e-6,
+                atol=1e-9 * np.abs(unrelaxed).max())
+        # prony covers arbitrary epochs including ones between snapshots
+        mid = np.asarray(tt.at_time(3 * tau).values)
+        assert np.abs(mid - unrelaxed).max() > 0.005 * np.abs(unrelaxed).max()
 
     def test_save_load_keeps_prony(self, tmp_path):
         m = two_layer_model()
