@@ -778,10 +778,28 @@ def _warn_coarse_finite_grid(pc, priors, seismic_config) -> None:
             return float(np.min(fixed[name]))
         return default
 
-    corners = [w.filterer.upper_corner
+    def max_passband_freq(fc):
+        """Highest frequency a filterer spec lets through: the minimum
+        upper corner across the chain's low-pass-limiting members
+        (butterworth upper_corner, frequency freqlimits upper passband
+        edge); bandstop rejects a band and bounds nothing."""
+        specs = fc if isinstance(fc, (list, tuple)) else [fc]
+        tops = []
+        for c in specs:
+            t = getattr(c, "type", "butterworth").lower()
+            if t == "butterworth":
+                tops.append(float(c.upper_corner))
+            elif t == "frequency":
+                fl = c.freqlimits if c.freqlimits is not None \
+                    else (0.005, 0.01, 0.1, 0.2)
+                tops.append(float(fl[2]))
+        return min(tops) if tops else None
+
+    corners = [max_passband_freq(w.filterer)
                for w in (seismic_config.waveforms or [])
                if getattr(w, "filterer", None) is not None
                and getattr(w, "include", True)]
+    corners = [c for c in corners if c is not None]
     if not corners:
         return
     # worst case: largest fault, slowest rupture, highest corner
@@ -1074,19 +1092,40 @@ def problem_from_config(config: BEATconfig, project_dir: str, build: bool = True
             for ds in datasets:
                 if ds.name in times_days:
                     ds.time = float(times_days[ds.name]) * 86400.0
-            obs_times = np.concatenate([
-                np.full(ds.samples, ds.time if ds.time is not None else 0.0)
-                for ds in datasets]) if datasets else np.zeros(0)
-            static_table = EpochStaticGFTable.from_time_table(
-                ttable, obs_times)
-            uniq = np.unique(obs_times)
-            logger.info("Using viscoelastic static GF table %s at %i "
-                        "acquisition epochs (%s days)", visco_path,
-                        uniq.size,
-                        ", ".join(f"{t / 86400.0:g}" for t in uniq))
-        elif os.path.exists(st_path):
-            static_table = StaticGFTable.load(st_path)
-            logger.info("Using layered static GF table %s", st_path)
+            if datasets:
+                obs_times = np.concatenate([
+                    np.full(ds.samples,
+                            ds.time if ds.time is not None else 0.0)
+                    for ds in datasets])
+                static_table = EpochStaticGFTable.from_time_table(
+                    ttable, obs_times)
+                uniq = np.unique(obs_times)
+                logger.info("Using viscoelastic static GF table %s at %i "
+                            "acquisition epochs (%s days)", visco_path,
+                            uniq.size,
+                            ", ".join(f"{t / 86400.0:g}" for t in uniq))
+            else:
+                logger.warning("Viscoelastic table %s present but no "
+                               "geodetic datasets loaded — ignoring it",
+                               visco_path)
+        else:
+            # a viscoelastic setup without its table must fail loudly:
+            # the elastic fallback would silently invert post-seismic
+            # scenes with co-seismic GFs
+            gf = gc.gf_config or {}
+            wants_visco = bool(gf.get("rheology")) \
+                or bool(gf.get("times_days")) \
+                or any(getattr(ds, "time", None) for ds in datasets)
+            if wants_visco:
+                raise ValueError(
+                    "gf_config.rheology/times_days (or dataset acquisition "
+                    "times) are configured but static_gf_table_visco.npz is "
+                    f"missing in {project_dir} — run `beat-tpu build_gfs` "
+                    "to build the time-dependent table (the elastic table "
+                    "would silently bias post-seismic scenes)")
+            if os.path.exists(st_path):
+                static_table = StaticGFTable.load(st_path)
+                logger.info("Using layered static GF table %s", st_path)
         # earth-model uncertainty ensemble -> Covariance.pred_v
         # (reference n_variations crust ensembles, covariance.py:625)
         ensemble_tables = []

@@ -389,6 +389,13 @@ def build_viscoelastic_static_table(
         [[0.0], np.asarray(times, dtype=np.float64).ravel()])))
     if (times < 0).any():
         raise ValueError("epochs must be >= 0")
+    if rheo.eta1.size != model.nlayers:
+        # a length-1 rheology would silently broadcast Maxwell flow
+        # onto every layer (elastic lid included); mismatched lengths
+        # die later as an opaque numpy broadcast error — reject both
+        raise ValueError(
+            f"rheology has {rheo.eta1.size} layers but the velocity "
+            f"model has {model.nlayers} — give eta1/eta2/alpha per layer")
     distances = np.asarray(distances, dtype=np.float64)
     # one consistent depth grid for every s node (interfaces are fixed)
     depths = nudge_depths_off_interfaces(model, np.asarray(depths, np.float64))
@@ -501,6 +508,9 @@ class EpochStaticGFTable(StaticGFTable):
         index into the (few) unique-epoch tables."""
         obs_times = np.asarray(
             [0.0 if t is None else float(t) for t in obs_times])
+        if obs_times.size == 0:
+            raise ValueError("from_time_table needs at least one "
+                             "observation epoch (no geodetic samples?)")
         uniq, idx = np.unique(obs_times, return_inverse=True)
         vals = np.stack([np.asarray(ttable.at_time(t).values)
                          for t in uniq], axis=0)

@@ -66,9 +66,14 @@ def add_geographic_context(ax, event, color="0.45"):
     """
     import numpy as np
 
+    from beat_tpu.heart.geodesy import D2R, EARTH_RADIUS
+
     lat0, lon0 = float(event.lat), float(event.lon)
-    kx = 111.32 * np.cos(np.deg2rad(lat0))   # km per degree longitude
-    ky = 110.57                              # km per degree latitude
+    # km per degree MUST match the spherical projection the datasets'
+    # local coords were built with (heart/geodesy.py:73-82) or the
+    # graticule/coastlines sit ~600 m/deg off the plotted data
+    ky = D2R * EARTH_RADIUS / 1e3            # km per degree latitude
+    kx = ky * np.cos(np.deg2rad(lat0))       # km per degree longitude
     x0, x1 = ax.get_xlim()
     y0, y1 = ax.get_ylim()
 

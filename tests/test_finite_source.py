@@ -449,3 +449,46 @@ class TestDiscretizationConvergence:
         with caplog.at_level(logging.WARNING, "beat_tpu.config"):
             _warn_coarse_finite_grid(pc, priors, _SC)
         assert any("under-resolves" in r.message for r in caplog.records)
+
+    def test_config_guard_handles_filter_chains_and_frequency(self, caplog):
+        """The guard must survive the list-of-filters config form and
+        read a frequency filter's real passband edge (freqlimits[2]),
+        not the meaningless default upper_corner; a bandstop member
+        bounds nothing."""
+        import logging
+
+        from beat_tpu.config import (FilterConfig, ProblemConfig,
+                                     WaveformFitConfig,
+                                     _warn_coarse_finite_grid)
+        from beat_tpu.parameter import Parameter, PriorSet
+
+        pc = ProblemConfig(source_types=["RectangularSource"],
+                           datatypes=["seismic"])
+        pc.set_decimation_factors()
+        priors = PriorSet()
+        priors.add(Parameter("length", [1e3], [24e3]))
+        priors.add(Parameter("width", [1e3], [8e3]))
+        priors.add(Parameter("velocity", [2800.0], [3600.0]))
+
+        class _SC:
+            waveforms = [WaveformFitConfig()]
+
+        # list form: [bandstop, frequency(0.4 Hz passband edge)] — must
+        # not crash, and must warn off the 0.4 Hz edge
+        _SC.waveforms[0].filterer = [
+            FilterConfig(type="bandstop", lower_corner=0.1,
+                         upper_corner=0.2),
+            FilterConfig(type="frequency",
+                         freqlimits=(0.005, 0.01, 0.4, 0.5)),
+        ]
+        with caplog.at_level(logging.WARNING, "beat_tpu.config"):
+            _warn_coarse_finite_grid(pc, priors, _SC)
+        assert any("under-resolves" in r.message for r in caplog.records)
+
+        # a bandstop alone bounds nothing -> no corner -> silence
+        caplog.clear()
+        _SC.waveforms[0].filterer = FilterConfig(
+            type="bandstop", lower_corner=0.1, upper_corner=5.0)
+        with caplog.at_level(logging.WARNING, "beat_tpu.config"):
+            _warn_coarse_finite_grid(pc, priors, _SC)
+        assert not caplog.records

@@ -394,3 +394,49 @@ class TestProblemIntegration:
         # the two epochs genuinely differ (the transient has teeth)
         assert np.abs(synth[:n] - synth[n:]).max() \
             > 0.02 * np.abs(synth).max()
+
+
+class TestInputValidation:
+    def test_rheology_layer_count_must_match_model(self):
+        m = two_layer_model()
+        rheo = BurgersRheology(eta1=[0.0], eta2=[1e17], alpha=[1.0])
+        with pytest.raises(ValueError, match="layers"):
+            build_viscoelastic_static_table(m, rheo, DISTANCES, DEPTHS,
+                                            times=[86400.0])
+
+    def test_epoch_table_rejects_empty_observations(self):
+        m = two_layer_model()
+        rheo = BurgersRheology(eta1=[0.0, 0.0], eta2=[0.0, 1e17],
+                               alpha=[1.0, 1.0])
+        tt = build_viscoelastic_static_table(m, rheo, DISTANCES, DEPTHS,
+                                             times=[86400.0])
+        with pytest.raises(ValueError, match="at least one"):
+            EpochStaticGFTable.from_time_table(tt, [])
+
+    def test_problem_load_fails_loudly_without_visco_table(self, tmp_path):
+        """Datasets carrying acquisition times (or a configured
+        rheology) with no static_gf_table_visco.npz must refuse to
+        load — the elastic fallback would silently invert post-seismic
+        scenes with co-seismic GFs."""
+        from beat_tpu.config import (init_config, load_config,
+                                     problem_from_config,
+                                     save_geodetic_datasets)
+        from beat_tpu.covariance import Covariance
+        from beat_tpu.heart.geodesy import GeodeticDataset
+
+        pdir = str(tmp_path / "visco_missing")
+        init_config("visco_missing", pdir, source_types=("MTSource",),
+                    n_sources=(1,), datatypes=("geodetic",))
+        coords = np.stack(np.meshgrid(np.linspace(-5e3, 5e3, 3),
+                                      np.linspace(-5e3, 5e3, 3)),
+                          -1).reshape(-1, 2)
+        los = np.tile([-0.6, 0.1, 0.79], (coords.shape[0], 1))
+        los /= np.linalg.norm(los, axis=1, keepdims=True)
+        ds = GeodeticDataset(
+            name="postseis", typ="SAR", coords=coords,
+            displacement=np.zeros(coords.shape[0]), los_vector=los,
+            covariance=Covariance(data=np.eye(coords.shape[0]) * 1e-6),
+            time=200.0 * DAY)
+        save_geodetic_datasets([ds], pdir)
+        with pytest.raises(ValueError, match="static_gf_table_visco"):
+            problem_from_config(load_config(pdir), pdir)
