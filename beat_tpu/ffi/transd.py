@@ -225,7 +225,9 @@ def transd_sample(
 
     state = (jnp.asarray(node_s0), jnp.asarray(node_d0),
              jnp.asarray(values0), jnp.asarray(active0))
-    llk = v_logp(state)
+    # jit the init evaluation: eager vmap dispatches op-by-op, which is
+    # minutes over the remote TPU tunnel
+    llk = jax.jit(v_logp)(state)
     key, sub = jax.random.split(key)
     n_sampled = (params.n_steps // params.record_every) * params.record_every
     state, llk, n_acc, k_tr, slip_tr, llk_tr = run(

@@ -42,6 +42,7 @@ from __future__ import annotations
 import logging
 import math
 from dataclasses import dataclass, field
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -334,6 +335,20 @@ class GreensTable:
         Returns (ntargets, nfreq, 2) spectra of full-length traces whose
         time axis starts at ``t0`` after origin.
         """
+        # route through a jitted wrapper even for eager callers (data
+        # synthesis, `beat-tpu check`, bench setup): an eager call chain
+        # dispatches hundreds of small ops, which costs MINUTES over the
+        # remote TPU tunnel (~40 ms RTT/op); under an outer jit the
+        # nested jit is transparent
+        return _synthesize_spectra_jit(
+            self, m6, east_shift, north_shift, depth, time_shift,
+            duration, station_east, station_north, comp_idx,
+            stf_type, filter_response)
+
+    def _synthesize_spectra_impl(self, m6, east_shift, north_shift, depth,
+                                 time_shift, duration, station_east,
+                                 station_north, comp_idx, stf_type,
+                                 filter_response):
         spec = self.point_spectra(m6, east_shift, north_shift, depth,
                                   station_east, station_north, comp_idx,
                                   filter_response)
@@ -344,9 +359,9 @@ class GreensTable:
         return cmul(spec, cmul(phasor, stf)[None])
 
     def to_time_domain(self, spec):
-        """Full-length time traces from (…, nf, 2) pair spectra."""
-        IC, IS = self.ibasis
-        return irfft_pair(spec, IC, IS)
+        """Full-length time traces from (…, nf, 2) pair spectra
+        (jitted — see synthesize_spectra)."""
+        return _to_time_domain_jit(self, spec)
 
     # -- persistence ----------------------------------------------------------
 
@@ -454,6 +469,22 @@ def _table_unflatten(aux, children) -> "GreensTable":
 
 
 jax.tree_util.register_pytree_node(GreensTable, _table_flatten, _table_unflatten)
+
+
+@partial(jax.jit, static_argnames=("stf_type",))
+def _synthesize_spectra_jit(table, m6, east_shift, north_shift, depth,
+                            time_shift, duration, station_east,
+                            station_north, comp_idx, stf_type,
+                            filter_response):
+    return table._synthesize_spectra_impl(
+        m6, east_shift, north_shift, depth, time_shift, duration,
+        station_east, station_north, comp_idx, stf_type, filter_response)
+
+
+@jax.jit
+def _to_time_domain_jit(table, spec):
+    IC, IS = table.ibasis
+    return irfft_pair(spec, IC, IS)
 
 
 # ---------------------------------------------------------------------------

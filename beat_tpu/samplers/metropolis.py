@@ -75,6 +75,17 @@ class MetropolisState(NamedTuple):
     key: jax.Array        # PRNG key
 
 
+@partial(jax.jit, static_argnums=(0,))
+def batched_llk(logp_fn: Callable, q, logp_args: tuple = ()):
+    """Jitted vmapped log-likelihood of a whole population.
+
+    MUST stay jitted: an eager ``jax.vmap`` executes op-by-op, which on
+    a remote-dispatch backend (the TPU tunnel, ~40 ms RTT per op) turns
+    one population evaluation into minutes.  ``logp_args`` ride as jit
+    ARGUMENTS (GF tables are too large for remote-compile constants)."""
+    return jax.vmap(lambda q1: logp_fn(q1, *logp_args))(q)
+
+
 def init_metropolis_state(logp_fn: Callable, q0: np.ndarray, key, scale: float = 1.0,
                           logp_args: tuple = ()) -> MetropolisState:
     """Evaluate the likelihood of the start population and build the state.
@@ -82,7 +93,7 @@ def init_metropolis_state(logp_fn: Callable, q0: np.ndarray, key, scale: float =
     ``logp_args``: extra pytree arguments forwarded to ``logp_fn(q, *logp_args)``
     — GF tables/weights passed as jit arguments, not closure constants."""
     q0 = jnp.asarray(q0)
-    llk0 = jax.vmap(lambda q: logp_fn(q, *logp_args))(q0)
+    llk0 = batched_llk(logp_fn, q0, logp_args)
     n = q0.shape[0]
     return MetropolisState(
         q=q0,

@@ -165,7 +165,9 @@ def pt_sample(
 
     key, sub = jax.random.split(key)
     q = jnp.asarray(start, dtype=jnp.float32)
-    llk = jax.vmap(lambda qq: logp_fn(qq, *logp_args))(q)
+    from beat_tpu.samplers.metropolis import batched_llk
+
+    llk = batched_llk(logp_fn, q, logp_args)
     scaling = jnp.ones((n,))
     state = MetropolisState(q=q, llk=llk, scaling=scaling,
                             accepted=jnp.zeros((n,)), acc_total=jnp.zeros((n,)), key=sub)
@@ -233,25 +235,36 @@ def pt_sample(
         # pair (low end n_post-1) counts, as the reference tunes on the
         # posterior-group / hottest-adjacent-worker acceptance
         # (tune_betas :331) — the (n_post, n_post+1) pair active on the
-        # other parity is tempered<->tempered and systematically hotter
-        acc_np = np.asarray(accepted)
-        prop_np = np.asarray(proposed)
+        # other parity is tempered<->tempered and systematically hotter.
+        # Accumulated ON DEVICE: a per-segment host fetch would sync the
+        # dispatch pipeline every ~20 steps (expensive over the remote
+        # TPU tunnel); the host only reads it at retune boundaries.
         edge = max(0, n_post - 1)
-        acc_matrix_accepted += int(acc_np[edge])
-        acc_matrix_proposed += int(prop_np[edge])
+        acc_matrix_accepted = acc_matrix_accepted + accepted[edge]
+        acc_matrix_proposed = acc_matrix_proposed + proposed[edge]
 
         # every β=1 draw of the segment (the swap permutation only touches
-        # the segment-end state, which the next segment starts from)
-        post_q.append(np.asarray(q_tr[:, :n_post]))
-        post_llk.append(np.asarray(llk_tr[:, :n_post]))
+        # the segment-end state, which the next segment starts from);
+        # device->host copies start asynchronously and are materialized
+        # after the loop, overlapping transfers with later segments
+        def _async(x):
+            try:
+                x.copy_to_host_async()
+            except AttributeError:
+                pass
+            return x
+
+        post_q.append(_async(q_tr[:, :n_post]))
+        post_llk.append(_async(llk_tr[:, :n_post]))
         if params.record_worker_chains:
-            worker_q.append(np.asarray(q_tr[:, n_post:]))
-            worker_llk.append(np.asarray(llk_tr[:, n_post:]))
+            worker_q.append(_async(q_tr[:, n_post:]))
+            worker_llk.append(_async(llk_tr[:, n_post:]))
         samples_since_tune += seg_len * n_post
 
         if samples_since_tune >= params.beta_tune_interval:
-            acc_rate = (acc_matrix_accepted / acc_matrix_proposed
-                        if acc_matrix_proposed else 0.0)
+            prop_count = int(acc_matrix_proposed)
+            acc_rate = (int(acc_matrix_accepted) / prop_count
+                        if prop_count else 0.0)
             t_scale = float(np.clip(tune_temp_scale(t_scale, acc_rate),
                                     params.t_scale_min, params.t_scale_max))
             betas = make_betas(n, n_post, t_scale)

@@ -169,6 +169,22 @@ def smc_sample(
     handler = (SampleStage(homepath, ordering=ordering)
                if homepath and is_io_process() else None)
     reader = SampleStage(homepath, ordering=ordering) if homepath else None
+    # background checkpoint writer (see the save site in the stage loop)
+    saver = None
+    save_futures = []
+    if handler is not None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        saver = ThreadPoolExecutor(max_workers=1,
+                                   thread_name_prefix="smc_stage_saver")
+
+    def _join_saves():
+        """Block until every queued stage write landed (re-raising any
+        writer exception) — checkpoints must be durable before return."""
+        for f in save_futures:
+            f.result()
+        if saver is not None:
+            saver.shutdown(wait=True)
 
     # ---- resume logic (reference init_stage, sampler/base.py:618) ----
     stage = params.stage
@@ -193,6 +209,7 @@ def smc_sample(
                 np.int64(top if jax.process_index() == 0 else -2)))
         if top == -1:
             logger.info("Found complete final stage — nothing to do")
+            _join_saves()
             try:
                 tr = reader.load_trace(-1)
             except FileNotFoundError:
@@ -316,14 +333,26 @@ def smc_sample(
 
         save_stage_num = -1 if final_stage else stage
         if handler is not None:
-            handler.save_stage(
-                save_stage_num,
-                {"q": np.asarray(q_tr), "llk": np.asarray(llk_tr)},
-                {"beta": beta, "cov": cov, "population": population,
-                 "likelihoods": likelihoods, "stage": stage,
-                 "resampling_indexes": resampling_idx,
-                 "acceptance": np.asarray(acceptance)},
-            )
+            # fetch + write in a 1-worker background thread: the in-stage
+            # trace (n_rec x chains x dim) is the LARGE host transfer of
+            # every stage (~0.5 s over the TPU tunnel) and nothing
+            # downstream reads it until the run ends — overlap it with
+            # the next stage's device work.  One worker keeps stage
+            # files strictly ordered; exceptions surface at the join.
+            summary = {"beta": beta, "cov": cov, "population": population,
+                       "likelihoods": likelihoods, "stage": stage,
+                       "resampling_indexes": resampling_idx,
+                       "acceptance": np.asarray(acceptance)}
+
+            def _save(num, qt, lt, summ):
+                handler.save_stage(
+                    num, {"q": np.asarray(qt), "llk": np.asarray(lt)}, summ)
+
+            if saver is None:
+                _save(save_stage_num, q_tr, llk_tr, summary)
+            else:
+                save_futures.append(saver.submit(
+                    _save, save_stage_num, q_tr, llk_tr, summary))
 
         # data-covariance update hook at the MAP point (reference smc.py:492)
         if update_weights is not None and not final_stage:
@@ -338,6 +367,7 @@ def smc_sample(
             likelihoods = np.asarray(st.llk, dtype=np.float64)
 
         if final_stage:
+            _join_saves()
             if handler is not None:
                 from beat_tpu.profiling import TimingRegistry
 
@@ -346,4 +376,5 @@ def smc_sample(
             return np.asarray(q_tr), np.asarray(llk_tr)
         stage += 1
 
+    _join_saves()
     raise RuntimeError(f"SMC did not reach beta=1 within {params.max_stages} stages")

@@ -63,10 +63,14 @@ def rot_z(angle):
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
 def sdr_to_m6(strike, dip, rake, moment=1.0):
     """
     Double couple (strike, dip, rake [deg]) -> MT components in NED basis
     (Aki & Richards box 4.4).  Returns (mnn, mee, mdd, mne, mnd, med)·M0.
+
+    Jitted: eager callers (data synthesis, GCMT seeding, plots) would
+    otherwise pay ~20 dispatch round-trips over the remote TPU tunnel.
     """
     phi = jnp.deg2rad(strike)
     delta = jnp.deg2rad(dip)
