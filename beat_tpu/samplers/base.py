@@ -96,5 +96,8 @@ def choose_proposal(name: str):
         return proposal_catalog[name]
     except KeyError:
         raise ValueError(
-            f"Unknown proposal '{name}'; available: {sorted(proposal_catalog)}"
+            f"Unknown proposal '{name}'; available: "
+            f"{sorted(proposal_catalog) + ['MALA']} "
+            "(MALA is gradient-based and handled by the step kernel, "
+            "samplers/metropolis.py)"
         ) from None

@@ -156,6 +156,90 @@ def _make_step(logp_fn, lower, upper, proposal, tune_interval, tune, logp_args=(
     return step
 
 
+#: Roberts & Rosenthal (1998) optimal MALA acceptance rate
+MALA_TARGET_ACC = 0.574
+
+
+def _make_mala_step(logp_fn, lower, upper, tune_interval, tune,
+                    logp_args=()):
+    """One lockstep MALA (Metropolis-adjusted Langevin) transition:
+    drift ``(ε²/2)·Σ·β∇llk`` toward higher tempered posterior plus
+    ``ε·L·ξ`` noise, with the asymmetric-proposal Metropolis
+    correction.  Carry is ``(state, grad)`` so each step costs ONE
+    value_and_grad evaluation.
+
+    Gradients come free from JAX autodiff — a capability the
+    reference's random-walk-only samplers never use (its pytensor
+    graph could provide them but ``sampler/metropolis.py`` does not);
+    in high dimension MALA mixes per-eval far better than a random
+    walk.  The per-chain step size ε (``state.scaling``) retunes
+    toward the 0.574 optimum every ``tune_interval`` steps."""
+    from jax.scipy.linalg import solve_triangular
+
+    vgrad = jax.vmap(jax.value_and_grad(lambda qq: logp_fn(qq, *logp_args)))
+
+    def sigma_dot(g, cov_chol):
+        # Σ g = L (Lᵀ g), rows of g
+        return (g @ cov_chol) @ cov_chol.T
+
+    def log_g(x, mean, eps, cov_chol):
+        # log N(x; mean, ε²Σ) dropping terms symmetric in the per-chain
+        # ε and |Σ| (identical forward/reverse, cancel in the ratio)
+        z = solve_triangular(cov_chol, (x - mean).T, lower=True)  # (dim, n)
+        return -0.5 * jnp.sum((z / eps.T) ** 2, axis=0)
+
+    def step(carry, step_idx, beta, cov_chol):
+        state, grad = carry
+        key, k_prop, k_acc = jax.random.split(state.key, 3)
+        n = state.q.shape[0]
+        beta_b = jnp.broadcast_to(beta, (n,)).astype(state.q.dtype)
+
+        if tune:
+            do_tune = (step_idx > 0) & (step_idx % tune_interval == 0)
+            acc_frac = state.accepted / tune_interval
+            retuned = jnp.clip(
+                state.scaling * jnp.exp(1.5 * (acc_frac - MALA_TARGET_ACC)),
+                1e-6, 1e3)
+            scaling = jnp.where(do_tune, retuned, state.scaling)
+            accepted = jnp.where(do_tune, jnp.zeros_like(state.accepted),
+                                 state.accepted)
+        else:
+            scaling, accepted = state.scaling, state.accepted
+
+        eps = scaling[:, None]
+        half = 0.5 * eps * eps * beta_b[:, None]
+        mean_fwd = state.q + half * sigma_dot(grad, cov_chol)
+        xi = jax.random.normal(k_prop, state.q.shape, state.q.dtype)
+        q_prop = mean_fwd + eps * (xi @ cov_chol.T)
+        in_bounds = jnp.all((q_prop >= lower) & (q_prop <= upper), axis=-1)
+        q_eval = jnp.clip(q_prop, lower, upper)
+        llk_prop, grad_prop = vgrad(q_eval)
+
+        mean_rev = q_eval + half * sigma_dot(grad_prop, cov_chol)
+        lg_fwd = log_g(q_eval, mean_fwd, eps, cov_chol)    # g(q'|q)
+        lg_rev = log_g(state.q, mean_rev, eps, cov_chol)   # g(q|q')
+        log_ratio = beta_b * (llk_prop - state.llk) + lg_rev - lg_fwd
+        log_u = jnp.log(jax.random.uniform(k_acc, (n,)))
+        ok = in_bounds & jnp.isfinite(llk_prop) \
+            & jnp.all(jnp.isfinite(grad_prop), axis=-1)
+        accept = ok & (log_u < log_ratio)
+
+        q_new = jnp.where(accept[:, None], q_eval, state.q)
+        llk_new = jnp.where(accept, llk_prop, state.llk)
+        grad_new = jnp.where(accept[:, None], grad_prop, grad)
+        new_state = MetropolisState(
+            q=q_new, llk=llk_new, scaling=scaling,
+            accepted=accepted + accept,
+            acc_total=state.acc_total + accept, key=key)
+        return (new_state, grad_new), (q_new, llk_new)
+
+    def init(state):
+        llk0, grad0 = vgrad(state.q)
+        return (state._replace(llk=llk0), grad0)
+
+    return step, init
+
+
 @partial(jax.jit, static_argnames=("logp_fn", "n_steps", "proposal_name",
                                    "tune_interval", "tune", "record_every"))
 def run_metropolis_stage(
@@ -187,17 +271,25 @@ def run_metropolis_stage(
     ``tune_interval`` GLOBAL steps even when each segment is shorter than
     the interval.
     """
-    proposal = choose_proposal(proposal_name)
-    step = _make_step(logp_fn, lower, upper, proposal, tune_interval, tune,
-                      logp_args)
+    if proposal_name == "MALA":
+        step, init_carry = _make_mala_step(logp_fn, lower, upper,
+                                           tune_interval, tune, logp_args)
+        carry0 = init_carry(state)
+        state_of = lambda c: c[0]  # noqa: E731
+    else:
+        proposal = choose_proposal(proposal_name)
+        step = _make_step(logp_fn, lower, upper, proposal, tune_interval,
+                          tune, logp_args)
+        carry0 = state
+        state_of = lambda c: c  # noqa: E731
 
     def body(carry, step_idx):
-        new_state, (q, llk) = step(carry, step_idx + step_offset, beta,
+        new_carry, (q, llk) = step(carry, step_idx + step_offset, beta,
                                    cov_chol)
-        return new_state, (q, llk)
+        return new_carry, (q, llk)
 
     if record_every <= 1:
-        final, (q_tr, llk_tr) = jax.lax.scan(body, state, jnp.arange(n_steps))
+        final, (q_tr, llk_tr) = jax.lax.scan(body, carry0, jnp.arange(n_steps))
     else:
         # Thinned recording: scan over full blocks keeping each block's
         # last state, then run the remainder steps (recorded as one final
@@ -212,14 +304,15 @@ def run_metropolis_stage(
                             beta, cov_chol)
                 return s, None
 
-            new_state, _ = jax.lax.scan(inner, carry, jnp.arange(record_every))
-            return new_state, (new_state.q, new_state.llk)
+            new_carry, _ = jax.lax.scan(inner, carry, jnp.arange(record_every))
+            ns = state_of(new_carry)
+            return new_carry, (ns.q, ns.llk)
 
         if n_blocks:
-            final, (q_tr, llk_tr) = jax.lax.scan(block, state,
+            final, (q_tr, llk_tr) = jax.lax.scan(block, carry0,
                                                  jnp.arange(n_blocks))
         else:
-            final = state
+            final = carry0
             q_tr = jnp.zeros((0,) + state.q.shape, state.q.dtype)
             llk_tr = jnp.zeros((0,) + state.llk.shape, state.llk.dtype)
         if rem:
@@ -229,10 +322,11 @@ def run_metropolis_stage(
                 return s, None
 
             final, _ = jax.lax.scan(tail, final, jnp.arange(rem))
-            q_tr = jnp.concatenate([q_tr, final.q[None]], axis=0)
-            llk_tr = jnp.concatenate([llk_tr, final.llk[None]], axis=0)
+            fs = state_of(final)
+            q_tr = jnp.concatenate([q_tr, fs.q[None]], axis=0)
+            llk_tr = jnp.concatenate([llk_tr, fs.llk[None]], axis=0)
 
-    return final, (q_tr, llk_tr)
+    return state_of(final), (q_tr, llk_tr)
 
 
 def metropolis_sample(
