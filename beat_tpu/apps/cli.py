@@ -56,7 +56,24 @@ def _cmd_completions(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persist compiled XLA executables across CLI invocations.
+
+    Cold compiles through a remote TPU backend cost tens of seconds per
+    program; a `beat-tpu sample` rerun (resume, prior tweak) re-pays
+    them all without this.  Must run BEFORE the first jax import by any
+    subcommand; honors an existing user setting."""
+    import os
+
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.expanduser("~/.beat_tpu/jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     parser = build_parser()
     args = parser.parse_args(argv)
     if args.command is None:

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import logging
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -408,5 +409,12 @@ class GeodeticGeometryComposite(GeodeticComposite):
         return jnp.sum(disp * data["los"], axis=-1)
 
     def synthetics_los_np(self, point: dict):
+        """Jit-cached eager entry (diagnostics/plots/exports) — an eager
+        forward is hundreds of dispatches, minutes over the remote TPU
+        tunnel; device data ride as jit arguments."""
         point = {k: jnp.asarray(v) for k, v in point.items()}
-        return self.synthetics_los(point)
+        fn = getattr(self, "_jit_los", None)
+        if fn is None:
+            fn = self._jit_los = jax.jit(
+                lambda p, d: self.synthetics_los(p, d))
+        return fn(point, self._device)

@@ -499,8 +499,24 @@ class SeismicGeometryComposite(Composite):
         point = {k: jnp.asarray(v) for k, v in point.items()}
         out = {}
         for w_idx, wmap in enumerate(self.wavemaps):
-            out[wmap.mapid] = np.asarray(self.synthetics_windows(point, w_idx))
+            out[wmap.mapid] = np.asarray(
+                self._jit_synthetics_windows(point, w_idx))
         return out
+
+    def _jit_synthetics_windows(self, point: dict, w_idx: int):
+        """Jit-cached eager entry for diagnostics/plots/exports: an eager
+        composite forward is hundreds of dispatches (minutes over the
+        remote TPU tunnel), and posterior-envelope plots call it once per
+        draw.  Device data ride as jit arguments, never closure
+        constants."""
+        cache = getattr(self, "_jit_win_cache", None)
+        if cache is None:
+            cache = self._jit_win_cache = {}
+        fn = cache.get(w_idx)
+        if fn is None:
+            fn = cache[w_idx] = jax.jit(
+                lambda p, dev: self.synthetics_windows(p, w_idx, dev))
+        return fn(point, self._device)
 
     def get_variance_reductions(self, point: dict) -> dict:
         synths = self.get_synthetics(point)
