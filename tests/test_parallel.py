@@ -201,3 +201,35 @@ class TestGFTargetSharding:
         assert lib_sh.data.addressable_shards[0].data.shape[0] == T // 4
         assert len(got.sharding.device_set) >= 2   # chain-sharded output
         np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5)
+
+
+class TestMALASharding:
+    """The gradient-based MALA step must shard exactly like the random
+    walk: identical results on the chain mesh vs a single device."""
+
+    def test_mala_sharded_equals_unsharded(self):
+        key = jax.random.PRNGKey(11)
+        cov_chol = jnp.eye(DIM, dtype=jnp.float32) * 0.1
+        lo = jnp.full((DIM,), -2.0)
+        hi = jnp.full((DIM,), 2.0)
+
+        def run_mala(state, chol, lo_, hi_):
+            final, _ = run_metropolis_stage(
+                logp, state, jnp.float32(1.0), chol, lo_, hi_,
+                n_steps=20, proposal_name="MALA", tune_interval=10)
+            return final
+
+        final_single = run_mala(make_state(key), cov_chol, lo, hi)
+
+        mesh = make_chain_mesh()
+        state = shard_chain_state(make_state(key), mesh)
+        rep = replicated(mesh)
+        final_sharded = run_mala(state, jax.device_put(cov_chol, rep),
+                                 jax.device_put(lo, rep),
+                                 jax.device_put(hi, rep))
+
+        assert len(final_sharded.q.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(final_sharded.q),
+                                   np.asarray(final_single.q), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(final_sharded.llk),
+                                   np.asarray(final_single.llk), atol=1e-5)
