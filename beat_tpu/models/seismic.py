@@ -518,6 +518,20 @@ class SeismicGeometryComposite(Composite):
                 lambda p, dev: self.synthetics_windows(p, w_idx, dev))
         return fn(point, self._device)
 
+    def _jit_synthetics_fit(self, point: dict, w_idx: int):
+        """Jit-cached fit-space forward (see _jit_synthetics_windows) —
+        also the per-ensemble-member entry of the velocity-model
+        prediction covariances, where the swapped GF table rides as a
+        pytree argument into the SAME compiled function."""
+        cache = getattr(self, "_jit_fit_cache", None)
+        if cache is None:
+            cache = self._jit_fit_cache = {}
+        fn = cache.get(w_idx)
+        if fn is None:
+            fn = cache[w_idx] = jax.jit(
+                lambda p, dev: self.synthetics_fit(p, w_idx, dev))
+        return fn(point, self._device)
+
     def get_variance_reductions(self, point: dict) -> dict:
         synths = self.get_synthetics(point)
         out = {}
