@@ -175,6 +175,40 @@ def _split_layers_rho(model, zs: float):
     return pieces, src_iface
 
 
+def _batched_solve(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Complex LU solve with partial pivoting, vectorized over the
+    leading batch axis: ``A (nk, N, N) @ X = B (nk, N, R)``.
+
+    ``np.linalg.solve`` dispatches one LAPACK call per batch item — at
+    the table builder's scale (tens of thousands of 14×14 systems per
+    frequency) the per-call overhead dominates the O(N³) work.  Doing
+    the elimination with whole-batch numpy updates is ~4× faster and
+    numerically identical up to roundoff (same pivoting strategy)."""
+    A = A.copy()
+    X = B.copy()
+    nk, N, _ = A.shape
+    rows = np.arange(nk)
+    for j in range(N):
+        p = np.abs(A[:, j:, j]).argmax(axis=1) + j
+        need = p != j
+        if need.any():
+            Aj = A[rows, j].copy()
+            A[rows, j] = A[rows, p]
+            A[rows, p] = Aj
+            Xj = X[rows, j].copy()
+            X[rows, j] = X[rows, p]
+            X[rows, p] = Xj
+        f = A[:, j + 1:, j] / A[:, j, j][:, None]
+        A[:, j + 1:, j + 1:] -= f[:, :, None] * A[:, j, j + 1:][:, None, :]
+        X[:, j + 1:, :] -= f[:, :, None] * X[:, j, :][:, None, :]
+    for j in range(N - 1, -1, -1):
+        if j + 1 < N:
+            X[:, j, :] -= np.einsum("km,kmr->kr", A[:, j, j + 1:],
+                                    X[:, j + 1:, :])
+        X[:, j, :] /= A[:, j, j][:, None]
+    return X
+
+
 def _solve_psv_dyn(pieces, src_iface, k, w2, stress_scale, jumps):
     """Batched complex P-SV global solve; ``jumps`` are source
     discontinuity vectors (4,) or (4, nk) in PHYSICAL (U, V, P, S)
@@ -213,7 +247,7 @@ def _solve_psv_dyn(pieces, src_iface, k, w2, stress_scale, jumps):
                 jv[:, 3] /= stress_scale
                 b[:, row:row + 4, jr] = jv
         row += 4
-    coef = np.linalg.solve(A, b)
+    coef = _batched_solve(A, b)
     y0 = np.einsum("kvc,kcr->krv", c_surf, coef[:, offs[0]:offs[1]])
     return [y0[:, jr] for jr in range(nrhs)]
 
@@ -248,7 +282,7 @@ def _solve_sh_dyn(pieces, src_iface, k, w2, stress_scale, jump2):
             jv[:, 1] /= stress_scale
             b[:, row:row + 2] = jv
         row += 2
-    coef = np.linalg.solve(A, b[..., None])[..., 0]
+    coef = _batched_solve(A, b[..., None])[..., 0]
     return np.einsum("kvc,kc->kv", c_surf, coef[:, offs[0]:offs[1]])
 
 
@@ -286,16 +320,20 @@ def dynamic_force_kernels(model, zs: float, w_c: complex,
 
 def dynamic_integration_grid(model, zs: float, r_max: float, T: float,
                              w_abs: float, ppw: float = 1.2,
-                             nk_max: int = 120_000) -> np.ndarray:
+                             nk_max: int = 120_000,
+                             tail_coeff: float = 50.0) -> np.ndarray:
     """Midpoint-rule wavenumber grid: spacing resolves the Bessel
     oscillation over the Bouchon periodicity ``r_max + vp_max·T`` (no
     sources wrap into the window), extent covers the propagating region
-    plus the ``e^{−k·zs}`` evanescent tail."""
+    plus the ``e^{−k·zs}`` evanescent tail (truncated at
+    ``e^{−tail_coeff}``; 50 is conservative, ~30 is visually
+    indistinguishable at regional distances and ~40 % cheaper for
+    shallow sources where the tail dominates the grid)."""
     vp_max = float(np.max(model.vp))
     vs_min = float(np.min(model.vs))
     span = r_max + vp_max * T
     dk = 2.0 * np.pi / (ppw * span)
-    k_max = w_abs / vs_min * 1.05 + 50.0 / max(zs, 1e3)
+    k_max = w_abs / vs_min * 1.05 + tail_coeff / max(zs, 1e3)
     nk = int(np.ceil(k_max / dk))
     if nk > nk_max:
         # called per (depth, frequency) during a table build: warn once
@@ -310,6 +348,72 @@ def dynamic_integration_grid(model, zs: float, r_max: float, T: float,
                 nk, nk_max, k_max, dk)
         nk = nk_max
     return (np.arange(nk) + 0.5) * dk
+
+
+def _hankel_weights(r: np.ndarray, k_grid: np.ndarray) -> tuple:
+    """Precomputed Bessel synthesis matrices (J0, J1, J1/kr, J1') of
+    shape (nr, nk) — the frequency-INDEPENDENT part of the Hankel
+    synthesis.  Hoisting these out of the frequency loop is the main
+    lever of the band table builder: Bessel evaluation dominated the
+    per-frequency cost when each frequency rebuilt its own grid."""
+    kr = np.outer(np.asarray(r, dtype=np.float64), k_grid)
+    J0 = j0(kr)
+    J1 = j1(kr)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        J1_over = np.where(kr > 0, J1 / np.where(kr > 0, kr, 1.0), 0.5)
+    J1p = J0 - J1_over
+    return J0, J1, J1_over, J1p
+
+
+def _hankel_apply(weights: tuple, k_grid: np.ndarray,
+                  kernels: dict) -> tuple:
+    """Synthesis vectors (uz_z, ur_z, uz_x1, ur_x1, up_x1) — the
+    geometry-independent matvec half of the Green-tensor assembly.
+    Kernel pairs sharing a weight matrix go through ONE matmul so each
+    (nr, nk) Bessel matrix is read once (the matvecs are
+    bandwidth-bound at table-builder scale)."""
+    J0, J1, J1_over, J1p = weights
+    dk = k_grid[1] - k_grid[0] if k_grid.size > 1 else k_grid[0] * 2
+    kd = k_grid * dk
+    u0 = kernels["U0"] * kd
+    pair_vu = np.stack([kernels["V0"] * kd, kernels["U1"] * kd], axis=-1)
+    pair_vw = np.stack([kernels["V1"] * kd, kernels["W1"] * kd], axis=-1)
+
+    uz_z = J0 @ u0
+    j1_vu = J1 @ pair_vu                      # (nr, 2): [V0, U1]
+    jo_vw = J1_over @ pair_vw                 # (nr, 2): [V1, W1]
+    jp_vw = J1p @ pair_vw
+    ur_z = -j1_vu[:, 0]
+    uz_x1 = j1_vu[:, 1]
+    ur_x1 = jp_vw[:, 0] + jo_vw[:, 1]
+    up_x1 = jo_vw[:, 0] + jp_vw[:, 1]
+    return uz_z, ur_z, uz_x1, ur_x1, up_x1
+
+
+def _G_assemble(mv: tuple, cphi: np.ndarray, sphi: np.ndarray) -> np.ndarray:
+    """Green tensor (N, 3, 3) from synthesis vectors + receiver azimuth
+    factors (the cheap angular half — G at mirrored receiver offsets
+    reuses one ``_hankel_apply`` result with different factors)."""
+    uz_z, ur_z, uz_x1, ur_x1, up_x1 = mv
+    G = np.zeros((uz_z.shape[0], 3, 3), dtype=np.complex128)
+    G[:, 0, 2] = ur_z * cphi
+    G[:, 1, 2] = ur_z * sphi
+    G[:, 2, 2] = uz_z
+    G[:, 0, 0] = cphi * ur_x1 * cphi + sphi * up_x1 * sphi
+    G[:, 1, 0] = cphi * ur_x1 * sphi - sphi * up_x1 * cphi
+    G[:, 2, 0] = cphi * uz_x1
+    G[:, 0, 1] = sphi * ur_x1 * cphi - cphi * up_x1 * sphi
+    G[:, 1, 1] = sphi * ur_x1 * sphi + cphi * up_x1 * cphi
+    G[:, 2, 1] = sphi * uz_x1
+    return G
+
+
+def _G_from_weights(kernels: dict, k_grid: np.ndarray, weights: tuple,
+                    cphi: np.ndarray, sphi: np.ndarray) -> np.ndarray:
+    """Surface Green tensor (N, 3, 3) from force kernels + precomputed
+    Hankel weight matrices (the synthesis half of
+    :func:`dynamic_point_force_G`)."""
+    return _G_assemble(_hankel_apply(weights, k_grid, kernels), cphi, sphi)
 
 
 def dynamic_point_force_G(model, zs: float, obs_xy: np.ndarray,
@@ -403,6 +507,63 @@ def elementary_mt_spectra(model, zs: float, distances: np.ndarray,
     return out
 
 
+def elementary_mt_spectra_band(model, zs: float, distances: np.ndarray,
+                               w_list, k_grid: np.ndarray,
+                               rel_step: float = 1e-3) -> np.ndarray:
+    """(6, 3, nd, nw) elementary-MT spectra for a whole frequency BAND
+    sharing one wavenumber grid.
+
+    Numerically equivalent to calling :func:`elementary_mt_spectra` per
+    frequency (the shared grid only extends the integration beyond each
+    frequency's own truncation point, where the integrand has already
+    decayed), but ~an order of magnitude faster for table builds on a
+    single host core: the Bessel synthesis matrices — which dominate the
+    per-frequency cost — depend only on (receiver offsets, k) and are
+    computed once per depth here, with only the cheap global-matrix
+    solves repeating per frequency."""
+    distances = np.asarray(distances, dtype=np.float64)
+    w_list = np.asarray(w_list, dtype=np.complex128)
+    d = rel_step * zs
+    nd = distances.size
+
+    # four receiver-offset geometries of the source-gradient stencil
+    r_x = np.hypot(d, distances)
+    W0 = _hankel_weights(distances, k_grid)           # unshifted (z-dipole)
+    Wx = _hankel_weights(r_x, k_grid)                 # ±d·ex (shared r)
+    Wym = _hankel_weights(distances - d, k_grid)      # shift +d·ey
+    Wyp = _hankel_weights(distances + d, k_grid)      # shift −d·ey
+    ones = np.ones(nd)
+    zeros = np.zeros(nd)
+    sphi_x = distances / r_x
+    cphi_xp = -d / r_x                                # obs − (+d·ex)
+    cphi_xm = d / r_x
+
+    m_xyz = [_m6_ned_to_xyz(row) for row in np.eye(6)]
+    out = np.zeros((6, 3, nd, w_list.size), dtype=np.complex128)
+    for jw, w_c in enumerate(w_list):
+        kern0 = dynamic_force_kernels(model, zs, w_c, k_grid)
+        kp = dynamic_force_kernels(model, zs + d, w_c, k_grid)
+        km = dynamic_force_kernels(model, zs - d, w_c, k_grid)
+        # the ±d·ex offsets share radius r_x, hence ONE matvec set with
+        # mirrored azimuth factors — 5 Hankel applications instead of 6
+        mv_x = _hankel_apply(Wx, k_grid, kern0)
+        G_xp = _G_assemble(mv_x, cphi_xp, sphi_x)
+        G_xm = _G_assemble(mv_x, cphi_xm, sphi_x)
+        G_yp = _G_assemble(_hankel_apply(Wym, k_grid, kern0), zeros, ones)
+        G_ym = _G_assemble(_hankel_apply(Wyp, k_grid, kern0), zeros, ones)
+        G_zp = _G_assemble(_hankel_apply(W0, k_grid, kp), zeros, ones)
+        G_zm = _G_assemble(_hankel_apply(W0, k_grid, km), zeros, ones)
+        dG = np.stack([(G_xp - G_xm) / (2 * d),
+                       (G_yp - G_ym) / (2 * d),
+                       (G_zp - G_zm) / (2 * d)], axis=-1)
+        for kk in range(6):
+            u = np.einsum("pq,nkpq->nk", m_xyz[kk], dG) / (1j * w_c)
+            out[kk, 0, :, jw] = -u[:, 2]     # Z up
+            out[kk, 1, :, jw] = u[:, 1]      # R (north at azimuth 0)
+            out[kk, 2, :, jw] = u[:, 0]      # T (east at azimuth 0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Table builder
 # ---------------------------------------------------------------------------
@@ -435,7 +596,9 @@ def nudge_depths_off_interfaces(model, depths, rel_step: float = 1e-3):
 def build_layered_waveform_table(model, distances, depths, nt: int, dt: float,
                                  t0: float = 0.0, zeta_cycles: float = 1.0,
                                  rel_step: float = 1e-3, ppw: float = 1.2,
-                                 fmax: float | None = None):
+                                 fmax: float | None = None,
+                                 tail_coeff: float = 50.0,
+                                 method: str = "band"):
     """
     Build a :class:`GreensTable` for a 1-D layered model by the discrete
     wavenumber method — natively, with no external wavefield code.
@@ -450,6 +613,11 @@ def build_layered_waveform_table(model, distances, depths, nt: int, dt: float,
         suppressed by e^{−π·ζ_cycles}
     fmax : optional synthesis cutoff [Hz] — spectra above it are left
         zero (band-limit for speed; datasets are bandpassed anyway)
+    tail_coeff : evanescent-tail truncation of the k-grid (see
+        :func:`dynamic_integration_grid`)
+    method : 'band' (default) shares one k-grid + Bessel matrices per
+        depth across all frequencies — the fast path; 'perfreq' keeps
+        the legacy per-frequency grids for cross-validation
 
     Returns the table with spectra aligned to the ``t0`` time axis via
     :func:`beat_tpu.heart.store_convert.trace_to_spectrum`.
@@ -481,15 +649,28 @@ def build_layered_waveform_table(model, distances, depths, nt: int, dt: float,
 
     damped = np.zeros((6, 3, distances.size, depths.size, nf),
                       dtype=np.complex128)
+    in_band = freqs <= fmax + 1e-12
+    w_band = 2.0 * np.pi * freqs[in_band] - 1j * zeta
     for iz, zs in enumerate(depths):
-        for jf, f in enumerate(freqs):
-            if f > fmax + 1e-12:
-                continue
-            w_c = 2.0 * np.pi * f - 1j * zeta
-            k_grid = dynamic_integration_grid(model, zs, r_max, T,
-                                              abs(w_c), ppw=ppw)
-            damped[:, :, :, iz, jf] = elementary_mt_spectra(
-                model, zs, distances, w_c, k_grid, rel_step)
+        if method == "band":
+            k_grid = dynamic_integration_grid(
+                model, zs, r_max, T, float(np.abs(w_band).max()),
+                ppw=ppw, tail_coeff=tail_coeff)
+            damped[:, :, :, iz, in_band] = elementary_mt_spectra_band(
+                model, zs, distances, w_band, k_grid, rel_step)
+        elif method == "perfreq":
+            for jf, f in enumerate(freqs):
+                if f > fmax + 1e-12:
+                    continue
+                w_c = 2.0 * np.pi * f - 1j * zeta
+                k_grid = dynamic_integration_grid(
+                    model, zs, r_max, T, abs(w_c), ppw=ppw,
+                    tail_coeff=tail_coeff)
+                damped[:, :, :, iz, jf] = elementary_mt_spectra(
+                    model, zs, distances, w_c, k_grid, rel_step)
+        else:
+            raise ValueError(f"method must be 'band' or 'perfreq', "
+                             f"got {method!r}")
         logger.info("layered waveform table: depth %g m done (%i freqs, "
                     "%i distances)", zs, nf, distances.size)
 

@@ -167,6 +167,20 @@ class LayeredModel:
             lrho.append(0.5 * (rho[i] + rho[i + 1]))
             lqp.append(0.5 * (arr[i, 4] + arr[i + 1, 4]))
             lqs.append(0.5 * (arr[i, 5] + arr[i + 1, 5]))
+        # the deepest sample defines the halfspace below it (nd/cake
+        # convention) — without this, step-wise models written as
+        # repeated-depth pairs (e.g. "crust / crust / mantle" custom
+        # models) silently LOSE their mantle halfspace, because the
+        # final row never enters the pairwise loop above
+        if tops and d[-1] > tops[-1] and not (
+                vp[-1] == lvp[-1] and vs[-1] == lvs[-1]
+                and rho[-1] == lrho[-1]):
+            tops.append(d[-1])
+            lvp.append(vp[-1])
+            lvs.append(vs[-1])
+            lrho.append(rho[-1])
+            lqp.append(arr[-1, 4])
+            lqs.append(arr[-1, 5])
         if tops[0] != 0.0:
             tops[0] = 0.0
         qp = np.asarray(lqp) if have_q and min(lqp) > 0 else None

@@ -113,6 +113,29 @@ class TestLayeredTablePipeline:
         assert 5500.0 < table.vp < 6500.0
 
 
+class TestBandBuilder:
+    def test_band_matches_perfreq(self, layered):
+        """The shared-k-grid band builder is numerically equivalent to
+        the legacy per-frequency build (the wider shared grid only adds
+        quadrature points past each frequency's own truncation, where
+        the integrand has decayed)."""
+        kw = dict(distances=np.array([30e3, 55e3]),
+                  depths=np.array([6e3, 9e3]), nt=48, dt=1.0, t0=0.0,
+                  fmax=0.35)
+        t_band = build_layered_waveform_table(layered, method="band", **kw)
+        t_ref = build_layered_waveform_table(layered, method="perfreq", **kw)
+        a = np.asarray(t_band.spectra)
+        b = np.asarray(t_ref.spectra)
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(a, b, atol=5e-4 * scale, rtol=0)
+
+    def test_unknown_method_rejected(self, layered):
+        with np.testing.assert_raises(ValueError):
+            build_layered_waveform_table(
+                layered, distances=np.array([30e3]),
+                depths=np.array([6e3]), nt=16, dt=1.0, method="nope")
+
+
 class TestAttenuation:
     def test_constant_q_shrinks_sh_spectra(self):
         """With constant-Q complex velocities the SH (T-component)
