@@ -117,6 +117,14 @@ def register_import(sub):
                    help="directory of waveform files (requires obspy)")
     p.add_argument("--inventory", default=None, help="StationXML for response "
                    "removal + station coordinates (with --seismic_mseed)")
+    p.add_argument("--from_beat", default=None, metavar="DIR",
+                   help="migrate a reference-BEAT project directory: parse "
+                   "its guts-YAML config, decode the pyrocko data pickles / "
+                   "marker files, write the native project, build the GF "
+                   "tables and grid the traces (beat_tpu.interop)")
+    p.add_argument("--no_build", action="store_true",
+                   help="with --from_beat: skip the GF-table build + trace "
+                   "gridding (run 'beat-tpu build_gfs' later)")
     p.add_argument("--results", action="store_true",
                    help="import a previous run's posterior as priors: HDI "
                    "bounds + posterior-mean test values for every matching "
@@ -137,6 +145,18 @@ def _cmd_import(args):
 
     from beat_tpu import inputf
     from beat_tpu.config import save_geodetic_datasets
+
+    if args.from_beat:
+        from beat_tpu.interop import import_beat_project
+
+        config, notes = import_beat_project(args.from_beat, args.project_dir,
+                                            build=not args.no_build)
+        print(f"Imported BEAT project {args.from_beat} -> "
+              f"{args.project_dir} (mode {config.problem_config.mode}, "
+              f"datatypes {', '.join(config.problem_config.datatypes)})")
+        for note in notes:
+            print(f"  note: {note}")
+        return 0
 
     if args.results:
         from beat_tpu.config import import_results_as_priors
@@ -433,6 +453,7 @@ def _build_geometry_stores(args):
             return build_layered_waveform_table(
                 m, distances, zgrid, nt=nt, dt=dt, t0=t0,
                 fmax=gf.get("fmax"),
+                tail_coeff=float(gf.get("tail_coeff", 50.0)),
                 zeta_cycles=float(gf.get("zeta_cycles", 1.0))), \
                 (f"DWN layered ({m.nlayers} layers"
                  + (", anelastic Q" if m.qp is not None

@@ -68,6 +68,12 @@ class EventConfig:
     depth: float = 10000.0  # [m]
     time: float = 0.0       # epoch [s]
     magnitude: float = 6.0
+    #: catalog source duration [s] (reference ``pf.Event.duration``)
+    duration: float | None = None
+    #: catalog moment tensor (mnn/mee/mdd/mne/mnd/med [+ sdr pairs]) —
+    #: the "true reference value" in plots and acceptance tests
+    #: (reference embeds the GCMT solution in its example configs)
+    moment_tensor: dict | None = None
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +102,11 @@ class EulerPoleConfig:
     enabled: bool = True
     station_whitelist: list = field(default_factory=list)
     station_blacklist: list = field(default_factory=list)
+    #: datasets this correction applies to (reference
+    #: ``CorrectionConfig.dataset_names`` ``config.py:802-914``); empty =
+    #: every dataset with geographic coordinates.  SAR datasets honor
+    #: their polygon ``mask`` (reference ``DiffIFG.get_data_mask``).
+    dataset_names: list = field(default_factory=list)
 
 
 @dataclass
@@ -103,6 +114,7 @@ class StrainRateConfig:
     enabled: bool = True
     station_whitelist: list = field(default_factory=list)
     station_blacklist: list = field(default_factory=list)
+    dataset_names: list = field(default_factory=list)
 
 
 @dataclass
@@ -972,6 +984,7 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig,
                 return z[f"{name}:{key}"] if f"{name}:{key}" in z.files else None
 
             time = opt("time")
+            mask = opt("mask")
             datasets.append(GeodeticDataset(
                 name=name, typ=typ,
                 coords=z[f"{name}:coords"],
@@ -980,7 +993,8 @@ def load_geodetic_datasets(project_dir: str, gc: GeodeticConfig,
                 odw=opt("odw"),
                 lats=opt("lats"), lons=opt("lons"), stations=opt("stations"),
                 covariance=cov,
-                time=float(time) if time is not None else None))
+                time=float(time) if time is not None else None,
+                mask=mask.astype(bool) if mask is not None else None))
     for ds in datasets:
         if ds.lats is not None and ds.lons is not None:
             if event is not None:
@@ -1022,7 +1036,7 @@ def save_geodetic_datasets(datasets, project_dir: str, datadir: str = "./") -> s
         arrays[f"{ds.name}:odw"] = ds.odw
         arrays[f"{ds.name}:covariance"] = ds.covariance.data
         arrays[f"{ds.name}:typ"] = np.array(1 if ds.typ == "GNSS" else 0)
-        for key in ("lats", "lons", "stations"):
+        for key in ("lats", "lons", "stations", "mask"):
             val = getattr(ds, key, None)
             if val is not None:
                 arrays[f"{ds.name}:{key}"] = np.asarray(val)
@@ -1431,29 +1445,40 @@ def _build_corrections(gc: GeodeticConfig, datasets):
         corrections.extend(RampCorrection(dataset_name=n) for n in names)
     from beat_tpu.heart.corrections import station_mask
 
-    # one instance per (config entry, GNSS dataset): instances of the
-    # same entry share hierarchicals; each applies to its own dataset's
-    # stations modulo the entry's white/blacklist (reference
-    # ``models/corrections.py:111-140``)
-    gnss = [ds for ds in datasets if ds.typ == "GNSS"]
+    # one instance per (config entry, dataset): instances of the same
+    # entry share hierarchicals; each applies to its own dataset's
+    # observations modulo the entry's white/blacklist and the dataset's
+    # polygon mask (reference ``models/corrections.py:111-140`` +
+    # ``DiffIFG.get_data_mask`` ``heart.py:1520``: points inside a kite
+    # polygon — the deforming region — receive no plate-motion
+    # correction, so its parameters are constrained by the far field)
+    def eligible(entry):
+        names = list(getattr(entry, "dataset_names", []) or [])
+        if names:
+            return [ds for ds in datasets if ds.name in names]
+        return [ds for ds in datasets if ds.typ == "GNSS"]
 
     def masked(ds, entry, kind, i):
-        if not (entry.station_whitelist or entry.station_blacklist):
-            return None
-        if ds.stations is None:
-            logger.warning(
-                "%s correction %i has station white/blacklists but dataset "
-                "%s carries no station names — the lists are ignored and "
-                "the correction applies to every observation", kind, i,
-                ds.name)
-            return None
-        return station_mask(ds.stations, entry.station_whitelist,
-                            entry.station_blacklist)
+        mask = None
+        if entry.station_whitelist or entry.station_blacklist:
+            if ds.stations is None:
+                logger.warning(
+                    "%s correction %i has station white/blacklists but "
+                    "dataset %s carries no station names — the lists are "
+                    "ignored and the correction applies to every "
+                    "observation", kind, i, ds.name)
+            else:
+                mask = station_mask(ds.stations, entry.station_whitelist,
+                                    entry.station_blacklist)
+        if getattr(ds, "mask", None) is not None and np.any(ds.mask):
+            keep = ~np.asarray(ds.mask, dtype=bool)
+            mask = keep if mask is None else (mask & keep)
+        return mask
 
     for i, ep in enumerate(cc.euler_poles):
         if not getattr(ep, "enabled", True):
             continue
-        for ds in gnss:
+        for ds in eligible(ep):
             if ds.lats is None:
                 continue
             mask = masked(ds, ep, "Euler-pole", i)
@@ -1463,7 +1488,7 @@ def _build_corrections(gc: GeodeticConfig, datasets):
     for i, sr in enumerate(cc.strain_rates):
         if not getattr(sr, "enabled", True):
             continue
-        for ds in gnss:
+        for ds in eligible(sr):
             centroid = ds.coords.mean(axis=0)
             mask = masked(ds, sr, "strain-rate", i)
             corrections.append(StrainRateCorrection(

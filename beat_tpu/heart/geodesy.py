@@ -53,6 +53,11 @@ class GeodeticDataset:
     #: with a viscoelastic GF table each dataset is synthesized at its
     #: own epoch (the psgrn/pscmp time axis, ref config.py:325-348)
     time: float | None = None
+    #: per-observation polygon mask (True = inside a user-drawn kite
+    #: polygon, i.e. the deforming region): masked points are EXCLUDED
+    #: from plate-motion correction estimation (reference ``DiffIFG.mask``
+    #: + ``get_data_mask`` ``heart.py:1434,1520``)
+    mask: np.ndarray | None = None
 
     def __post_init__(self):
         n = self.samples

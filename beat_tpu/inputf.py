@@ -64,7 +64,35 @@ def kite_scene_to_dataset(scene, name: str) -> GeodeticDataset:
     cov = getattr(getattr(scene, "covariance", None), "covariance_matrix", None)
     if cov is not None:
         ds.covariance = Covariance(data=np.asarray(cov, dtype=float))
+    ds.mask = kite_polygon_mask(scene)
     return ds
+
+
+def kite_polygon_mask(scene) -> np.ndarray | None:
+    """
+    Per-leaf boolean mask from user-drawn kite polygons (True = inside
+    a polygon, i.e. the deforming region to EXCLUDE from plate-motion /
+    ramp correction estimation).  Polygon vertices are in quadtree frame
+    units ``[cols, rows]`` and leaves are located by
+    ``northings/dN, eastings/dE`` — reference ``DiffIFG.from_kite_scene``
+    ``beat/heart.py:1484-1502`` + ``get_data_mask`` ``:1520``.
+    """
+    pm = getattr(scene, "polygon_mask", None)
+    polygons = getattr(pm, "polygons", None) if pm is not None else None
+    qt = scene.quadtree
+    n = np.asarray(qt.leaf_means).size
+    if not polygons:
+        return None
+    from matplotlib.path import Path
+
+    frame = scene.frame
+    rows = np.asarray(qt.leaf_northings, dtype=float) / float(frame.dN)
+    cols = np.asarray(qt.leaf_eastings, dtype=float) / float(frame.dE)
+    points = np.column_stack([cols, rows])
+    mask = np.zeros(n, dtype=bool)
+    for vertices in polygons.values():
+        mask |= Path(np.asarray(vertices, dtype=float)).contains_points(points)
+    return mask
 
 
 def load_kite_scene(path: str) -> GeodeticDataset:
