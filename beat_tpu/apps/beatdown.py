@@ -49,9 +49,144 @@ def get_events(time_range, magmin=5.5, catalog="IRIS"):
     return out
 
 
+#: Known-event shorthand names (reference ``beatdown.py:112-117``).
+EVENT_ALIASES = {
+    "2010_haiti": "2010-01-12 21:53:00",
+    "2012_emilia": ("2012-05-20 02:03:52", "2012-05-29 07:00:03"),
+    "2009_laquila": "2009-04-06 01:32:39",
+    "muji": "2016-11-25 14:24:30.000",
+}
+
+
+def _to_epoch(stime: str) -> float:
+    import datetime as _dt
+
+    s = stime.strip().replace("T", " ")
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return _dt.datetime.strptime(s, fmt).replace(
+                tzinfo=_dt.timezone.utc).timestamp()
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable event time {stime!r}")
+
+
+def get_events_by_name_or_date(event_names_or_dates, catalog="IRIS",
+                               time_tol=60.0,
+                               fallback_catalogs=("USGS", "ISC"),
+                               events_fn=None):
+    """
+    Resolve events from shorthand names, date strings, or catalog files
+    (reference ``get_events_by_name_or_date`` ``beatdown.py:120-158``):
+    aliases expand to dates; an existing file path loads a JSON event
+    catalog (list of event dicts); a date queries ``catalog`` for the
+    nearest event within ``±time_tol`` seconds, falling back through
+    ``fallback_catalogs`` when nothing is found.
+
+    events_fn : override of :func:`get_events` (injection point for
+        offline tests; signature ``(time_range, magmin, catalog)``).
+    """
+    import json
+    import os
+
+    events_fn = events_fn or get_events
+    stimes = []
+    for sev in event_names_or_dates:
+        alias = EVENT_ALIASES.get(sev)
+        if alias is None:
+            stimes.append(sev)
+        elif isinstance(alias, str):
+            stimes.append(alias)
+        else:
+            stimes.extend(alias)
+
+    events_out = []
+    for stime in stimes:
+        if os.path.isfile(stime):
+            with open(stime) as f:
+                events_out.extend(json.load(f))
+            continue
+        t = _to_epoch(stime)
+        event = None
+        for cat in (catalog,) + tuple(fallback_catalogs):
+            try:
+                events = events_fn((t - time_tol, t + time_tol), 0.0, cat)
+            except Exception as e:   # site down / not reachable
+                logger.info("catalog %s query failed: %s", cat, e)
+                continue
+            if events:
+                event = min(events, key=lambda ev: abs(ev["time"] - t))
+                break
+            logger.info("Nothing found in %s! Trying others!", cat)
+        if event is None:
+            raise LookupError(f"no event within ±{time_tol}s of {stime!r} "
+                              f"in any of {(catalog,) + tuple(fallback_catalogs)}")
+        events_out.append(event)
+    return events_out
+
+
+class NoArrival(Exception):
+    """No ray of the requested phase reaches this distance."""
+
+
+class PhaseWindow:
+    """Absolute cut window around a model-predicted phase arrival
+    (reference ``beatdown.py:163-177``, there via cake rays; here via
+    the native layered first-arrival solver).
+
+    model : :class:`beat_tpu.heart.velocity_model.LayeredModel`
+    phase : 'p' or 's'; omin/omax : window offsets around the arrival [s].
+    """
+
+    def __init__(self, model, phase="p", omin=-60.0, omax=600.0):
+        self.model = model
+        self.phase = phase
+        self.omin = omin
+        self.omax = omax
+
+    def __call__(self, time, distance, depth):
+        from beat_tpu.heart.velocity_model import first_arrival
+
+        try:
+            t_arr = first_arrival(self.model, max(float(depth), 1.0),
+                                  float(distance), self.phase)[0]
+        except Exception as e:
+            raise NoArrival(
+                f"no {self.phase} arrival at distance {distance}") from e
+        return time + t_arr + self.omin, time + t_arr + self.omax
+
+
+class VelocityWindow:
+    """Group-velocity cut window (reference ``beatdown.py:179-192``):
+    ``[ (depth+dist)/vmax − tpad, (depth+dist)/vmin + tpad ]`` after the
+    event time; ``vmax=None`` starts the window at the origin."""
+
+    def __init__(self, vmin, vmax=None, tpad=0.0):
+        self.vmin = vmin
+        self.vmax = vmax
+        self.tpad = tpad
+
+    def __call__(self, time, distance, depth):
+        ttmax = (depth + distance) / self.vmin
+        ttmin = (depth + distance) / self.vmax if self.vmax else 0.0
+        return time + ttmin - self.tpad, time + ttmax + self.tpad
+
+
+class FixedWindow:
+    """Fixed absolute cut window (reference ``beatdown.py:195-203``)."""
+
+    def __init__(self, tmin, tmax):
+        self.tmin = tmin
+        self.tmax = tmax
+
+    def __call__(self, time, distance, depth):
+        return self.tmin, self.tmax
+
+
 def download_waveforms(event, project_dir, radius_deg=(3.0, 90.0),
                        channels="BH[ZNE]", padding=600.0,
-                       duration=3600.0, datadir="raw"):
+                       duration=3600.0, datadir="raw",
+                       sites=("IRIS",), credentials=None):
     """
     FDSN mass download around an event (reference ``beatdown.main``
     ``apps/beatdown.py:248-1227``; gated on obspy + network egress):
@@ -61,9 +196,14 @@ def download_waveforms(event, project_dir, radius_deg=(3.0, 90.0),
 
     event : dict with time [epoch s], lat, lon (e.g. from
         :func:`get_events`).
+    sites : FDSN provider names queried in order — every reachable one
+        contributes (reference multi-site loop ``beatdown.py:215-247``).
+    credentials : optional ``{site: {"user":…, "passwd":…, "token":…}}``
+        for restricted-data providers (reference ``get_user_credentials``).
     """
     try:
         from obspy import UTCDateTime
+        from obspy.clients.fdsn import Client
         from obspy.clients.fdsn.mass_downloader import (
             CircularDomain, MassDownloader, Restrictions)
     except ImportError as e:
@@ -71,6 +211,25 @@ def download_waveforms(event, project_dir, radius_deg=(3.0, 90.0),
             "obspy is required for FDSN downloads; in offline environments "
             "use prepare_local_traces on existing files") from e
     import os
+
+    providers = []
+    for site in sites:
+        cred = dict((credentials or {}).get(site, {}))
+        try:
+            if cred.get("token"):
+                client = Client(site)
+                if hasattr(client, "set_eida_token"):
+                    client.set_eida_token(cred["token"])
+            elif cred.get("user"):
+                client = Client(site, user=cred["user"],
+                                password=cred.get("passwd"))
+            else:
+                client = Client(site)
+            providers.append(client)
+        except Exception as e:
+            logger.warning("FDSN site %s unavailable: %s", site, e)
+    if not providers:
+        raise RuntimeError(f"none of the FDSN sites {sites} are reachable")
 
     t0 = UTCDateTime(event["time"])
     domain = CircularDomain(latitude=event["lat"], longitude=event["lon"],
@@ -82,7 +241,7 @@ def download_waveforms(event, project_dir, radius_deg=(3.0, 90.0),
         minimum_length=0.9, minimum_interstation_distance_in_m=1e3)
     wf_dir = os.path.join(project_dir, datadir, "waveforms")
     inv_dir = os.path.join(project_dir, datadir, "stations")
-    mdl = MassDownloader()
+    mdl = MassDownloader(providers=providers)
     mdl.download(domain, restrictions, mseed_storage=wf_dir,
                  stationxml_storage=inv_dir)
     logger.info("Downloaded waveforms -> %s, inventories -> %s",
@@ -172,7 +331,7 @@ def rotate_to_rtz(north, east, back_azimuth_rad):
 
 
 def prepare_local_traces(traces, stations, event, table, project_dir,
-                         datadir="./"):
+                         datadir="./", cut_window=None):
     """
     Prepare locally available traces into the native seismic format:
     resample to the GF-table grid, rotate horizontals to (R, T), align the
@@ -181,7 +340,14 @@ def prepare_local_traces(traces, stations, event, table, project_dir,
 
     traces : dict station -> {channel: (tmin_epoch, dt, ydata)}
     stations : dict station -> (east, north) local coordinates [m]
-    event : dict with 'time' epoch [s]
+    event : dict with 'time' epoch [s] (and 'depth' [m] for phase/velocity
+        cut windows)
+    cut_window : optional window selector called as
+        ``(event_time, distance, depth) -> (tmin_abs, tmax_abs)`` —
+        :class:`PhaseWindow`, :class:`VelocityWindow` or
+        :class:`FixedWindow` (reference ``cut_n_dump`` ``beatdown.py:100``);
+        samples outside the window are zeroed out, stations whose window
+        cannot be computed (:class:`NoArrival`) are skipped.
     """
     from beat_tpu.heart.seismic import SeismicDataset
     from beat_tpu.inputf import save_seismic_datasets
@@ -190,8 +356,20 @@ def prepare_local_traces(traces, stations, event, table, project_dir,
     for station, chans in traces.items():
         e, n = stations[station]
         back_az = np.arctan2(-e, -n)  # station -> event azimuth
+        window = None
+        if cut_window is not None:
+            try:
+                window = cut_window(event["time"], float(np.hypot(e, n)),
+                                    float(event.get("depth", 0.0)))
+            except NoArrival as err:
+                logger.info("Skipping %s: %s", station, err)
+                continue
         comps = {}
         for channel, (tmin, dt, ydata) in chans.items():
+            if window is not None:
+                ydata = np.asarray(ydata, dtype=np.float64).copy()
+                idx = tmin + np.arange(ydata.size) * dt
+                ydata[(idx < window[0]) | (idx > window[1])] = 0.0
             grid = _to_table_grid(ydata, tmin, dt, event["time"], table)
             comps[channel[-1].upper()] = grid
         if "N" in comps and "E" in comps:

@@ -176,13 +176,29 @@ class _Event:
         return self.magnitudes[0]
 
 
+#: test-seeded: sites that raise on Client construction (unreachable)
+DEAD_SITES: set = set()
+#: captured Client constructions: [(site, user, password)]
+CLIENTS_MADE: list = []
+
+
 class Client:
-    def __init__(self, catalog="IRIS"):
+    def __init__(self, catalog="IRIS", user=None, password=None):
+        if catalog in DEAD_SITES:
+            raise ConnectionError(f"fake site {catalog} is down")
         self.catalog = catalog
+        self.user, self.password = user, password
+        self.eida_token = None
+        CLIENTS_MADE.append((catalog, user, password))
+
+    def set_eida_token(self, token):
+        self.eida_token = token
 
     def get_events(self, starttime=None, endtime=None, minmagnitude=0.0):
         out = []
         for ev in CATALOG:
+            if ev.get("site") not in (None, self.catalog):
+                continue
             if starttime is not None and ev["time"] < starttime.timestamp:
                 continue
             if endtime is not None and ev["time"] > endtime.timestamp:
@@ -217,10 +233,14 @@ class Restrictions:
 
 
 class MassDownloader:
+    def __init__(self, providers=None):
+        self.providers = providers
+
     def download(self, domain, restrictions, mseed_storage,
                  stationxml_storage):
         LAST_DOWNLOAD.clear()
-        LAST_DOWNLOAD.update(domain=domain, restrictions=restrictions)
+        LAST_DOWNLOAD.update(domain=domain, restrictions=restrictions,
+                             providers=self.providers)
         os.makedirs(mseed_storage, exist_ok=True)
         os.makedirs(stationxml_storage, exist_ok=True)
         inv = {}

@@ -23,6 +23,8 @@ def obspy_env(monkeypatch):
     fake_obspy.CATALOG.clear()
     fake_obspy.DOWNLOAD_STATIONS.clear()
     fake_obspy.LAST_DOWNLOAD.clear()
+    fake_obspy.DEAD_SITES.clear()
+    fake_obspy.CLIENTS_MADE.clear()
     return fake_obspy
 
 
@@ -188,6 +190,160 @@ class TestFullAcquisitionChain:
                                                "stations", "inventory.json"),
                    "--event-time", str(t0)])
         assert rc == 0
+
+
+class TestEventLookup:
+    """Event-by-name/date resolution with catalog fallback (reference
+    ``beatdown.py:120-158``)."""
+
+    def test_alias_and_nearest(self, obspy_env):
+        from beat_tpu.apps.beatdown import (EVENT_ALIASES, _to_epoch,
+                                            get_events_by_name_or_date)
+
+        t_laquila = _to_epoch(EVENT_ALIASES["2009_laquila"])
+        obspy_env.CATALOG.extend([
+            dict(time=t_laquila + 30.0, lat=42.3, lon=13.4, depth=9e3,
+                 magnitude=6.3),                       # within ±60 s
+            dict(time=t_laquila + 55.0, lat=0.0, lon=0.0, depth=1e3,
+                 magnitude=5.0),                       # farther in time
+        ])
+        evs = get_events_by_name_or_date(["2009_laquila"])
+        assert len(evs) == 1 and evs[0]["lat"] == 42.3  # nearest wins
+
+    def test_catalog_fallback(self, obspy_env):
+        from beat_tpu.apps.beatdown import get_events_by_name_or_date
+
+        t = 1.6e9
+        # primary catalog has nothing; a fallback site carries the event
+        obspy_env.CATALOG.append(
+            dict(time=t + 10.0, lat=1.0, lon=2.0, depth=5e3,
+                 magnitude=6.0, site="USGS"))
+        evs = get_events_by_name_or_date(["2020-09-13 12:26:40"],
+                                         catalog="IRIS")
+        assert len(evs) == 1 and evs[0]["lon"] == 2.0
+
+        with pytest.raises(LookupError, match="no event"):
+            get_events_by_name_or_date(["1999-01-01 00:00:00"])
+
+    def test_file_catalog(self, obspy_env, tmp_path):
+        from beat_tpu.apps.beatdown import get_events_by_name_or_date
+
+        path = str(tmp_path / "events.json")
+        with open(path, "w") as f:
+            json.dump([dict(time=1.0, lat=5.0, lon=6.0, depth=1e3,
+                            magnitude=7.0)], f)
+        evs = get_events_by_name_or_date([path])
+        assert evs[0]["lat"] == 5.0
+
+
+class TestMultiSiteCredentials:
+    """Multi-site FDSN with per-site credentials (reference
+    ``beatdown.py:215-247``): dead sites are skipped, credentialed
+    clients carry user/password or EIDA tokens."""
+
+    def test_sites_and_credentials(self, obspy_env, tmp_path):
+        from beat_tpu.apps.beatdown import download_waveforms
+
+        obspy_env.DOWNLOAD_STATIONS.append(
+            dict(station="AAA", lon=13.0, lat=42.0, gain=1e9))
+        obspy_env.DEAD_SITES.add("ORFEUS")
+        event = dict(time=EVENT_TIME, lat=42.3, lon=13.4)
+        download_waveforms(
+            event, str(tmp_path), sites=("IRIS", "ORFEUS", "GEOFON"),
+            credentials={"GEOFON": {"user": "u", "passwd": "p"},
+                         "IRIS": {"token": "tok"}})
+        providers = obspy_env.LAST_DOWNLOAD["providers"]
+        assert [c.catalog for c in providers] == ["IRIS", "GEOFON"]
+        assert providers[0].eida_token == "tok"
+        assert (providers[1].user, providers[1].password) == ("u", "p")
+
+    def test_all_sites_dead(self, obspy_env, tmp_path):
+        from beat_tpu.apps.beatdown import download_waveforms
+
+        obspy_env.DEAD_SITES.update({"IRIS", "GEOFON"})
+        with pytest.raises(RuntimeError, match="none of the FDSN sites"):
+            download_waveforms(dict(time=EVENT_TIME, lat=0, lon=0),
+                               str(tmp_path), sites=("IRIS", "GEOFON"))
+
+
+class TestCutWindows:
+    """Velocity/fixed/phase time-window selection (reference
+    ``beatdown.py:163-203`` + ``cut_n_dump`` ``:100``)."""
+
+    def _table(self):
+        from beat_tpu.heart.gftable import build_homogeneous_table
+
+        return build_homogeneous_table(
+            distances=np.linspace(20e3, 200e3, 5),
+            depths=np.array([8e3]), nt=256, dt=0.5)
+
+    def test_velocity_window_zeroes_outside(self, tmp_path):
+        from beat_tpu.apps.beatdown import VelocityWindow, prepare_local_traces
+
+        table = self._table()
+        n = 256
+        ydata = np.ones(n)
+        traces = {"STA": {"BHZ": (EVENT_TIME, 0.5, ydata)}}
+        stations = {"STA": (60e3, 0.0)}
+        event = dict(time=EVENT_TIME, depth=8e3)
+        win = VelocityWindow(vmin=3000.0, vmax=6000.0, tpad=2.0)
+        datasets = prepare_local_traces(traces, stations, event, table,
+                                        str(tmp_path), cut_window=win)
+        y = datasets[0].ydata
+        t = table.t0 + np.arange(table.nt) * table.dt
+        t_lo = (8e3 + 60e3) / 6000.0 - 2.0
+        t_hi = (8e3 + 60e3) / 3000.0 + 2.0
+        assert np.all(y[(t > t_lo + 1.0) & (t < t_hi - 1.0)] == 1.0)
+        assert np.all(y[t < t_lo - 1.0] == 0.0)
+        assert np.all(y[t > t_hi + 1.0] == 0.0)
+
+    def test_fixed_window(self, tmp_path):
+        from beat_tpu.apps.beatdown import FixedWindow, prepare_local_traces
+
+        table = self._table()
+        traces = {"STA": {"BHZ": (EVENT_TIME, 0.5, np.ones(256))}}
+        stations = {"STA": (40e3, 0.0)}
+        win = FixedWindow(EVENT_TIME + 10.0, EVENT_TIME + 30.0)
+        datasets = prepare_local_traces(traces, stations,
+                                        dict(time=EVENT_TIME), table,
+                                        str(tmp_path), cut_window=win)
+        y = datasets[0].ydata
+        t = table.t0 + np.arange(table.nt) * table.dt
+        assert np.all(y[(t > 11) & (t < 29)] == 1.0)
+        assert np.all(y[t > 31] == 0.0) and np.all(y[t < 9] == 0.0)
+
+    def test_phase_window_tracks_moveout_and_skips_no_arrival(self, tmp_path):
+        from beat_tpu.apps.beatdown import (NoArrival, PhaseWindow,
+                                            prepare_local_traces)
+        from beat_tpu.heart.velocity_model import LayeredModel, first_arrival
+
+        model = LayeredModel.homogeneous(vp=6000.0, vs=3464.0, rho=2700.0)
+        table = self._table()
+        win = PhaseWindow(model, phase="p", omin=-1.0, omax=20.0)
+        t_arr = first_arrival(model, 8e3, 100e3, "p")[0]
+        lo, hi = win(EVENT_TIME, 100e3, 8e3)
+        assert lo == pytest.approx(EVENT_TIME + t_arr - 1.0)
+        assert hi == pytest.approx(EVENT_TIME + t_arr + 20.0)
+
+        traces = {"STA": {"BHZ": (EVENT_TIME, 0.5, np.ones(256))}}
+        stations = {"STA": (100e3, 0.0)}
+        datasets = prepare_local_traces(traces, stations,
+                                        dict(time=EVENT_TIME, depth=8e3),
+                                        table, str(tmp_path), cut_window=win)
+        y = datasets[0].ydata
+        t = table.t0 + np.arange(table.nt) * table.dt
+        assert np.all(y[(t > t_arr + 1) & (t < t_arr + 19)] == 1.0)
+        assert np.all(y[t < t_arr - 3] == 0.0)
+
+        # a window raising NoArrival skips the station entirely
+        class Never:
+            def __call__(self, *a):
+                raise NoArrival("nope")
+
+        datasets = prepare_local_traces(traces, stations,
+                                        dict(time=EVENT_TIME), table,
+                                        str(tmp_path), cut_window=Never())
+        assert datasets == []
 
 
 def test_gate_message_without_obspy(tmp_path):
