@@ -84,8 +84,35 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
                          np.asarray(wmap.station_north))
         azis = np.rad2deg(np.arctan2(np.asarray(wmap.station_east),
                                      np.asarray(wmap.station_north))) % 360
+        # per-station time shifts (station-correction hierarchicals) —
+        # the reference colors each trace panel by its time shift
+        shift_names = (wmap.time_shift_names()
+                       if hasattr(wmap, "time_shift_names") else [])
+        shifts = None
+        if shift_names and all(n in point for n in shift_names):
+            shifts = np.array([float(np.asarray(point[n]).ravel()[0])
+                               for n in shift_names])
+            smax = max(np.abs(shifts).max(), 1e-3)
+            cmap = plt.get_cmap("coolwarm")
+
+        # filtered-but-untapered context (reference plots the light-grey
+        # filtered data around the fit window)
+        ctx = None
+        if not spectral and hasattr(wmap, "window_starts"):
+            resp = wmap.filter_response_obs
+            rows = []
+            for ds, start in zip(wmap.datasets, wmap.window_starts):
+                full = np.fft.irfft(np.fft.rfft(ds.ydata, n=wmap.table.nt)
+                                    * resp, n=wmap.table.nt)
+                rows.append(full[start:start + wmap.nsamples_win])
+            ctx = np.stack(rows)
+
+        vrs = []
         for i in range(nt):
             ax = axes[i // ncols][i % ncols]
+            if ctx is not None:
+                ax.plot(t, ctx[i], color="0.75", lw=0.6,
+                        label="filtered" if i == 0 else None)
             if ens_synths:
                 ax.fill_between(t, lo_env[i], hi_env[i], color="grey",
                                 alpha=0.35, lw=0, label="posterior")
@@ -94,8 +121,18 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
             ds = wmap.datasets[i]
             vr = max(1.0 - ((obs[i] - syn[i]) ** 2).sum() / max(
                 (obs[i] ** 2).sum(), 1e-30), -9.99)
+            vrs.append(vr)
+            # residual trace, offset below (reference's red residual row)
+            span = max(np.abs(obs[i]).max(), np.abs(syn[i]).max(), 1e-30)
+            ax.plot(t, (obs[i] - syn[i]) - 1.6 * span, color="darkred",
+                    lw=0.5, label="residual" if i == 0 else None)
+            sta_color = "k"
+            if shifts is not None:
+                sta_color = cmap(0.5 + 0.5 * shifts[i] / smax)
+                ax.text(0.98, 0.04, f"Δt {shifts[i]:+.2f}s", fontsize=6,
+                        ha="right", transform=ax.transAxes, color=sta_color)
             ax.text(0.02, 0.82, f"{ds.station}.{ds.channel}", fontsize=7,
-                    transform=ax.transAxes, weight="bold")
+                    transform=ax.transAxes, weight="bold", color=sta_color)
             ax.text(0.02, 0.04,
                     f"{dists[i] / 1e3:.0f} km  {azis[i]:.0f}°  "
                     f"VR {100 * vr:.0f}%",
@@ -106,12 +143,31 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
                 # taper flanks (reference plots the arrival taper)
                 for x in (wmap.taper.b, wmap.taper.c):
                     ax.axvline(x, color="#2c7fb8", lw=0.5, ls=":")
+                # amplitude-spectrum inset over the fit band (reference
+                # spectra insets): obs vs MAP in log amplitude
+                ia = ax.inset_axes([0.78, 0.55, 0.2, 0.4])
+                freqs = np.fft.rfftfreq(wmap.nsamples_win, wmap.table.dt)
+                band = (freqs > 0)
+                lo_c = getattr(wmap.filterer, "lower_corner", None)
+                hi_c = getattr(wmap.filterer, "upper_corner", None)
+                if lo_c and hi_c:
+                    band &= (freqs >= 0.5 * lo_c) & (freqs <= 2.0 * hi_c)
+                ia.loglog(freqs[band],
+                          np.abs(np.fft.rfft(obs[i]))[band] + 1e-30,
+                          "k", lw=0.5)
+                ia.loglog(freqs[band],
+                          np.abs(np.fft.rfft(syn[i]))[band] + 1e-30,
+                          "r", lw=0.5)
+                ia.set_xticks([])
+                ia.set_yticks([])
+                for s in ia.spines.values():
+                    s.set_linewidth(0.3)
             format_axes(ax)
             ax.set_yticks([])
             if i // ncols == nrows - 1:
                 ax.set_xlabel(xlabel, fontsize=7)
             ax.tick_params(labelsize=6)
-        axes[0][0].legend(fontsize=6, loc="upper right")
+        axes[0][0].legend(fontsize=6, loc="upper left", ncol=2)
         for j in range(nt, nrows * ncols):
             axes[j // ncols][j % ncols].axis("off")
         fig.suptitle(f"waveform fits — {wmap.mapid}"
@@ -119,6 +175,26 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
         fig.tight_layout()
         path = save_figure(fig, problem.outfolder,
                            f"waveform_fits_{wmap.mapid}", po)
+
+        # misfit-CDF page (reference's CDF diagnostic): empirical CDFs
+        # of per-trace VR and normalized L2 misfit
+        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(8, 3))
+        vrs_arr = np.sort(np.asarray(vrs))
+        mis = np.sort(np.sqrt(((obs - syn) ** 2).sum(axis=1)
+                              / np.maximum((obs ** 2).sum(axis=1), 1e-30)))
+        q = np.arange(1, nt + 1) / nt
+        ax1.step(vrs_arr, q, where="post", color="#2c7fb8")
+        ax1.set_xlabel("variance reduction")
+        ax1.set_ylabel("CDF")
+        ax2.step(mis, q, where="post", color="#cb4b16")
+        ax2.set_xlabel("normalized misfit ‖r‖/‖d‖")
+        for ax in (ax1, ax2):
+            ax.set_ylim(0, 1)
+            format_axes(ax)
+        fig.suptitle(f"misfit CDFs — {wmap.mapid}", fontsize=10)
+        fig.tight_layout()
+        save_figure(fig, problem.outfolder,
+                    f"waveform_fits_{wmap.mapid}_cdf", po)
     return path
 
 

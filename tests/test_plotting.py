@@ -114,6 +114,13 @@ def test_geodetic_plots(geodetic_problem, name):
 def test_mt_plots(mt_problem, name):
     path = plots_catalog[name](mt_problem, PlotOptions())
     assert os.path.exists(path) and os.path.getsize(path) > 1000
+    if name == "waveform_fits":
+        # the misfit-CDF companion page (reference CDF diagnostic)
+        import glob
+
+        assert glob.glob(os.path.join(os.path.dirname(path),
+                                      "waveform_fits_*_cdf*")), \
+            "misfit-CDF page missing"
 
 
 @pytest.mark.parametrize("name", FFI_PLOTS)
