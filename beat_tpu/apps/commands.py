@@ -396,9 +396,15 @@ def _resolve_earth_model(name, project_dir, gf):
     if name == "default_crust":
         return LayeredModel.default_crust()
     path = name if os.path.isabs(name) else os.path.join(project_dir, name)
-    if path.endswith(".npz"):
-        return LayeredModel.load(path)
-    return LayeredModel.from_nd(path)
+    model = (LayeredModel.load(path) if path.endswith(".npz")
+             else LayeredModel.from_nd(path))
+    if gf.get("earth_flattening"):
+        # spherical base model (e.g. joined ak135): apply the
+        # earth-flattening transform so the flat-geometry DWN solver
+        # reproduces spherical travel times, as the reference's
+        # qseis/qssp stores do
+        model = model.earth_flattened()
+    return model
 
 
 def _build_geometry_stores(args):

@@ -110,6 +110,52 @@ class LayeredModel:
                    name="default_crust")
 
     @classmethod
+    def ak135_f_average(cls, max_depth: float = 660e3) -> "LayeredModel":
+        """The ak135-f continental-average model (Kennett, Engdahl &
+        Buland 1995; Q from Montagner & Kennett 1996) down to
+        ``max_depth`` — the reference's default base earth model
+        (``config.py`` ``earth_model_name='ak135-f-average.m'``)."""
+        rows = [r for r in _AK135_F_AVERAGE if r[0] * 1e3 <= max_depth]
+        return cls.from_nd("\n".join(
+            " ".join(f"{v:g}" for v in r) for r in rows), name="ak135-f-average")
+
+    def earth_flattened(self, rel_step: float = 0.01,
+                        radius: float = 6371e3) -> "LayeredModel":
+        """Earth-flattening transform (Müller 1977): map the spherical
+        model to an equivalent flat one — ``z_f = a·ln(a/r)``,
+        ``v_f = v·a/r``, ``ρ_f = ρ·r/a`` — so flat-geometry wavefield
+        codes (DWN/Kennett) reproduce spherical travel times, exactly
+        what the reference's qseis/qssp stores embed.  Constant layers
+        are subdivided so each flattened sublayer's velocity boost stays
+        within ``rel_step`` (default 1 %), keeping the layer count (and
+        the Kennett-recursion cost) minimal."""
+        tops_f, vp_f, vs_f, rho_f, qp_f, qs_f = [], [], [], [], [], []
+        a = radius
+        bottoms = np.append(self.tops[1:], min(
+            self.tops[-1] * 2 + 100e3, 0.95 * a))
+        for i in range(self.nlayers):
+            z0, z1 = self.tops[i], bottoms[i]
+            # subdivide: a/(a-z) grows by ~dz/(a-z); cap at rel_step
+            n_sub = max(1, int(np.ceil((z1 - z0) / (rel_step * (a - z1)))))
+            edges = np.linspace(z0, z1, n_sub + 1)
+            mids = 0.5 * (edges[:-1] + edges[1:])
+            f = a / (a - mids)
+            tops_f.extend(a * np.log(a / (a - edges[:-1])))
+            vp_f.extend(self.vp[i] * f)
+            vs_f.extend(self.vs[i] * f)
+            rho_f.extend(self.rho[i] / f)
+            if self.qp is not None:
+                qp_f.extend([self.qp[i]] * n_sub)
+            if self.qs is not None:
+                qs_f.extend([self.qs[i]] * n_sub)
+        return LayeredModel(
+            tops=np.asarray(tops_f), vp=np.asarray(vp_f),
+            vs=np.asarray(vs_f), rho=np.asarray(rho_f),
+            qp=np.asarray(qp_f) if self.qp is not None else None,
+            qs=np.asarray(qs_f) if self.qs is not None else None,
+            name=f"{self.name}-flat")
+
+    @classmethod
     def from_nd(cls, path_or_text: str, name: str = None) -> "LayeredModel":
         """
         Parse the 'nd' (named-discontinuity) format used by pyrocko/cake
@@ -411,3 +457,86 @@ def travel_times(model: LayeredModel, source_depth: float, distances,
     """Vector of first-arrival travel times [s]."""
     return np.asarray([first_arrival(model, source_depth, d, phase)[0]
                        for d in np.atleast_1d(distances)])
+
+
+# ---------------------------------------------------------------------------
+# ak135-f continental average (the reference's default base earth model)
+# ---------------------------------------------------------------------------
+
+# depth[km]  vp[km/s]  vs[km/s]  rho[g/cm³]  Qp  Qs — ak135 velocities
+# (Kennett, Engdahl & Buland 1995), Q from the 'f' attenuation model
+# (Montagner & Kennett 1996), crust averaged to the continental profile
+# (pyrocko ``ak135-f-average.m``; reference default earth_model_name,
+# ``config.py:228``).
+_AK135_F_AVERAGE = [
+    (0.00, 5.8000, 3.4600, 2.4490, 1478.30, 599.99),
+    (20.00, 5.8000, 3.4600, 2.4490, 1478.30, 599.99),
+    (20.00, 6.5000, 3.8500, 2.7142, 1368.02, 599.99),
+    (35.00, 6.5000, 3.8500, 2.7142, 1368.02, 599.99),
+    (35.00, 8.0400, 4.4800, 3.3198, 950.50, 394.62),
+    (77.50, 8.0450, 4.4900, 3.3455, 972.77, 403.93),
+    (77.50, 8.0450, 4.4900, 3.3455, 182.57, 75.60),
+    (120.00, 8.0505, 4.5000, 3.3713, 182.57, 76.06),
+    (120.00, 8.0505, 4.5000, 3.3713, 362.61, 150.73),
+    (165.00, 8.1750, 4.5090, 3.3985, 365.55, 152.81),
+    (210.00, 8.3007, 4.5184, 3.4258, 364.87, 153.57),
+    (210.00, 8.3007, 4.5184, 3.4258, 744.45, 313.27),
+    (260.00, 8.4822, 4.6094, 3.4561, 744.45, 319.44),
+    (310.00, 8.6650, 4.6964, 3.4864, 752.04, 325.61),
+    (360.00, 8.8476, 4.7832, 3.5167, 769.80, 331.79),
+    (410.00, 9.0302, 4.8702, 3.5470, 772.77, 337.96),
+    (410.00, 9.3601, 5.0806, 3.7557, 1193.93, 558.18),
+    (460.00, 9.5280, 5.1864, 3.8175, 1202.00, 564.35),
+    (510.00, 9.6962, 5.2922, 3.8793, 1210.06, 570.52),
+    (560.00, 9.8640, 5.3989, 3.9410, 1218.13, 576.69),
+    (610.00, 10.0320, 5.5047, 4.0028, 1226.19, 582.83),
+    (660.00, 10.2000, 5.6104, 4.0646, 1234.26, 589.00),
+]
+
+
+def join_nd_with_ak135(crust_text: str, max_depth: float = 660e3) -> str:
+    """
+    Continue a custom (crustal) nd model with ak135-f-average below its
+    deepest sample — the reference's custom-velocity-model semantics
+    (``beat/utility.py:1223`` ``join_models``: the global model below
+    ``crustal_model.max('z')`` is appended VERBATIM, including any
+    remaining global crust — velocity inversions and all; a custom
+    below-side discontinuity sample at the max depth has zero extent in
+    the joined model, exactly as in cake).
+
+    Returns the joined model as nd text (depth km, 6 columns).  Rows of
+    the crustal text missing Q columns get the ak135 crustal values.
+    """
+    rows = []
+    z_max = 0.0
+    for line in crust_text.splitlines():
+        parts = line.split()
+        if len(parts) < 4:
+            continue
+        try:
+            vals = [float(p) for p in parts[:6]]
+        except ValueError:
+            continue
+        if len(vals) < 6:
+            vals = vals[:4] + [1478.30, 599.99]
+        rows.append(tuple(vals))
+        z_max = max(z_max, vals[0])
+
+    # interpolated base row at z_max (cake ``extract(depth_min)``)
+    base = [r for r in _AK135_F_AVERAGE if r[0] * 1e3 <= max_depth]
+    zb = np.array([r[0] for r in base])
+    below = [r for r in base if r[0] > z_max + 1e-9]
+    if below:
+        i_hi = len(base) - len(below)
+        i_lo = max(i_hi - 1, 0)
+        if zb[i_hi] > zb[i_lo]:
+            t = (z_max - zb[i_lo]) / (zb[i_hi] - zb[i_lo])
+            interp = tuple(
+                (1 - t) * a + t * b
+                for a, b in zip(base[i_lo], base[i_hi]))
+            rows.append((z_max,) + interp[1:])
+        else:
+            rows.append((z_max,) + tuple(base[i_hi][1:]))
+        rows.extend(below)
+    return "\n".join(
+        "  ".join(f"{v:.6g}" for v in r) for r in rows)

@@ -854,10 +854,30 @@ def import_beat_project(src_dir: str, dest_dir: str,
     config.project_dir = dest_dir
     os.makedirs(dest_dir, exist_ok=True)
 
-    # velocity model from the embedded custom model (qseis/cake input)
+    # velocity model from the embedded custom model (qseis/cake input).
+    # A non-'local' base earth model continues BELOW the custom crust
+    # (reference ``utility.py:1223`` join_models) and, being spherical,
+    # requires the earth-flattening transform at table-build time.
+    # ``gf_overrides={'join_base_model': False}`` keeps the custom model
+    # alone — the bundled FullMT example's synthetic waveforms were
+    # generated against a store WITHOUT the ak135 continuation (the
+    # plain custom model fits them decisively better; see
+    # tests/test_fullmt_real.py), so the flagship pipeline disables the
+    # join while real projects keep reference semantics by default.
+    gf_overrides = dict(gf_overrides or {})
+    join_base = gf_overrides.pop("join_base_model", True)
     custom_models = getattr(config, "_custom_velocity_models", {})
-    for text in custom_models.values():
+    for dt_name, text in custom_models.items():
         if text:
+            gf_cfg = getattr(getattr(config, f"{dt_name}_config", None),
+                             "gf_config", None) or {}
+            base = gf_cfg.get("reference_earth_model", "")
+            if join_base and base and base != "local":
+                from beat_tpu.heart.velocity_model import join_nd_with_ak135
+
+                text = join_nd_with_ak135(text)
+                if config.seismic_config is not None:
+                    config.seismic_config.gf_config["earth_flattening"] = True
             with open(os.path.join(dest_dir, "velocity_model.nd"), "w") as f:
                 f.write(text)
             break

@@ -88,7 +88,7 @@ def bench_gf_stack():
     return pallas_ms, xla_ms
 
 
-def bench_fullmt_inversion():
+def bench_fullmt_inversion(reps: int = 3):
     """
     The BASELINE.json north star in its own terms: a **full FullMT SMC
     inversion** (n_chains=500, n_steps=300 — the reference FullMT
@@ -96,27 +96,276 @@ def bench_fullmt_inversion():
     chip, reported as wall-clock seconds with a posterior-moment check
     against the synthetic truth (depth 9 km, Mw 5.8).
 
+    Runs ``reps`` times (fresh outfolder each, distinct seeds) and
+    reports min/median plus a per-phase breakdown from the sampler's
+    TimingRegistry records — single-shot wall-clocks over the tunnelled
+    backend spread by ~30 % (round-3 verdict weak #2).
+
     vs-CPU: the reference's FullMT run (n_chains=2000) takes "several
     hours / few days" on its multi-CPU author machine
     (``docs/examples/FullMT_regional.rst:317``); assume 12 h and linear
     scaling in chains → 500 chains ≈ 3 h = 10 800 s.  Documented
     estimate, not a measurement — the reference publishes no numbers.
     """
+    import shutil
+
     from __graft_entry__ import _build_flagship
+    from beat_tpu.profiling import timings
     from beat_tpu.samplers import SMCParams
 
-    problem = _build_flagship(n_stations=8, nt=256)
-    problem.sampler_params = SMCParams(n_chains=500, n_steps=300, seed=3)
+    walls, breakdowns, est = [], [], None
+    for rep in range(reps):
+        problem = _build_flagship(n_stations=8, nt=256)
+        shutil.rmtree(problem.outfolder, ignore_errors=True)
+        problem.sampler_params = SMCParams(n_chains=500, n_steps=300,
+                                           seed=3 + rep)
+        mark = len(timings.records)
+        t0 = time.time()
+        q_tr, _ = problem.sample()
+        wall = time.time() - t0
+        walls.append(wall)
+        # device sampling = sum of stage-timer records; the rest is host
+        # (population transfer, β bisection, covariance, stage writes).
+        # Rep 0 additionally carries jit compilation inside its first
+        # stage — the min/median spread across reps isolates it.
+        sampling = sum(r.wall_s for r in timings.records[mark:])
+        breakdowns.append({"device_sampling_s": sampling,
+                           "host_transitions_io_s": wall - sampling,
+                           "n_stages": len(timings.records) - mark})
+        if est is None:
+            final = np.asarray(q_tr[-1])
+            est = problem.ordering.to_point(final.mean(axis=0))
+
+    depth = float(np.asarray(est["depth"]))
+    mag = float(np.asarray(est["magnitude"]))
+    moments_ok = bool(abs(depth - 9e3) < 500.0 and abs(mag - 5.8) < 0.05)
+    walls_sorted = sorted(walls)
+    stats = {
+        "min_s": round(walls_sorted[0], 1),
+        "median_s": round(walls_sorted[len(walls) // 2], 1),
+        "all_s": [round(w, 1) for w in walls],
+        "breakdown_median_s": {
+            k: round(sorted(b.get(k, 0.0) for b in breakdowns)[reps // 2], 1)
+            for k in breakdowns[0]},
+    }
+    return stats, depth, mag, moments_ok
+
+
+def bench_gf_stack_sharded():
+    """The fused Pallas stack inside ``shard_map`` on the real chip
+    (degenerate 1x1 (chains, targets) mesh — multi-device correctness is
+    carried by the 8-virtual-device tests/dryrun; this proves the Mosaic
+    kernel compiles and runs under the sharded program on hardware).
+    Returns ms per 2000-chain lockstep eval."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from beat_tpu.ops.gfstack import stack_all_pallas
+    from beat_tpu.parallel import make_gf_mesh, sharded_gf_logp, target_sharding
+    from beat_tpu.profiling import slope_time
+    from tools.bench_gfstack import make_problem
+
+    lib, durations, starttimes, slips = make_problem(
+        C=2000, T=8, P=12, D=6, S=16, N=256)
+    dobs = jnp.zeros((lib.data_tr.shape[0], 256), dtype=jnp.float32)
+
+    def pallas_llk(lib, durations, starttimes, slips, dobs):
+        def one(d, s, u):
+            r = dobs - stack_all_pallas(lib, d, s, u, "multilinear")
+            return -0.5 * jnp.sum(r * r)
+
+        return jax.vmap(one)(durations, starttimes, slips)
+
+    mesh = make_gf_mesh(1, 1)
+    lib_spec = jax.tree_util.tree_map(lambda _: P("targets"), lib)
+    fn = jax.jit(sharded_gf_logp(
+        mesh, pallas_llk,
+        in_specs=(lib_spec, P("chains"), P("chains", "targets"),
+                  P("chains"), P("targets"))))
+    lib_sh = jax.device_put(lib, target_sharding(mesh))
+
+    @jax.jit
+    def loop(n_arr, durations):
+        def body(acc, _):
+            return acc + fn(lib_sh, durations + acc * 1e-9, starttimes,
+                            slips, dobs)[0], None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                              length=n_arr.shape[0])
+        return acc
+
+    def run(n, rep):
+        float(loop(jnp.zeros(n), durations + jnp.float32(1e-6 * rep)))
+
+    return slope_time(run, 2, 12) * 1e3
+
+
+def bench_fullmt_real():
+    """
+    Re-base the headline on the REAL FullMT example (round-3 verdict
+    missing #4): ingest the reference's bundled project — actual
+    waveforms of the 1995 Gulf of Aqaba example, real station geometry,
+    custom layered velocity model — build the native full-resolution
+    DWN table, and (a) measure lockstep forward evals/s at the reference
+    chain count, (b) run the 500-chain SMC inversion end-to-end on chip,
+    checking the posterior MT against the GCMT mechanism embedded in the
+    config (== the synthetic truth, ``docs/examples/FullMT_regional.rst``).
+    """
+    import os
+    import shutil
+
+    import jax.numpy as jnp
+
+    from beat_tpu import interop
+    from beat_tpu.models.problem import load_model
+    from beat_tpu.profiling import time_per_sample
+    from beat_tpu.samplers import SMCParams
+
+    src = "/root/reference/data/examples/FullMT"
+    if not os.path.isdir(src):
+        return None
+    cache = "/tmp/beat_tpu_fullmt_real_bench"
+    if not os.path.exists(os.path.join(cache, "gf_table.npz")):
+        shutil.rmtree(cache, ignore_errors=True)
+        t0 = time.time()
+        interop.import_beat_project(
+            src, cache, build=True,
+            # bundled data match the plain custom model (no ak135 join —
+            # see beat_tpu/interop.py import_beat_project docstring);
+            # skip the variation table: not used by this bench
+            gf_overrides={"join_base_model": False, "n_variations": 0})
+        build_s = time.time() - t0
+    else:
+        build_s = 0.0
+
+    problem = load_model(cache, "geometry")
+    logp, data = problem.make_logp_fn()
+    lower, upper = problem.priors.bounds_arrays()
+    rng = np.random.default_rng(2)
+    q = jnp.asarray(rng.uniform(lower, upper, size=(N_CHAINS, lower.size)),
+                    dtype=jnp.float32)
+    per_eval = time_per_sample(logp, q, logp_args=(data,))
+    evals_per_s = N_CHAINS / per_eval
+
+    problem.sampler_params = SMCParams(n_chains=500, n_steps=300, seed=9)
+    shutil.rmtree(problem.outfolder, ignore_errors=True)
     t0 = time.time()
     q_tr, _ = problem.sample()
     wall = time.time() - t0
 
-    final = np.asarray(q_tr[-1])
-    est = problem.ordering.to_point(final.mean(axis=0))
-    depth = float(np.asarray(est["depth"]))
-    mag = float(np.asarray(est["magnitude"]))
-    moments_ok = bool(abs(depth - 9e3) < 500.0 and abs(mag - 5.8) < 0.05)
-    return wall, depth, mag, moments_ok
+    mean_pt = problem.ordering.to_point(np.asarray(q_tr[-1]).mean(axis=0))
+    gcmt = np.array([-0.43283071, 0.65741974, -0.22458903,
+                     0.63839719, 0.50698292, 0.02063122])
+    est = np.array([float(np.asarray(mean_pt[k]))
+                    for k in ("mnn", "mee", "mdd", "mne", "mnd", "med")])
+    cosine = float(est @ gcmt / (np.linalg.norm(est) * np.linalg.norm(gcmt)))
+    return {
+        "table_build_s": round(build_s, 1),
+        "evals_per_s_500plus_chains": round(evals_per_s, 1),
+        "inversion_500chain_wall_s": round(wall, 1),
+        "posterior_mt_cosine_vs_gcmt": round(cosine, 4),
+        "posterior_magnitude": round(float(np.asarray(mean_pt["magnitude"])), 3),
+        "posterior_time_s": round(float(np.asarray(mean_pt["time"])), 2),
+        "posterior_depth_m": round(float(np.asarray(mean_pt["depth"])), 0),
+        "recovered_gcmt": bool(cosine > 0.95),
+    }
+
+
+V5E_PEAK_BF16_FLOPS = 197e12    # TPU v5e per-chip MXU peak (bf16)
+V5E_HBM_BYTES_PER_S = 819e9    # TPU v5e per-chip HBM bandwidth
+
+
+def bench_mfu():
+    """
+    FLOP/byte accounting for the two hot kernels (round-3 verdict
+    missing #3): achieved TFLOP/s and HBM GB/s vs the v5e peaks, and
+    which roofline side each kernel sits on.
+
+    * flagship forward logp: flops/bytes from XLA's own
+      ``compiled.cost_analysis()``; device time via the slope method.
+    * Pallas GF stack: the kernel implements the 4-corner gather as
+      one-hot MXU matmuls, so the *executed* flops are
+      ``2·C·T·P·N·DSP`` per lockstep eval (vs ``8·C·T·P·N`` algorithmic
+      for a direct blend); HBM traffic is dominated by re-reading the
+      stacking layout once per 128-chain block.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+    from beat_tpu.profiling import slope_time
+
+    out = {}
+
+    # ---- forward logp ----
+    problem = _build_flagship(n_stations=8, nt=256)
+    logp, data = problem.make_logp_fn()
+    lower, upper = problem.priors.bounds_arrays()
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.uniform(lower, upper, size=(N_CHAINS, lower.size)),
+                    dtype=jnp.float32)
+    batched = jax.vmap(lambda x, d: logp(x, d), in_axes=(0, None))
+    compiled = jax.jit(batched).lower(q, data).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    bytes_acc = float(ca.get("bytes accessed", 0.0))
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def scan_evals(qq, n):
+        def body(eps, _):
+            return jnp.float32(1e-20) * jnp.sum(batched(qq + eps, data)), None
+
+        eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return eps
+
+    per_eval = slope_time(lambda n, rep: float(
+        scan_evals(q + jnp.float32(1e-7 * rep), n)), 2, 42)
+    fl_rate = flops / per_eval
+    by_rate = bytes_acc / per_eval
+    out["forward_logp"] = {
+        "flops_per_lockstep_eval": flops,
+        "bytes_per_lockstep_eval": bytes_acc,
+        "tflops_per_s": round(fl_rate / 1e12, 2),
+        "mfu_pct_vs_bf16_peak": round(100 * fl_rate / V5E_PEAK_BF16_FLOPS, 2),
+        "hbm_gb_per_s": round(by_rate / 1e9, 1),
+        "hbm_util_pct": round(100 * by_rate / V5E_HBM_BYTES_PER_S, 1),
+        "bound": ("bandwidth" if by_rate / V5E_HBM_BYTES_PER_S
+                  > fl_rate / V5E_PEAK_BF16_FLOPS else "compute"),
+    }
+
+    # ---- Pallas GF stack ----
+    from tools.bench_gfstack import bench_stack, make_problem
+
+    C, T, P, D, S, N = 2000, 8, 12, 6, 16, 256
+    lib, durations, starttimes, slips = make_problem(C=C, T=T, P=P, D=D,
+                                                     S=S, N=N)
+    ms = bench_stack(lib, durations, starttimes, slips, "multilinear",
+                     "pallas", target_ms=400.0)
+    Tn, Pp, Nn, DSP = lib.data_tr.shape
+    lane = 128
+    n_cb = -(-C // lane)
+    flops_mxu = 2.0 * (n_cb * lane) * Tn * Pp * Nn * DSP
+    bytes_stack = (n_cb * Tn * Pp * Nn * DSP * 4.0      # layout re-reads
+                   + Tn * Nn * n_cb * lane * 4.0)       # output
+    fl_rate = flops_mxu / (ms / 1e3)
+    by_rate = bytes_stack / (ms / 1e3)
+    out["pallas_gf_stack"] = {
+        "flops_per_lockstep_eval_mxu": flops_mxu,
+        "flops_per_lockstep_eval_algorithmic": 8.0 * C * Tn * Pp * Nn,
+        "bytes_per_lockstep_eval": bytes_stack,
+        "tflops_per_s": round(fl_rate / 1e12, 2),
+        "mfu_pct_vs_bf16_peak": round(100 * fl_rate / V5E_PEAK_BF16_FLOPS, 2),
+        "hbm_gb_per_s": round(by_rate / 1e9, 1),
+        "hbm_util_pct": round(100 * by_rate / V5E_HBM_BYTES_PER_S, 1),
+        "bound": ("bandwidth" if by_rate / V5E_HBM_BYTES_PER_S
+                  > fl_rate / V5E_PEAK_BF16_FLOPS else "compute"),
+    }
+    return out
 
 
 FULLMT_CPU_SECONDS = 10_800.0  # documented estimate (see bench_fullmt_inversion)
@@ -152,7 +401,11 @@ def main():
     _probe_backend()
     evals_per_sec = bench_smc_evals()
     stack_pallas_ms, stack_xla_ms = bench_gf_stack()
-    inv_wall, inv_depth, inv_mag, inv_ok = bench_fullmt_inversion()
+    stack_sharded_ms = bench_gf_stack_sharded()
+    inv_stats, inv_depth, inv_mag, inv_ok = bench_fullmt_inversion()
+    mfu = bench_mfu()
+    real = bench_fullmt_real()
+    inv_wall = inv_stats["min_s"]
     print(json.dumps({
         "metric": "SMC forward-model evals/sec/chip (FullMT)",
         "value": round(evals_per_sec, 1),
@@ -163,12 +416,16 @@ def main():
             "ffi_gf_stack_xla_ms_per_2000chain_eval": round(stack_xla_ms, 3),
             "ffi_gf_stack_speedup": round(stack_xla_ms / stack_pallas_ms, 2),
             # BASELINE.json north star: full FullMT inversion, 500 chains
-            "fullmt_inversion_500chain_wallclock_s": round(inv_wall, 1),
+            "fullmt_inversion_500chain_wallclock_s": inv_wall,
+            "fullmt_inversion_wall_stats": inv_stats,
             "fullmt_inversion_vs_cpu_estimate": round(
                 FULLMT_CPU_SECONDS / inv_wall, 1),
             "fullmt_posterior_depth_m": round(inv_depth, 1),
             "fullmt_posterior_mag": round(inv_mag, 3),
             "fullmt_posterior_moments_ok": inv_ok,
+            "ffi_gf_stack_pallas_sharded_ms": round(stack_sharded_ms, 3),
+            "roofline": mfu,
+            "fullmt_real_data": real,
         },
     }))
 

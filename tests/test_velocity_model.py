@@ -199,3 +199,84 @@ class TestEnsembleEarthmodels:
         assert len(ens) == 3
         for m in ens:
             assert (np.diff(m.vp) >= 0).all()
+
+
+class TestAK135AndJoin:
+    """The embedded ak135-f-average base model + the reference's
+    custom-model join semantics (``beat/utility.py:1223`` join_models:
+    base model appended verbatim below the crustal model's max depth)."""
+
+    CUSTOM = """0.    5.51 3.1  2.6  1264. 600.
+7.2   5.51 3.1  2.6  1264. 600.
+7.2   6.23 3.6  2.8  1283. 600.
+21.64 6.23 3.6  2.8  1283. 600.
+mantle
+21.64 7.95 4.45 3.2  1449. 600."""
+
+    def test_ak135_model(self):
+        from beat_tpu.heart.velocity_model import LayeredModel
+
+        m = LayeredModel.ak135_f_average()
+        assert m.nlayers >= 14
+        assert np.all(np.diff(m.tops) > 0)
+        # Moho jump at 35 km; mantle gradient reaches the 410 jump
+        i35 = m.layer_of(36e3)
+        assert m.vp[i35] > 8.0e3
+        assert m.vp[m.layer_of(420e3)] > 9.3e3
+        assert m.qs is not None and np.all(m.qs > 0)
+
+    def test_join_keeps_custom_crust_appends_base(self):
+        from beat_tpu.heart.velocity_model import (LayeredModel,
+                                                   join_nd_with_ak135)
+
+        txt = join_nd_with_ak135(self.CUSTOM)
+        m = LayeredModel.from_nd(txt, "joined")
+        # custom crust intact
+        assert m.vp[m.layer_of(5e3)] == pytest.approx(5510.0)
+        assert m.vp[m.layer_of(15e3)] == pytest.approx(6230.0)
+        # below the custom max depth the BASE model continues — the
+        # custom below-side sample (7.95) has zero extent, ak135's
+        # remaining crust (6.5) governs 21.64-35 km (velocity inversion
+        # preserved, exactly like cake's joined model)
+        assert m.vp[m.layer_of(30e3)] == pytest.approx(6500.0)
+        assert m.vp[m.layer_of(40e3)] == pytest.approx(8042.5, rel=1e-3)
+        assert m.tops[-1] == pytest.approx(660e3)
+
+    def test_earth_flattening_travel_times(self):
+        """EFT correctness: for a ray in the flattened model, the
+        travel time to distance x must match the SPHERICAL travel time
+        along the great circle — for a homogeneous sphere the chord ray
+        gives t = 2(a−z?)·… ; here we check the well-known property that
+        the flattened model reproduces the spherical P time better than
+        the unflattened one for a deep-diving ray (the transform's whole
+        purpose), and that shallow geometry is untouched."""
+        from beat_tpu.heart.velocity_model import (LayeredModel,
+                                                   first_arrival,
+                                                   join_nd_with_ak135)
+
+        m = LayeredModel.from_nd(join_nd_with_ak135(self.CUSTOM), "j")
+        mf = m.earth_flattened()
+        # near-surface layers essentially unchanged (< 0.1 % at z<22 km)
+        assert mf.vp[0] == pytest.approx(m.vp[0], rel=1e-3)
+        # flattened velocities grow with depth relative to spherical
+        i200 = mf.layer_of(200e3)
+        f = mf.vp[i200] / m.vp[m.layer_of(195e3)]
+        assert 1.02 < f < 1.05
+        # flattened travel time at 900 km is EARLIER (faster effective
+        # medium), by the few-seconds scale the transform is known to
+        # contribute at regional distances
+        t_flat = first_arrival(mf, 8e3, 900e3, "p")[0]
+        t_sph = first_arrival(m, 8e3, 900e3, "p")[0]
+        assert 0.0 < t_sph - t_flat < 8.0
+        # Q columns survive both transforms
+        assert mf.qs is not None and np.all(mf.qs > 0)
+
+    def test_flattening_subdivision_bounded(self):
+        """Layer count stays small (cost guard for the Kennett
+        recursion): 1 % velocity step ⇒ tens, not hundreds, of layers."""
+        from beat_tpu.heart.velocity_model import (LayeredModel,
+                                                   join_nd_with_ak135)
+
+        m = LayeredModel.from_nd(join_nd_with_ak135(self.CUSTOM), "j")
+        mf = m.earth_flattened()
+        assert m.nlayers < mf.nlayers < 60
