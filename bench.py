@@ -30,7 +30,13 @@ import time
 
 import numpy as np
 
-BASELINE_EVALS_PER_SEC = 208.0  # estimated 25-core CPU BEAT (see module docstring)
+#: Estimated 25-core CPU BEAT rate (see module docstring).  ERROR BAR:
+#: the docs say "several hours ... few days" for the 9M-eval FullMT run
+#: — 6 h ⇒ 417 evals/s, 48 h ⇒ 52 evals/s.  208 (12 h) is the point
+#: estimate; vs_baseline is therefore uncertain by ~×2 either way and
+#: reported to 2 significant digits only for readability.
+BASELINE_EVALS_PER_SEC = 208.0
+BASELINE_EVALS_RANGE = (52.0, 417.0)
 
 N_CHAINS = 2000
 N_SMALL = 5
@@ -412,6 +418,11 @@ def main():
         "unit": "evals/s",
         "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 2),
         "extra": {
+            # the reference publishes no numbers; denominators are
+            # documented self-estimates with ~2x uncertainty each way
+            "vs_baseline_range": [
+                round(evals_per_sec / BASELINE_EVALS_RANGE[1], 1),
+                round(evals_per_sec / BASELINE_EVALS_RANGE[0], 1)],
             "ffi_gf_stack_pallas_ms_per_2000chain_eval": round(stack_pallas_ms, 3),
             "ffi_gf_stack_xla_ms_per_2000chain_eval": round(stack_xla_ms, 3),
             "ffi_gf_stack_speedup": round(stack_xla_ms / stack_pallas_ms, 2),

@@ -48,9 +48,12 @@ def fullmt_problem(tmp_path_factory):
         os.path.join(EXAMPLES, "FullMT"), dest, build=True,
         gf_overrides={
             # the bundled synthetic data match the plain custom model,
-            # not the joined-ak135 continuation (see interop docstring)
+            # not the joined-ak135 continuation (see interop docstring).
+            # fmax stays at the import default 2x the filter corner —
+            # capping it tighter leaves filter-rolloff energy in the
+            # data that the synthetics lack and biases magnitude/depth.
             "join_base_model": False,
-            "n_distances": 64, "n_depths": 8, "nt": 1024, "fmax": 0.12,
+            "n_distances": 64, "n_depths": 8, "nt": 1024,
             "n_variations": 0,
         })
     return load_model(dest, "geometry")
