@@ -137,7 +137,7 @@ def plot_waveform_fits(problem, po: PlotOptions | None = None, point=None,
                     f"{dists[i] / 1e3:.0f} km  {azis[i]:.0f}°  "
                     f"VR {100 * vr:.0f}%",
                     fontsize=6, transform=ax.transAxes)
-            ax.text(0.98, 0.82, f"|max| {np.abs(obs[i]).max():.2e}",
+            ax.text(0.76, 0.82, f"|max| {np.abs(obs[i]).max():.2e}",
                     fontsize=6, ha="right", transform=ax.transAxes)
             if not spectral:
                 # taper flanks (reference plots the arrival taper)
