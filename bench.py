@@ -123,8 +123,11 @@ def bench_fullmt_inversion(reps: int = 3):
     for rep in range(reps):
         problem = _build_flagship(n_stations=8, nt=256)
         shutil.rmtree(problem.outfolder, ignore_errors=True)
+        # buffer_thinning 25: the reference FullMT config itself thins
+        # the in-stage trace 50x (config_geometry.yaml buffer_thinning);
+        # fetching every draw over the tunnel dominated the wall-clock
         problem.sampler_params = SMCParams(n_chains=500, n_steps=300,
-                                           seed=3 + rep)
+                                           buffer_thinning=25, seed=3 + rep)
         mark = len(timings.records)
         t0 = time.time()
         q_tr, _ = problem.sample()
@@ -221,6 +224,7 @@ def bench_fullmt_real():
     import os
     import shutil
 
+    import jax
     import jax.numpy as jnp
 
     from beat_tpu import interop
@@ -254,11 +258,20 @@ def bench_fullmt_real():
     per_eval = time_per_sample(logp, q, logp_args=(data,))
     evals_per_s = N_CHAINS / per_eval
 
-    problem.sampler_params = SMCParams(n_chains=500, n_steps=300, seed=9)
+    problem.sampler_params = SMCParams(n_chains=500, n_steps=300,
+                                       buffer_thinning=25, seed=9)
     shutil.rmtree(problem.outfolder, ignore_errors=True)
     t0 = time.time()
     q_tr, _ = problem.sample()
     wall = time.time() - t0
+
+    # roofline of the real-scale forward (the 119 MB table gather)
+    batched = jax.vmap(lambda x, d: logp(x, d), in_axes=(0, None))
+    ca = jax.jit(batched).lower(q, data).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    by_rate = float(ca.get("bytes accessed", 0.0)) / per_eval
+    fl_rate = float(ca.get("flops", 0.0)) / per_eval
 
     mean_pt = problem.ordering.to_point(np.asarray(q_tr[-1]).mean(axis=0))
     gcmt = np.array([-0.43283071, 0.65741974, -0.22458903,
@@ -269,6 +282,9 @@ def bench_fullmt_real():
     return {
         "table_build_s": round(build_s, 1),
         "evals_per_s_500plus_chains": round(evals_per_s, 1),
+        "forward_tflops_per_s": round(fl_rate / 1e12, 2),
+        "forward_hbm_gb_per_s": round(by_rate / 1e9, 1),
+        "forward_hbm_util_pct": round(100 * by_rate / V5E_HBM_BYTES_PER_S, 1),
         "inversion_500chain_wall_s": round(wall, 1),
         "posterior_mt_cosine_vs_gcmt": round(cosine, 4),
         "posterior_magnitude": round(float(np.asarray(mean_pt["magnitude"])), 3),
@@ -356,8 +372,11 @@ def bench_mfu():
     lane = 128
     n_cb = -(-C // lane)
     flops_mxu = 2.0 * (n_cb * lane) * Tn * Pp * Nn * DSP
-    bytes_stack = (n_cb * Tn * Pp * Nn * DSP * 4.0      # layout re-reads
-                   + Tn * Nn * n_cb * lane * 4.0)       # output
+    # the kernel loops over chain blocks INSIDE one grid step, so the
+    # stacking layout streams from HBM once per (target, patch-block) —
+    # independent of the chain count
+    bytes_stack = (Tn * Pp * Nn * DSP * 4.0              # layout, once
+                   + Tn * Nn * n_cb * lane * 4.0)        # output
     fl_rate = flops_mxu / (ms / 1e3)
     by_rate = bytes_stack / (ms / 1e3)
     out["pallas_gf_stack"] = {
