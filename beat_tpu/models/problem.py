@@ -187,7 +187,8 @@ class Problem:
                 n_steps=params.n_steps, burn=params.burn, thin=params.thin,
                 proposal_name=params.proposal_name,
                 tune_interval=params.tune_interval, seed=params.seed,
-                stage_handler=handler, logp_args=logp_args)
+                stage_handler=handler, logp_args=logp_args,
+                n_leapfrog=params.n_leapfrog)
         raise TypeError(f"Unknown sampler params {type(params)}")
 
     @staticmethod

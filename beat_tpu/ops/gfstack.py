@@ -37,8 +37,14 @@ so a per-chain ``logp`` that calls it scalar-wise dispatches to the
 single fused all-chain kernel when the sampler vmaps over chains.
 
 The XLA gather (:meth:`SeismicGFLibrary.stack_all`) remains the
-reference implementation and the fallback off-TPU; the kernel must
-match it exactly (tested in interpret mode on CPU and natively on TPU).
+reference implementation and the fallback off-TPU; the kernel matches
+it to the selection-matmul algorithm's error floor (tested in interpret
+mode on CPU and natively on TPU).  The default algorithm is the
+explicit bf16x3 decomposition (:func:`_stack_precision`): measured on
+v5e at the bench shape (C=2000, T=8, P=12, D=6, S=16, N=256) it runs
+0.279 ms/eval vs 0.541 ms for the exact 6-pass f32 algorithm (1.94×)
+at 7.1e-6 scaled max error — the kernel is MXU-issue bound, so halving
+the matmul passes halves the wall-clock.
 """
 
 from __future__ import annotations
@@ -125,18 +131,58 @@ def _fits_vmem(N: int, DSP: int, Cp: int = 2048) -> bool:
     return need < 12 * 1024 * 1024
 
 
-def _onehot_mm(cell, corners, nslabs):
+def _stack_precision() -> str:
+    """MXU pass count for the one-hot selection matmuls.
+
+    The kernel is MXU-issue bound (the HBM stream finishes first), so
+    the matmul algorithm is the throughput knob: ``highest`` = 6-pass
+    exact f32 (~33 TF/s executed on v5e), ``x3`` = explicit bf16x3
+    (hi/lo split of both operands, lo·lo dropped — ≲2⁻¹⁸ ≈ 4e-6
+    relative on the selected products, inside the stack's 2e-5
+    acceptance bar, at up to 2× the matmul issue rate; Mosaic has no
+    ``Precision.HIGH`` so the decomposition is hand-rolled), and
+    ``default`` = 1-pass bf16 (~4e-3 relative, for lossy bf16 libraries
+    where the data is already rounded).  Override with
+    ``BEAT_TPU_STACK_PRECISION=highest|x3|default``.
+    """
+    name = os.environ.get("BEAT_TPU_STACK_PRECISION", "x3").lower()
+    if name not in ("highest", "x3", "default"):
+        raise ValueError(f"BEAT_TPU_STACK_PRECISION={name!r} "
+                         "(want highest|x3|default)")
+    return name
+
+
+def _split_bf16(x):
+    """f32 → (hi, lo) bf16 pair with hi + lo ≈ x to ~2⁻¹⁸ relative."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _prep_cell(cell, mode):
+    """Precision-specific preprocessing of one (N, DSP) grid cell —
+    hoisted out of the chain-block loop (the split is VPU work shared by
+    every 128-chain block)."""
+    if mode == "x3":
+        return _split_bf16(cell)
+    if mode == "default":
+        return (cell.astype(jnp.bfloat16),)
+    return (cell.astype(jnp.float32),)
+
+
+def _onehot_mm(cellp, corners, nslabs, mode):
     """Weighted cell-column selection as MXU one-hot matmuls.
 
     The per-chain (duration, starttime) gather runs on the MXU: within a
     128-lane slab q, ``W[k, c] = Σ_corner (k == flat_corner[c] − q·128) ·
     weight_corner[c]`` and the contribution is ``cell_slab @ W``.  All
-    interpolation corners fold into the same W, so multilinear costs one
-    matmul per slab just like nearest-neighbour.  (Measured on v5e: the
-    VPU ``dynamic_gather`` variant is ~26 µs/grid-step — vreg-issue
-    bound — while one (N,128)×(128,128) matmul is ~0.1 µs of MXU time.)
+    interpolation corners fold into the same W, so multilinear costs the
+    same matmul issue as nearest-neighbour.  (Measured on v5e: the VPU
+    ``dynamic_gather`` variant is ~26 µs/grid-step — vreg-issue bound —
+    while one (N,128)×(128,128) matmul is ~0.1 µs of MXU time.)
 
-    cell : (N, nslabs·128) f32 — one (target, patch) grid cell
+    cellp : tuple from :func:`_prep_cell` — (cell,) f32 for ``highest``,
+        (hi, lo) bf16 for ``x3``, (cell,) bf16 for ``default``
     corners : iterable of (flat (1, 128) i32, weight (1, 128) f32) —
         chain ROWS; the one-hot build broadcasts them along sublanes
         against a sublane iota.  (Row orientation keeps the HBM layout
@@ -151,15 +197,26 @@ def _onehot_mm(cell, corners, nslabs):
         for flat, weight in corners:
             Wc = jnp.where(k_iota == flat - q * LANE, weight, 0.0)
             W = Wc if W is None else W + Wc
-        part = jnp.dot(cell[:, q * LANE:(q + 1) * LANE], W,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        sl = slice(q * LANE, (q + 1) * LANE)
+        if mode == "x3":
+            ch, cl = cellp[0][:, sl], cellp[1][:, sl]
+            W_hi, W_lo = _split_bf16(W)
+            part = (jnp.dot(ch, W_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(ch, W_lo, preferred_element_type=jnp.float32)
+                    + jnp.dot(cl, W_hi, preferred_element_type=jnp.float32))
+        elif mode == "default":
+            part = jnp.dot(cellp[0][:, sl], W.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            part = jnp.dot(cellp[0][:, sl], W,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
         acc = part if acc is None else acc + part
     return acc
 
 
 def _nearest_kernel(didx_ref, sidx_ref, slips_ref, cell_ref, out_ref,
-                    *, S, nslabs, nCB, PB):
+                    *, S, nslabs, nCB, PB, mode):
     p = pl.program_id(1)
 
     @pl.when(p == 0)
@@ -167,21 +224,22 @@ def _nearest_kernel(didx_ref, sidx_ref, slips_ref, cell_ref, out_ref,
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     N = out_ref.shape[1]
-    for cb in range(nCB):
-        sl = slice(cb * LANE, (cb + 1) * LANE)
-        acc = jnp.zeros((N, LANE), jnp.float32)
-        for j in range(PB):                           # static unroll
-            cell = cell_ref[0, j].astype(jnp.float32)  # (N, DSP)
+    for j in range(PB):                               # static unroll
+        # patch outer / chain-block inner: the precision-specific cell
+        # prep (bf16 hi/lo split for x3) is shared by all chain blocks
+        cellp = _prep_cell(cell_ref[0, j].astype(jnp.float32), mode)
+        for cb in range(nCB):
+            sl = slice(cb * LANE, (cb + 1) * LANE)
             # (1, LANE) slab rows at lane-offset 0 (Mosaic-broadcastable)
             flat = (didx_ref[j, cb:cb + 1, :] * S
                     + sidx_ref[0, j, cb:cb + 1, :])
             w = slips_ref[j, cb:cb + 1, :]
-            acc = acc + _onehot_mm(cell, ((flat, w),), nslabs)
-        out_ref[0, :, sl] += acc
+            out_ref[0, :, sl] += _onehot_mm(cellp, ((flat, w),),
+                                            nslabs, mode)
 
 
 def _multilinear_kernel(didx_ref, rtf_ref, sidx_ref, stf_ref, slips_ref,
-                        cell_ref, out_ref, *, S, nslabs, nCB, PB):
+                        cell_ref, out_ref, *, S, nslabs, nCB, PB, mode):
     p = pl.program_id(1)
 
     @pl.when(p == 0)
@@ -189,11 +247,10 @@ def _multilinear_kernel(didx_ref, rtf_ref, sidx_ref, stf_ref, slips_ref,
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     N = out_ref.shape[1]
-    for cb in range(nCB):
-        sl = slice(cb * LANE, (cb + 1) * LANE)
-        acc = jnp.zeros((N, LANE), jnp.float32)
-        for j in range(PB):                   # static unroll
-            cell = cell_ref[0, j].astype(jnp.float32)
+    for j in range(PB):                       # static unroll
+        cellp = _prep_cell(cell_ref[0, j].astype(jnp.float32), mode)
+        for cb in range(nCB):
+            sl = slice(cb * LANE, (cb + 1) * LANE)
             cbs = slice(cb, cb + 1)
             d = didx_ref[j, cbs, :]           # ceil duration idx (1, LANE)
             s = sidx_ref[0, j, cbs, :]        # ceil starttime idx
@@ -206,12 +263,11 @@ def _multilinear_kernel(didx_ref, rtf_ref, sidx_ref, stf_ref, slips_ref,
                        ((d - 1) * S + s, w * rf * (1.0 - sf)),
                        (d * S + (s - 1), w * (1.0 - rf) * sf),
                        (d * S + s, w * (1.0 - rf) * (1.0 - sf)))
-            acc = acc + _onehot_mm(cell, corners, nslabs)
-        out_ref[0, :, sl] += acc
+            out_ref[0, :, sl] += _onehot_mm(cellp, corners, nslabs, mode)
 
 
 def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
-                         interpret: bool = False):
+                         interpret: bool = False, mode: str | None = None):
     """
     Fused all-chain kinematic stack.
 
@@ -221,6 +277,8 @@ def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
     sidx : (C, T, P) i32 — starttime indices
     slips : (C, P) f32
     rtf, stf : floor-cell weights (C, P) / (C, T, P) — multilinear only
+    mode : matmul algorithm for the one-hot selection
+        (:func:`_stack_precision` default)
 
     Returns (C, T, N) f32.
     """
@@ -266,17 +324,18 @@ def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
     tp_spec = pl.BlockSpec((1, PB, nCB, LANE), lambda t, p: (t, p, 0, 0),
                            memory_space=pltpu.VMEM)
 
+    mode = mode or _stack_precision()
     multilinear = rtf is not None
     if multilinear:
         rtfT = per_patch(rtf.astype(jnp.float32))
         stfT = per_target_patch(stf.astype(jnp.float32))
         kernel = functools.partial(_multilinear_kernel, S=S, nslabs=nslabs,
-                                   nCB=nCB, PB=PB)
+                                   nCB=nCB, PB=PB, mode=mode)
         idx_args = (didxT, rtfT, sidxT, stfT, slipsT)
         idx_specs = [pp_spec, pp_spec, tp_spec, tp_spec, pp_spec]
     else:
         kernel = functools.partial(_nearest_kernel, S=S, nslabs=nslabs,
-                                   nCB=nCB, PB=PB)
+                                   nCB=nCB, PB=PB, mode=mode)
         idx_args = (didxT, sidxT, slipsT)
         idx_specs = [pp_spec, tp_spec, pp_spec]
 
@@ -304,14 +363,14 @@ def stack_batched_pallas(data_tr, S, didx, sidx, slips, rtf=None, stf=None,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_stack_op(S: int, multilinear: bool, interpret: bool):
+def _make_stack_op(S: int, multilinear: bool, interpret: bool, mode: str):
     """custom_vmap op over the per-chain args — (didx, sidx, slips) plus
     (rtf, stf) when multilinear; one construction serves both modes."""
 
     @jax.custom_batching.custom_vmap
     def op(data_tr, *args):
         return stack_batched_pallas(data_tr, S, *(a[None] for a in args),
-                                    interpret=interpret)[0]
+                                    interpret=interpret, mode=mode)[0]
 
     @op.def_vmap
     def _rule(axis_size, in_batched, data_tr, *args):
@@ -324,14 +383,14 @@ def _make_stack_op(S: int, multilinear: bool, interpret: bool):
 
         bargs = [bc(a, b) for a, b in zip(args, rest)]
         return stack_batched_pallas(data_tr, S, *bargs,
-                                    interpret=interpret), True
+                                    interpret=interpret, mode=mode), True
 
     return op
 
 
 def stack_all_pallas(lib, durations, starttimes, slips,
                      interpolation="nearest_neighbor",
-                     interpret: bool = False):
+                     interpret: bool = False, mode: str | None = None):
     """Per-chain entry point (use under ``vmap`` for the fused batch).
 
     ``lib`` must carry the stacking layout
@@ -343,7 +402,8 @@ def stack_all_pallas(lib, durations, starttimes, slips,
     didx, rtf = lib.durations2idxs(durations, interpolation)
     sidx, stf = lib.starttimes2idxs(starttimes, interpolation)
     op = _make_stack_op(lib.nstarttimes,
-                        interpolation == "multilinear", interpret)
+                        interpolation == "multilinear", interpret,
+                        mode or _stack_precision())
     if interpolation == "multilinear":
         return op(jnp.asarray(lib.data_tr), didx, sidx, slips, rtf, stf)
     return op(jnp.asarray(lib.data_tr), didx, sidx, slips)

@@ -97,7 +97,7 @@ def choose_proposal(name: str):
     except KeyError:
         raise ValueError(
             f"Unknown proposal '{name}'; available: "
-            f"{sorted(proposal_catalog) + ['MALA']} "
-            "(MALA is gradient-based and handled by the step kernel, "
-            "samplers/metropolis.py)"
+            f"{sorted(proposal_catalog) + ['MALA', 'HMC']} "
+            "(MALA and HMC are gradient-based and handled by the step "
+            "kernel, samplers/metropolis.py)"
         ) from None

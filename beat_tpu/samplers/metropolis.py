@@ -61,6 +61,8 @@ class MetropolisParams:
     thin: int = 2
     tune_interval: int = 100
     proposal_name: str = "MultivariateNormal"
+    #: leapfrog steps per transition when proposal_name == "HMC"
+    n_leapfrog: int = 10
     seed: int = 0
 
 
@@ -240,8 +242,113 @@ def _make_mala_step(logp_fn, lower, upper, tune_interval, tune,
     return step, init
 
 
+#: Beskos et al. (2013) optimal HMC acceptance rate
+HMC_TARGET_ACC = 0.651
+
+
+def _make_hmc_step(logp_fn, lower, upper, tune_interval, tune,
+                   logp_args=(), n_leapfrog: int = 10):
+    """One lockstep HMC transition for all chains: ``n_leapfrog``
+    leapfrog steps of the tempered Hamiltonian, preconditioned by the
+    proposal covariance (kinetic energy ``K(p) = ½ pᵀ Σ p`` with
+    momenta ``p ~ N(0, Σ⁻¹)`` — mass matrix M = Σ⁻¹, so position
+    updates move along the population covariance like the MALA drift).
+    Generalizes :func:`_make_mala_step` (MALA ≡ HMC with one leapfrog
+    step); per-chain step size ε retunes toward the 0.651 optimum.
+
+    The reference has no gradient-based kernel at all
+    (``beat/sampler/metropolis.py`` is random-walk only); HMC's
+    distant, high-acceptance proposals cost ``n_leapfrog`` autodiff
+    evals but suppress the random-walk diffusion in high dimension —
+    on TPU the whole trajectory stays one fused lockstep scan.
+
+    Carry is ``(state, grad)``: the gradient at the current position is
+    reused as the first half-kick, so each transition costs exactly
+    ``n_leapfrog`` value_and_grad evaluations.
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    vgrad = jax.vmap(jax.value_and_grad(lambda qq: logp_fn(qq, *logp_args)))
+
+    def sigma_dot(p, cov_chol):
+        # Σ p = L (Lᵀ p), rows of p
+        return (p @ cov_chol) @ cov_chol.T
+
+    def kinetic(p, cov_chol):
+        # ½ pᵀ Σ p = ½ |Lᵀ p|²
+        return 0.5 * jnp.sum((p @ cov_chol) ** 2, axis=-1)
+
+    def step(carry, step_idx, beta, cov_chol):
+        state, grad = carry
+        key, k_mom, k_acc = jax.random.split(state.key, 3)
+        n = state.q.shape[0]
+        beta_b = jnp.broadcast_to(beta, (n,)).astype(state.q.dtype)[:, None]
+
+        if tune:
+            do_tune = (step_idx > 0) & (step_idx % tune_interval == 0)
+            acc_frac = state.accepted / tune_interval
+            retuned = jnp.clip(
+                state.scaling * jnp.exp(1.5 * (acc_frac - HMC_TARGET_ACC)),
+                1e-6, 1e3)
+            scaling = jnp.where(do_tune, retuned, state.scaling)
+            accepted = jnp.where(do_tune, jnp.zeros_like(state.accepted),
+                                 state.accepted)
+        else:
+            scaling, accepted = state.scaling, state.accepted
+
+        eps = scaling[:, None]
+        # p ~ N(0, Σ⁻¹):  p = L⁻ᵀ ξ
+        xi = jax.random.normal(k_mom, state.q.shape, state.q.dtype)
+        p0 = solve_triangular(cov_chol.T, xi.T, lower=False).T
+        k0 = kinetic(p0, cov_chol)
+
+        # leapfrog: half-kick (reusing the carried gradient), then
+        # (drift, kick) × n_leapfrog with the last kick halved
+        p = p0 + 0.5 * eps * beta_b * grad
+        q = state.q
+
+        def leap(qin, _):
+            qq, pp = qin
+            qq = qq + eps * sigma_dot(pp, cov_chol)
+            q_eval = jnp.clip(qq, lower, upper)
+            llk, g = vgrad(q_eval)
+            return (qq, pp + eps * beta_b * g), (llk, g)
+
+        (q, p), (llks, grads) = jax.lax.scan(leap, (q, p), None,
+                                             length=n_leapfrog)
+        llk_prop, grad_prop = llks[-1], grads[-1]
+        # the scan applied a FULL final kick; pull half of it back
+        p = p - 0.5 * eps * beta_b * grad_prop
+
+        in_bounds = jnp.all((q >= lower) & (q <= upper), axis=-1)
+        q_eval = jnp.clip(q, lower, upper)
+        log_ratio = beta_b[:, 0] * (llk_prop - state.llk) \
+            + k0 - kinetic(p, cov_chol)
+        log_u = jnp.log(jax.random.uniform(k_acc, (n,)))
+        ok = in_bounds & jnp.isfinite(llk_prop) \
+            & jnp.all(jnp.isfinite(grad_prop), axis=-1) \
+            & jnp.all(jnp.isfinite(p), axis=-1)
+        accept = ok & (log_u < log_ratio)
+
+        q_new = jnp.where(accept[:, None], q_eval, state.q)
+        llk_new = jnp.where(accept, llk_prop, state.llk)
+        grad_new = jnp.where(accept[:, None], grad_prop, grad)
+        new_state = MetropolisState(
+            q=q_new, llk=llk_new, scaling=scaling,
+            accepted=accepted + accept,
+            acc_total=state.acc_total + accept, key=key)
+        return (new_state, grad_new), (q_new, llk_new)
+
+    def init(state):
+        llk0, grad0 = vgrad(state.q)
+        return (state._replace(llk=llk0), grad0)
+
+    return step, init
+
+
 @partial(jax.jit, static_argnames=("logp_fn", "n_steps", "proposal_name",
-                                   "tune_interval", "tune", "record_every"))
+                                   "tune_interval", "tune", "record_every",
+                                   "n_leapfrog"))
 def run_metropolis_stage(
     logp_fn: Callable,
     state: MetropolisState,
@@ -256,6 +363,7 @@ def run_metropolis_stage(
     record_every: int = 1,
     logp_args: tuple = (),
     step_offset=0,
+    n_leapfrog: int = 10,
 ):
     """
     Advance all chains ``n_steps`` under tempering ``beta``; returns the
@@ -274,6 +382,12 @@ def run_metropolis_stage(
     if proposal_name == "MALA":
         step, init_carry = _make_mala_step(logp_fn, lower, upper,
                                            tune_interval, tune, logp_args)
+        carry0 = init_carry(state)
+        state_of = lambda c: c[0]  # noqa: E731
+    elif proposal_name == "HMC":
+        step, init_carry = _make_hmc_step(logp_fn, lower, upper,
+                                          tune_interval, tune, logp_args,
+                                          n_leapfrog=n_leapfrog)
         carry0 = init_carry(state)
         state_of = lambda c: c[0]  # noqa: E731
     else:
@@ -345,6 +459,7 @@ def metropolis_sample(
     cov: np.ndarray | None = None,
     stage_handler=None,
     logp_args: tuple = (),
+    n_leapfrog: int = 10,
 ):
     """
     Plain (non-staged) adaptive Metropolis driver — the analogue of the
@@ -373,7 +488,7 @@ def metropolis_sample(
         logp_fn, state, jnp.float32(1.0), cov_chol, lower, upper,
         n_steps=n_steps, proposal_name=proposal_name,
         tune_interval=tune_interval, tune=True, record_every=1,
-        logp_args=logp_args,
+        logp_args=logp_args, n_leapfrog=n_leapfrog,
     )
     n_burn = int(burn * n_steps)
     q_kept = np.asarray(q_tr[n_burn::thin])

@@ -114,6 +114,8 @@ class PTParams:
     t_scale_min: float = 1.01
     t_scale_max: float = 2.0
     proposal_name: str = "MultivariateNormal"
+    #: leapfrog steps per transition when proposal_name == "HMC"
+    n_leapfrog: int = 10
     record_worker_chains: bool = False
     seed: int = 0
 
@@ -222,6 +224,7 @@ def pt_sample(
             record_every=1,  # every draw: full posterior trace (ref pt.py:606)
             logp_args=logp_args,
             step_offset=np.int32(global_step),
+            n_leapfrog=params.n_leapfrog,
         )
         global_step += seg_len
 

@@ -96,6 +96,8 @@ class SMCParams:
     coef_variation: float = 1.0
     tune_interval: int = 25
     proposal_name: str = "MultivariateNormal"
+    #: leapfrog steps per transition when proposal_name == "HMC"
+    n_leapfrog: int = 10
     stage: int = 0                  # resume stage ('0' fresh, N continue)
     buffer_thinning: int = 1
     rm_flag: bool = False
@@ -319,6 +321,7 @@ def smc_sample(
                 tune_interval=params.tune_interval, tune=True,
                 record_every=params.buffer_thinning,
                 logp_args=logp_args,
+                n_leapfrog=params.n_leapfrog,
             )
             jax.block_until_ready(final.q)
         population = np.asarray(final.q, dtype=np.float64)

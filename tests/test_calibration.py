@@ -103,6 +103,17 @@ class TestSBC:
 
         self._check(_sbc_ranks(run, self.N_DRAWS))
 
+    def test_smc_hmc(self):
+        def run(y, m):
+            params = SMCParams(n_chains=self.N_DRAWS + 1, n_steps=25,
+                               tune_interval=15, proposal_name="HMC",
+                               n_leapfrog=5, seed=4000 + m)
+            q_tr, _ = smc_sample(gaussian_logp, LO, HI, params,
+                                 progress=False, logp_args=(y,))
+            return np.asarray(q_tr[-1])
+
+        self._check(_sbc_ranks(run, self.N_DRAWS))
+
     def test_pt(self):
         def run(y, m):
             params = PTParams(n_chains=8, n_chains_posterior=2,

@@ -1,6 +1,16 @@
 """Fused Pallas kinematic-stack kernel vs the XLA reference gather
 (interpret mode on CPU; the same kernel compiles natively on TPU —
-see STATUS.md for the on-chip timings)."""
+see STATUS.md for the on-chip timings).
+
+The default one-hot matmul algorithm is the explicit bf16x3
+decomposition (``gfstack._stack_precision``): ~2x the MXU issue rate of
+the exact 6-pass f32 algorithm at a ~2^-18-per-product error floor, so
+the default-mode comparisons accept 1e-4 (measured max ~4e-5 — far
+below GF-table physics error); ``mode="highest"`` is pinned separately
+at the exact-algorithm 2e-5 bar."""
+
+# x3 default-mode acceptance vs the exact XLA gather
+TOL = dict(rtol=1e-4, atol=1e-4)
 
 import numpy as np
 import pytest
@@ -45,7 +55,7 @@ def test_pallas_matches_xla_unbatched(lib, interpolation):
     want = np.asarray(lib.stack_all(durations, starttimes, slips, interpolation))
     got = np.asarray(stack_all_pallas(lib, durations, starttimes, slips,
                                       interpolation, interpret=True))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got, want, **TOL)
 
 
 @pytest.mark.parametrize("interpolation", ["nearest_neighbor", "multilinear"])
@@ -62,7 +72,7 @@ def test_pallas_matches_xla_vmapped(lib, interpolation):
         lambda d, s, w: stack_all_pallas(lib, d, s, w, interpolation,
                                          interpret=True))(
             durations, starttimes, slips))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got, want, **TOL)
 
 
 def test_vmap_unbatched_slips(lib):
@@ -78,7 +88,7 @@ def test_vmap_unbatched_slips(lib):
         lambda d, s: stack_all_pallas(lib, d, s, slips, "multilinear",
                                       interpret=True))(
             durations, starttimes))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got, want, **TOL)
 
 
 def test_padding_masks_chains_and_patches(lib):
@@ -93,7 +103,7 @@ def test_padding_masks_chains_and_patches(lib):
     want = np.asarray(jax.vmap(
         lambda d, s, w: lib.stack_all(d, s, w, "nearest_neighbor"))(
             durations, starttimes, slips))
-    np.testing.assert_allclose(np.asarray(out), want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out), want, **TOL)
 
 
 def test_stacking_layout_padding():
@@ -109,7 +119,7 @@ def test_stacking_layout_padding():
         lambda d, s, w: stack_all_pallas(lib, d, s, w, "multilinear",
                                          interpret=True))(
             durations, starttimes, slips))
-    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(got, want, **TOL)
 
 
 def test_stack_all_auto_fallback(lib):
@@ -185,3 +195,33 @@ def test_chunked_layout_equals_full():
     dropped = lib.with_stacking_layout(keep_data=False)
     assert dropped.data is None
     np.testing.assert_array_equal(np.asarray(dropped.data_tr), full)
+
+
+@pytest.mark.parametrize("interpolation", ["nearest_neighbor", "multilinear"])
+def test_highest_mode_matches_xla_tightly(lib, interpolation):
+    """mode="highest" keeps the exact 6-pass f32 algorithm: the kernel
+    must match the XLA gather at the pre-x3 2e-5 bar."""
+    nchains = 4
+    durations, starttimes, slips = rand_point(lib, 12, nchains)
+    want = np.asarray(jax.vmap(
+        lambda d, s, w: lib.stack_all(d, s, w, interpolation))(
+            durations, starttimes, slips))
+    got = np.asarray(jax.vmap(
+        lambda d, s, w: stack_all_pallas(lib, d, s, w, interpolation,
+                                         interpret=True, mode="highest"))(
+            durations, starttimes, slips))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_x3_default_close_to_highest(lib):
+    """The x3 default must sit at its documented error floor vs the
+    exact algorithm — well under the GF-table physics error (~1e-3)."""
+    durations, starttimes, slips = rand_point(lib, 13, 3)
+    run = lambda mode: np.asarray(jax.vmap(
+        lambda d, s, w: stack_all_pallas(lib, d, s, w, "multilinear",
+                                         interpret=True, mode=mode))(
+            durations, starttimes, slips))
+    exact, fast = run("highest"), run("x3")
+    scale = np.abs(exact).max()
+    err = np.abs(fast - exact).max() / scale
+    assert err < 1e-4, f"x3 stack error {err:.2e}"

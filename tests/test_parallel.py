@@ -265,8 +265,37 @@ class TestGFTargetSharding:
 
 
 class TestMALASharding:
-    """The gradient-based MALA step must shard exactly like the random
-    walk: identical results on the chain mesh vs a single device."""
+    """The gradient-based MALA/HMC steps must shard exactly like the
+    random walk: identical results on the chain mesh vs a single
+    device."""
+
+    def test_hmc_sharded_equals_unsharded(self):
+        key = jax.random.PRNGKey(13)
+        cov_chol = jnp.eye(DIM, dtype=jnp.float32) * 0.1
+        lo = jnp.full((DIM,), -2.0)
+        hi = jnp.full((DIM,), 2.0)
+
+        def run_hmc(state, chol, lo_, hi_):
+            final, _ = run_metropolis_stage(
+                logp, state, jnp.float32(1.0), chol, lo_, hi_,
+                n_steps=12, proposal_name="HMC", tune_interval=10,
+                n_leapfrog=4)
+            return final
+
+        final_single = run_hmc(make_state(key), cov_chol, lo, hi)
+
+        mesh = make_chain_mesh()
+        state = shard_chain_state(make_state(key), mesh)
+        rep = replicated(mesh)
+        final_sharded = run_hmc(state, jax.device_put(cov_chol, rep),
+                                jax.device_put(lo, rep),
+                                jax.device_put(hi, rep))
+
+        assert len(final_sharded.q.sharding.device_set) == 8
+        np.testing.assert_allclose(np.asarray(final_sharded.q),
+                                   np.asarray(final_single.q), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(final_sharded.llk),
+                                   np.asarray(final_single.llk), atol=1e-5)
 
     def test_mala_sharded_equals_unsharded(self):
         key = jax.random.PRNGKey(11)

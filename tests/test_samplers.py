@@ -293,3 +293,89 @@ class TestMALA:
                                   homepath=str(tmp_path / "smc_mala"))
         x = np.asarray(q_tr[-1])
         np.testing.assert_allclose(MU1, np.abs(x).mean(axis=0), atol=0.03)
+
+
+class TestHMC:
+    """Multi-step leapfrog HMC (generalizes MALA; the reference has no
+    gradient-based kernel at all — beat/sampler/metropolis.py is
+    random-walk only)."""
+
+    def test_gaussian_posterior_exact(self):
+        """HMC must target the correct stationary distribution: sample a
+        correlated 2-D Gaussian and check both moments."""
+        from beat_tpu.samplers.metropolis import (init_metropolis_state,
+                                                  run_metropolis_stage)
+
+        cov = np.array([[0.04, 0.018], [0.018, 0.02]])
+        icov = jnp.asarray(np.linalg.inv(cov), dtype=jnp.float32)
+        mu = jnp.asarray([0.7, -0.4])
+
+        def logp(x):
+            d = x - mu
+            return -0.5 * d @ icov @ d
+
+        n = 256
+        rng = np.random.default_rng(7)
+        lo = jnp.asarray([-3.0, -3.0])
+        hi = jnp.asarray([3.0, 3.0])
+        q0 = jnp.asarray(rng.uniform(-1, 1, (n, 2)), dtype=jnp.float32)
+        state = init_metropolis_state(logp, q0, jax.random.PRNGKey(11))
+        chol = jnp.eye(2, dtype=jnp.float32) * 0.2
+        final, (q_tr, _) = run_metropolis_stage(
+            logp, state, jnp.float32(1.0), chol, lo, hi,
+            n_steps=400, proposal_name="HMC", tune_interval=50,
+            n_leapfrog=5)
+        draws = np.asarray(q_tr[200:]).reshape(-1, 2)
+        np.testing.assert_allclose(draws.mean(axis=0), np.asarray(mu),
+                                   atol=0.02)
+        np.testing.assert_allclose(np.cov(draws.T), cov, atol=0.01)
+        # step size retuned toward the 0.651 optimum
+        acc = np.asarray(final.acc_total) / 400
+        assert 0.35 < acc.mean() < 0.95
+
+    def test_hmc_decorrelates_faster_than_mala(self):
+        """The point of the trajectory: per TRANSITION, an L-step HMC
+        draw must be less autocorrelated than a MALA (L=1) draw in a
+        badly-scaled Gaussian."""
+        from beat_tpu.samplers.metropolis import (init_metropolis_state,
+                                                  run_metropolis_stage)
+
+        dim = 16
+        scales = jnp.asarray(np.geomspace(0.05, 0.5, dim), dtype=jnp.float32)
+
+        def logp(x):
+            return -0.5 * jnp.sum((x / scales) ** 2)
+
+        n = 64
+        rng = np.random.default_rng(3)
+        lo = jnp.full((dim,), -4.0)
+        hi = jnp.full((dim,), 4.0)
+        q0 = jnp.asarray(rng.normal(0, 0.05, (n, dim)), dtype=jnp.float32)
+        chol = jnp.eye(dim, dtype=jnp.float32) * 0.1
+
+        def rho1(name, n_leapfrog=8):
+            state = init_metropolis_state(logp, q0, jax.random.PRNGKey(5))
+            _, (q_tr, _) = run_metropolis_stage(
+                logp, state, jnp.float32(1.0), chol, lo, hi,
+                n_steps=500, proposal_name=name, tune_interval=50,
+                n_leapfrog=n_leapfrog)
+            x = np.asarray(q_tr[250:, :, -1])   # worst-scaled coordinate
+            x = x - x.mean(axis=0)
+            num = (x[1:] * x[:-1]).sum(axis=0)
+            den = (x * x).sum(axis=0)
+            return float(np.mean(num / den))
+
+        r_hmc = rho1("HMC")
+        r_mala = rho1("MALA")
+        assert r_hmc < r_mala - 0.05, (r_hmc, r_mala)
+
+    def test_smc_with_hmc_proposal(self, tmp_path):
+        """The staged SMC driver accepts proposal_name='HMC' end-to-end
+        and recovers the mixture mode location."""
+        logp = make_mixture_logp()
+        params = SMCParams(n_chains=128, n_steps=60, tune_interval=20,
+                           seed=9, proposal_name="HMC", n_leapfrog=5)
+        q_tr, llk_tr = smc_sample(logp, LOWER, UPPER, params,
+                                  homepath=str(tmp_path / "smc_hmc"))
+        x = np.asarray(q_tr[-1])
+        np.testing.assert_allclose(MU1, np.abs(x).mean(axis=0), atol=0.03)
