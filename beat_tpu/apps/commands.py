@@ -848,6 +848,16 @@ def _cmd_summarize(args):
     for name, rec in summary.items():
         print(f"{name:24s} mean={rec['mean']:+.4g} sd={rec['sd']:.4g} "
               f"r_hat={rec['r_hat']:.3f}")
+    # SMC runs carry the transitional-MCMC marginal-likelihood estimate
+    # (Ching & Chen 2007) in the final-stage state — print it for model
+    # comparison across source parameterizations
+    try:
+        state = handler.load_state(int(args.stage))
+        if "log_evidence" in state:
+            print(f"{'log_marginal_likelihood':24s} "
+                  f"{float(state['log_evidence']):+.4f}")
+    except FileNotFoundError:
+        pass
     logger.info("Wrote %s", out)
     return 0
 

@@ -194,6 +194,7 @@ def smc_sample(
     cov = init_proposal_covariance(lower64, upper64)
     population = None
     likelihoods = None
+    log_evidence = 0.0
     if handler is not None and stage == 0 and params.rm_flag:
         # fresh run requested: remove stale stage dirs from previous runs
         # so a later resume cannot pick up an old run's higher stages
@@ -228,21 +229,25 @@ def smc_sample(
                     st = reader.load_state(top)
                     payload = (np.float64(st["beta"]), np.asarray(st["cov"]),
                                np.asarray(st["population"]),
-                               np.asarray(st["likelihoods"]))
+                               np.asarray(st["likelihoods"]),
+                               np.float64(st.get("log_evidence", 0.0)))
                 else:
                     payload = (np.float64(0.0), np.zeros((dim, dim)),
                                np.zeros((params.n_chains, dim)),
-                               np.zeros((params.n_chains,)))
+                               np.zeros((params.n_chains,)),
+                               np.float64(0.0))
                 payload = multihost_utils.broadcast_one_to_all(payload)
                 beta = float(payload[0])
                 cov, population, likelihoods = (np.asarray(p)
-                                                for p in payload[1:])
+                                                for p in payload[1:4])
+                log_evidence = float(payload[4])
             else:
                 st = reader.load_state(top)
                 beta = float(st["beta"])
                 cov = np.asarray(st["cov"])
                 population = np.asarray(st["population"])
                 likelihoods = np.asarray(st["likelihoods"])
+                log_evidence = float(st.get("log_evidence", 0.0))
             stage = top + 1
             logger.info("Resuming from stage %i at beta=%.5f", top, beta)
         else:
@@ -275,6 +280,12 @@ def smc_sample(
 
     betas = [beta]
     acceptance = []
+    # Ching & Chen (2007) transitional-MCMC evidence estimator: the
+    # product of per-stage mean incremental importance weights
+    # S_j = (1/N) sum_i exp((b_{j+1}-b_j) llk_i) converges to the
+    # marginal likelihood Z = p(data) under the prior as beta -> 1 —
+    # a model-comparison quantity the reference's SMC never computes.
+    log_evidence = float(log_evidence)
     # ---- stage loop (per-stage timings recorded in profiling.timings;
     # BEAT_TPU_PROFILE_DIR additionally writes a JAX profiler trace of
     # each stage's device work) ----
@@ -286,6 +297,10 @@ def smc_sample(
             new_beta = 1.0
             weights_final = np.exp((1.0 - old_beta) * (likelihoods - likelihoods.max()))
             weights = weights_final / weights_final.sum()
+        # evidence increment log S_j from the PRE-resampling population
+        d_beta = new_beta - old_beta
+        log_evidence += d_beta * likelihoods.max() + float(np.log(np.mean(
+            np.exp(d_beta * (likelihoods - likelihoods.max())))))
 
         cov = calc_covariance(population, weights)
         resampling_idx = systematic_resample(weights, rng)
@@ -331,8 +346,9 @@ def smc_sample(
         beta = new_beta
         betas.append(beta)
         if progress:
-            logger.info("Stage %i done: acceptance %.3f, max llk %.2f",
-                        stage, acc_rate, likelihoods.max())
+            logger.info("Stage %i done: acceptance %.3f, max llk %.2f, "
+                        "log evidence so far %.3f",
+                        stage, acc_rate, likelihoods.max(), log_evidence)
 
         save_stage_num = -1 if final_stage else stage
         if handler is not None:
@@ -345,7 +361,8 @@ def smc_sample(
             summary = {"beta": beta, "cov": cov, "population": population,
                        "likelihoods": likelihoods, "stage": stage,
                        "resampling_indexes": resampling_idx,
-                       "acceptance": np.asarray(acceptance)}
+                       "acceptance": np.asarray(acceptance),
+                       "log_evidence": np.float64(log_evidence)}
 
             def _save(num, qt, lt, summ):
                 handler.save_stage(

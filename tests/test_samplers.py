@@ -379,3 +379,28 @@ class TestHMC:
                                   homepath=str(tmp_path / "smc_hmc"))
         x = np.asarray(q_tr[-1])
         np.testing.assert_allclose(MU1, np.abs(x).mean(axis=0), atol=0.03)
+
+
+def test_smc_log_evidence_gaussian(tmp_path):
+    """The transitional-MCMC evidence estimator (product of per-stage
+    mean incremental weights, Ching & Chen 2007) must recover the
+    analytic marginal likelihood of a Gaussian likelihood under a
+    uniform box prior: Z = (2*pi*sigma^2)^{d/2} / vol(box) for a
+    2-D isotropic Gaussian fully inside the box."""
+    from beat_tpu.backend import SampleStage
+
+    sigma2 = 0.04
+    mu = jnp.asarray([0.3, -0.2])
+
+    def logp(x):
+        return -0.5 * jnp.sum((x - mu) ** 2) / sigma2
+
+    lo = np.full(2, -2.0)
+    hi = np.full(2, 2.0)
+    params = SMCParams(n_chains=1500, n_steps=30, tune_interval=15, seed=3)
+    home = str(tmp_path / "evidence")
+    smc_sample(logp, lo, hi, params, homepath=home, progress=False)
+    state = SampleStage(home).load_state(-1)
+    log_z = float(state["log_evidence"])
+    want = float(np.log(2 * np.pi * sigma2 / 16.0))
+    assert abs(log_z - want) < 0.15, (log_z, want)
