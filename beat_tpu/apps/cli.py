@@ -17,7 +17,7 @@ logger = logging.getLogger("beat_tpu.cli")
 
 SUBCOMMANDS = [
     "init", "import", "update", "clone", "build_gfs",
-    "sample", "summarize", "export", "plot", "check",
+    "sample", "map", "summarize", "export", "plot", "check",
 ]
 
 

@@ -812,6 +812,70 @@ def _cmd_sample(args):
     return 0
 
 
+def register_map(sub):
+    p = sub.add_parser(
+        "map", help="gradient-based MAP estimate + Laplace approximation "
+                    "(seconds instead of an MCMC run; JAX autodiff — the "
+                    "reference has no optimizer)")
+    p.add_argument("project_dir")
+    p.add_argument("--mode", default="geometry")
+    p.add_argument("--n_restarts", type=int, default=32,
+                   help="lockstep random restarts (all advanced per step "
+                        "in one batched gradient)")
+    p.add_argument("--n_steps", type=int, default=150)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(handler=_cmd_map)
+
+
+def _cmd_map(args):
+    import json
+    import os
+
+    import numpy as np
+
+    from beat_tpu.models import load_model
+    from beat_tpu.optimize import laplace_approximation, map_estimate
+
+    problem = load_model(args.project_dir, args.mode)
+    logp, data = problem.make_logp_fn()
+    lower, upper = problem.priors.bounds_arrays()
+    start = problem.priors.test_array()[None]
+    q_map, llk, all_llks = map_estimate(
+        logp, lower, upper, n_restarts=args.n_restarts,
+        n_steps=args.n_steps, seed=args.seed, logp_args=(data,),
+        start=start)
+    lap = laplace_approximation(logp, q_map, lower, upper,
+                                logp_args=(data,))
+    point = problem.ordering.to_point(q_map)
+    sd_point = problem.ordering.to_point(lap["sd"])
+    for name in point:
+        v = np.atleast_1d(point[name])
+        s = np.atleast_1d(sd_point[name])
+        print(f"{name:24s} " + "  ".join(
+            f"{vi:+.5g} ± {si:.3g}" for vi, si in zip(v, s)))
+    print(f"{'log_likelihood_map':24s} {llk:+.4f}")
+    print(f"{'laplace_log_evidence':24s} {lap['log_evidence']:+.4f}"
+          + ("" if lap["curvature_ok"] else "  (curvature not PD — "
+             "MAP on a bound or saddle; treat as approximate)"))
+    spread = float(all_llks.max() - np.median(all_llks))
+    if spread > 2.0:
+        print(f"note: restart llk spread {spread:.1f} — posterior looks "
+              "multimodal; MCMC recommended")
+    out = os.path.join(problem.outfolder, "map.json")
+    os.makedirs(problem.outfolder, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump({"point": {k: np.atleast_1d(v).tolist()
+                             for k, v in point.items()},
+                   "sd": {k: np.atleast_1d(v).tolist()
+                          for k, v in sd_point.items()},
+                   "llk_map": llk,
+                   "laplace_log_evidence": lap["log_evidence"],
+                   "curvature_ok": lap["curvature_ok"],
+                   "restart_llks": all_llks.tolist()}, f, indent=1)
+    logger.info("Wrote %s", out)
+    return 0
+
+
 def register_summarize(sub):
     p = sub.add_parser("summarize", help="summarize sampled posterior")
     p.add_argument("project_dir")
