@@ -42,6 +42,7 @@ class Problem:
         self.sampler_params = sampler_params or SMCParams()
         self.hyper_sampler_params = hyper_sampler_params
         self.initialization = initialization
+        self._logp_fn = None
 
         # full sampled space: source params + hierarchicals + hyperparams
         self.priors = PriorSet()
@@ -81,18 +82,27 @@ class Problem:
         """Returns ``(logp, data)``: a pure function
         ``logp(q_flat, data) -> total data log-likelihood`` ('like') and
         the device-data pytree to pass as its second argument (samplers
-        take it via ``logp_args=(data,)``)."""
-        ordering = self.ordering
-        comps = list(self.composites.values())
+        take it via ``logp_args=(data,)``).
 
-        def logp(q, data):
-            point = ordering.to_point(q)
-            total = 0.0
-            for comp, d in zip(comps, data):
-                total = total + comp.loglike(point, d)
-            return total
+        The closure is built ONCE and cached on the instance: the jit
+        caches of the samplers key on the function's identity, so a
+        fresh closure per ``sample()`` call would silently recompile
+        the whole step program (~6 s per program through the remote
+        tunnel).  Data stays a per-call argument — weight hot-swaps
+        change arrays, never the function."""
+        if self._logp_fn is None:
+            ordering = self.ordering
+            comps = list(self.composites.values())
 
-        return logp, self.logp_data()
+            def logp(q, data):
+                point = ordering.to_point(q)
+                total = 0.0
+                for comp, d in zip(comps, data):
+                    total = total + comp.loglike(point, d)
+                return total
+
+            self._logp_fn = logp
+        return self._logp_fn, self.logp_data()
 
     def make_hyper_logp_fn(self, fixed_point: dict):
         """Hyperparameter-only posterior with residuals frozen at
@@ -138,6 +148,9 @@ class Problem:
 
     def sample(self, params=None, update_weights: bool = False):
         """Run the configured sampler (reference ``models/base.py:195``)."""
+        from beat_tpu.compile_cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         params = params or self.sampler_params
         lower, upper = self.priors.bounds_arrays()
         logp_fn, data = self.make_logp_fn()

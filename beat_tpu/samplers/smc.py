@@ -313,15 +313,21 @@ def smc_sample(
                     stage, old_beta, new_beta, n_steps, params.n_chains)
 
         key, sub = jax.random.split(key)
+        # ONE batched host->device upload for everything the stage needs
+        # (population, likelihoods, tuning state, proposal cholesky) —
+        # separate jnp.asarray/jnp.ones calls each cost a tunnel
+        # round-trip against a remote TPU
+        ones = np.ones((params.n_chains,), np.float32)
+        zeros = np.zeros((params.n_chains,), np.float32)
+        q_dev, llk_dev, ones_dev, zeros_dev, zeros2_dev, cov_chol = \
+            jax.device_put((np.asarray(population, np.float32),
+                            np.asarray(likelihoods, np.float32),
+                            ones, zeros, zeros.copy(),
+                            np.linalg.cholesky(cov).astype(np.float32)))
         state = MetropolisState(
-            q=jnp.asarray(population, dtype=jnp.float32),
-            llk=jnp.asarray(likelihoods, dtype=jnp.float32),
-            scaling=jnp.ones((params.n_chains,)),
-            accepted=jnp.zeros((params.n_chains,)),
-            acc_total=jnp.zeros((params.n_chains,)),
-            key=sub,
+            q=q_dev, llk=llk_dev, scaling=ones_dev, accepted=zeros_dev,
+            acc_total=zeros2_dev, key=sub,
         )
-        cov_chol = jnp.asarray(np.linalg.cholesky(cov), dtype=jnp.float32)
         if mesh is not None:
             from beat_tpu.parallel import replicated, shard_chain_state
 
@@ -339,9 +345,13 @@ def smc_sample(
                 n_leapfrog=params.n_leapfrog,
             )
             jax.block_until_ready(final.q)
-        population = np.asarray(final.q, dtype=np.float64)
-        likelihoods = np.asarray(final.llk, dtype=np.float64)
-        acc_rate = float(np.mean(np.asarray(final.acc_total)) / n_steps)
+        # ONE batched device->host fetch: separate np.asarray calls each
+        # pay a full tunnel round-trip (~40-100 ms against a remote TPU)
+        q_host, llk_host, acc_host = jax.device_get(
+            (final.q, final.llk, final.acc_total))
+        population = np.asarray(q_host, dtype=np.float64)
+        likelihoods = np.asarray(llk_host, dtype=np.float64)
+        acc_rate = float(np.mean(acc_host) / n_steps)
         acceptance.append(acc_rate)
         beta = new_beta
         betas.append(beta)
@@ -365,6 +375,7 @@ def smc_sample(
                        "log_evidence": np.float64(log_evidence)}
 
             def _save(num, qt, lt, summ):
+                qt, lt = jax.device_get((qt, lt))   # one tunnel fetch
                 handler.save_stage(
                     num, {"q": np.asarray(qt), "llk": np.asarray(lt)}, summ)
 
