@@ -468,6 +468,9 @@ def metropolis_sample(
     Returns ``(q_trace, llk_trace)`` after burn-in removal and thinning,
     shapes (n_kept, n_chains, dim) / (n_kept, n_chains).
     """
+    from beat_tpu.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     from beat_tpu.covariance import init_proposal_covariance
 
     lower = jnp.asarray(lower, dtype=jnp.float32)

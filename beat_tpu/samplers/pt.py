@@ -147,6 +147,9 @@ def pt_sample(
         MPI master/worker swaps, ``pt.py:258``).  Results are identical
         to the single-device run.
     """
+    from beat_tpu.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     lower64 = np.asarray(lower, dtype=np.float64)
     upper64 = np.asarray(upper, dtype=np.float64)
     dim = lower64.size

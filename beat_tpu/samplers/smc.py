@@ -145,6 +145,9 @@ def smc_sample(
 
     Returns the final-stage (β=1) trace ``(q_trace, llk_trace)`` as numpy.
     """
+    from beat_tpu.compile_cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
     if mesh is not None and params.n_chains % mesh.devices.size:
         raise ValueError(
             f"n_chains={params.n_chains} must be a multiple of the mesh "
