@@ -115,9 +115,8 @@ class LayeredModel:
         Buland 1995; Q from Montagner & Kennett 1996) down to
         ``max_depth`` — the reference's default base earth model
         (``config.py`` ``earth_model_name='ak135-f-average.m'``)."""
-        rows = [r for r in _AK135_F_AVERAGE if r[0] * 1e3 <= max_depth]
-        return cls.from_nd("\n".join(
-            " ".join(f"{v:g}" for v in r) for r in rows), name="ak135-f-average")
+        return cls.from_nd(ak135_f_average_nd_text(max_depth),
+                           name="ak135-f-average")
 
     def earth_flattened(self, rel_step: float = 0.01,
                         radius: float = 6371e3) -> "LayeredModel":
@@ -234,6 +233,22 @@ class LayeredModel:
         return cls(tops=np.asarray(tops), vp=np.asarray(lvp),
                    vs=np.asarray(lvs), rho=np.asarray(lrho),
                    name=name or "nd_model", qp=qp, qs=qs)
+
+    def to_nd(self) -> str:
+        """Serialize as nd text (depth [km], vp/vs [km/s], rho [g/cm³],
+        qp, qs) — step-wise layers written as repeated-depth sample
+        pairs so :meth:`from_nd` round-trips the model exactly."""
+        bottoms = np.append(self.tops[1:], self.tops[-1] + 100e3)
+        qp = self.qp if self.qp is not None else np.zeros(self.nlayers)
+        qs = self.qs if self.qs is not None else np.zeros(self.nlayers)
+        lines = []
+        for i in range(self.nlayers):
+            row = (self.vp[i] / 1e3, self.vs[i] / 1e3, self.rho[i] / 1e3,
+                   qp[i], qs[i])
+            for z in (self.tops[i], bottoms[i]):
+                lines.append("  ".join(
+                    f"{v:.6g}" for v in (z / 1e3,) + row))
+        return "\n".join(lines)
 
     # -- persistence ----------------------------------------------------------
 
@@ -492,6 +507,15 @@ _AK135_F_AVERAGE = [
     (610.00, 10.0320, 5.5047, 4.0028, 1226.19, 582.83),
     (660.00, 10.2000, 5.6104, 4.0646, 1234.26, 589.00),
 ]
+
+
+def ak135_f_average_nd_text(max_depth: float = 660e3) -> str:
+    """The embedded ak135-f-average table as raw nd text (depth [km],
+    6 columns, piecewise-linear samples preserved) — for projects whose
+    gf_config names a global base model with no custom crust
+    (reference ``earth_model_name`` semantics, ``config.py:223-240``)."""
+    rows = [r for r in _AK135_F_AVERAGE if r[0] * 1e3 <= max_depth]
+    return "\n".join(" ".join(f"{v:g}" for v in r) for r in rows)
 
 
 def join_nd_with_ak135(crust_text: str, max_depth: float = 660e3) -> str:

@@ -598,10 +598,19 @@ def load_snuffler_markers(path: str) -> list:
             if not line or line.startswith("#") or not line.startswith("phase:"):
                 continue
             parts = line.split()
-            # phase: date time kind nslc hash evdate evtime phase pol auto
+            # point form:
+            #   phase: date time kind nslc hash evdate evtime phase pol auto
+            # span form (tmin != tmax) inserts a second date/time pair
+            # plus a duration column after the first time:
+            #   phase: date time date2 time2 dur kind nslc hash ...
+            # — so the event/phase/polarity columns are parsed from the
+            # END of the line, which is identical in both forms
             if len(parts) < 10:
                 continue
-            nslc = parts[4].split(".")
+            span = "-" in parts[3] and ":" not in parts[3]
+            if span and len(parts) < 13:
+                continue
+            nslc = parts[-7].split(".")
             net, sta = nslc[0], nslc[1]
             try:
                 polarity = int(parts[-2])
@@ -611,8 +620,8 @@ def load_snuffler_markers(path: str) -> list:
                 station=f"{net}.{sta}",
                 channel=nslc[3] if len(nslc) > 3 else "",
                 time=guts_time_to_epoch(parts[1] + " " + parts[2]),
-                event_time=guts_time_to_epoch(parts[6] + " " + parts[7]),
-                phase=parts[8], polarity=polarity))
+                event_time=guts_time_to_epoch(parts[-5] + " " + parts[-4]),
+                phase=parts[-3], polarity=polarity))
     if not out:
         raise ValueError(f"{path}: no phase markers parsed")
     return out
@@ -802,11 +811,20 @@ def _seismic_gf_grid(config, stations, gf: dict) -> dict:
     z_lo, z_hi = max(z_lo, 500.0), max(z_hi, z_lo + 1e3)
 
     dt = float(gf.get("dt", 0.5))
-    # last fit-window end: slowest P-ish arrival + taper tail + margin
-    taper_d = max(w.arrival_taper.d
-                  for w in config.seismic_config.waveforms) \
-        if config.seismic_config.waveforms else 60.0
-    t_end = d_hi / 5500.0 + taper_d + 40.0
+    # last fit-window end: slowest configured phase's arrival + taper
+    # tail + margin.  S-phase wavemaps arrive at ~d/3500, not ~d/5500 —
+    # sizing the axis for P only would let far-edge S fit windows run
+    # past the table end, where the window clipping silently
+    # mis-positions them (advisor round-4 finding)
+    def _is_s_phase(name: str) -> bool:
+        # any_S / any_SH / any_SV / S / slowest — anything not clearly P
+        tail = (name or "").lower().split("_")[-1]
+        return "s" in tail and "p" not in tail
+
+    wfcs = config.seismic_config.waveforms
+    taper_d = max(w.arrival_taper.d for w in wfcs) if wfcs else 60.0
+    v_slowest = 3000.0 if any(_is_s_phase(w.name) for w in wfcs) else 5500.0
+    t_end = d_hi / v_slowest + taper_d + 40.0
     nt = int(2 ** np.ceil(np.log2(max(t_end / dt, 64))))
 
     spacing = float(gf.get("distance_spacing", 4e3))
@@ -867,6 +885,7 @@ def import_beat_project(src_dir: str, dest_dir: str,
     gf_overrides = dict(gf_overrides or {})
     join_base = gf_overrides.pop("join_base_model", True)
     custom_models = getattr(config, "_custom_velocity_models", {})
+    wrote_model = False
     for dt_name, text in custom_models.items():
         if text:
             gf_cfg = getattr(getattr(config, f"{dt_name}_config", None),
@@ -880,7 +899,60 @@ def import_beat_project(src_dir: str, dest_dir: str,
                     config.seismic_config.gf_config["earth_flattening"] = True
             with open(os.path.join(dest_dir, "velocity_model.nd"), "w") as f:
                 f.write(text)
+            wrote_model = True
             break
+    if not wrote_model:
+        # gf_config names only a global base model (no custom crust):
+        # honor it — the reference builds its stores from that model
+        # (``get_velocity_model`` heart.py:1902), so silently falling
+        # back to the homogeneous default would change the physics
+        unhonored = []
+        for dt_name in ("seismic", "geodetic", "polarity"):
+            dt_cfg = getattr(config, f"{dt_name}_config", None)
+            gf_cfg = getattr(dt_cfg, "gf_config", None)
+            if not gf_cfg or gf_cfg.get("earth_model"):
+                continue
+            base = gf_cfg.get("reference_earth_model", "")
+            if not base or base == "local":
+                continue
+            if base.lower().startswith("ak135"):
+                from beat_tpu.heart.velocity_model import ak135_f_average_nd_text
+
+                with open(os.path.join(dest_dir, "velocity_model.nd"),
+                          "w") as f:
+                    f.write(ak135_f_average_nd_text())
+                for other in ("seismic", "geodetic", "polarity"):
+                    c2 = getattr(config, f"{other}_config", None)
+                    g2 = getattr(c2, "gf_config", None)
+                    if g2 is not None and g2.get(
+                            "reference_earth_model", "").lower().startswith(
+                            "ak135"):
+                        g2["earth_model"] = "velocity_model.nd"
+                        if other == "seismic":
+                            # spherical base model → flatten before DWN
+                            g2["earth_flattening"] = True
+                note = (f"base earth model {base!r}: using the embedded "
+                        "ak135-f-average (earth-flattened for waveform "
+                        "builds)")
+                if "average" not in base.lower():
+                    note += (" — the reference's regional crust variant "
+                             "differs slightly in the upper layers")
+                notes.append(note)
+                wrote_model = True
+                break
+            unhonored.append((dt_name, base))
+        if not wrote_model and unhonored:
+            msg = ", ".join(f"{dt}: {b!r}" for dt, b in unhonored)
+            if build:
+                raise ValueError(
+                    f"cannot honor the project's base earth model ({msg}) "
+                    "natively — known global models: ak135*, 'local'. "
+                    "Import with build=False and supply "
+                    "<project>/velocity_model.nd yourself, or set "
+                    "gf_overrides={'earth_model': ...}")
+            notes.append(f"base earth model not honored ({msg}) — GF "
+                         "builds would use the homogeneous default; "
+                         "supply velocity_model.nd before build_gfs")
 
     datatypes = set(config.problem_config.datatypes)
 

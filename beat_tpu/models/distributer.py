@@ -158,11 +158,15 @@ class SeismicDistributerComposite(Composite):
 
     def __init__(self, wavemaps_libs, fault, slip_varnames=("uparr",),
                  interpolation="multilinear", hp_specific=False,
-                 use_pallas: bool | None = None):
+                 use_pallas: bool | None = None,
+                 stack_precision: str | None = None):
         """
         wavemaps_libs : list of (WaveformMapping, {component: SeismicGFLibrary})
         use_pallas : force/disable the fused Pallas stacking kernel
             (default: auto — on TPU for nearest-neighbour interpolation).
+        stack_precision : Pallas selection-matmul algorithm,
+            'highest' | 'x3' (default) | 'default' — see
+            :func:`beat_tpu.ops.gfstack.stack_all_auto`.
         """
         self.wavemaps_libs = list(wavemaps_libs)
         self.fault = fault
@@ -170,6 +174,7 @@ class SeismicDistributerComposite(Composite):
         self.interpolation = interpolation
         self.hp_specific = hp_specific
         self.use_pallas = use_pallas
+        self.stack_precision = stack_precision
         from beat_tpu.ops.gfstack import want_pallas
 
         stacking_layout = want_pallas(use_pallas)
@@ -282,7 +287,8 @@ class SeismicDistributerComposite(Composite):
             lib = libs[comp]
             synth = synth + stack_all_auto(lib, durations, st, point[comp],
                                            self.interpolation,
-                                           use_pallas=self.use_pallas)
+                                           use_pallas=self.use_pallas,
+                                           precision=self.stack_precision)
         return synth
 
     def synthetics_fit(self, point: dict, w_idx: int, data=None):

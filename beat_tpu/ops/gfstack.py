@@ -395,6 +395,14 @@ def stack_all_pallas(lib, durations, starttimes, slips,
 
     ``lib`` must carry the stacking layout
     (:meth:`SeismicGFLibrary.with_stacking_layout`).
+
+    ``mode`` selects the selection-matmul algorithm: ``'highest'``
+    (exact 6-pass f32, ~2e-5 rel. vs the XLA reference), ``'x3'``
+    (bf16x3, ~1e-4 rel., ~2× faster — the DEFAULT since round 4; users
+    comparing bit-for-bit against :meth:`SeismicGFLibrary.stack_all`
+    should pass ``mode='highest'``), or ``'default'`` (1-pass bf16,
+    ~4e-3 rel., for bf16-stored libraries).  ``None`` reads
+    ``BEAT_TPU_STACK_PRECISION`` (default ``x3``).
     """
     if lib.data_tr is None:
         raise ValueError("library lacks stacking layout — call "
@@ -431,13 +439,19 @@ def pallas_ok(lib, use_pallas=None, interpret: bool = False) -> bool:
 
 def stack_all_auto(lib, durations, starttimes, slips,
                    interpolation="nearest_neighbor", use_pallas=None,
-                   interpret: bool = False):
+                   interpret: bool = False, precision: str | None = None):
     """
     Dispatch between the fused Pallas kernel (default on TPU when the
     library carries the stacking layout) and the XLA gather+einsum
     fallback.  ``BEAT_TPU_USE_PALLAS=0/1`` overrides.
+
+    ``precision`` (Pallas path only) selects the selection-matmul
+    algorithm — ``'highest'`` | ``'x3'`` | ``'default'``; the built-in
+    default is ``x3`` (bf16x3, ~1e-4 rel. error vs the exact XLA path —
+    changed from 6-pass-exact in round 4).  Pass ``'highest'`` for
+    bit-comparable results against :meth:`SeismicGFLibrary.stack_all`.
     """
     if pallas_ok(lib, use_pallas, interpret):
         return stack_all_pallas(lib, durations, starttimes, slips,
-                                interpolation, interpret)
+                                interpolation, interpret, mode=precision)
     return lib.stack_all(durations, starttimes, slips, interpolation)

@@ -313,3 +313,95 @@ def test_polygon_mask_round_trips_project_save(tmp_path):
     back = load_geodetic_datasets(str(tmp_path), GeodeticConfig())
     assert back[0].mask is not None
     np.testing.assert_array_equal(back[0].mask, ds.mask)
+
+
+# ---------------------------------------------------------------------------
+# advisor round-4 findings
+# ---------------------------------------------------------------------------
+
+
+def test_snuffler_span_markers_parse(tmp_path):
+    """pyrocko span markers (tmin != tmax) insert a second date/time
+    pair + duration; the station/polarity columns must still land
+    (advisor: fields are parsed from the end of the line)."""
+    path = str(tmp_path / "markers.pf")
+    with open(path, "w") as f:
+        f.write("# Snuffler Markers File Version 0.2\n")
+        # point form
+        f.write("phase: 2020-09-11 22:37:27.90353  0 EO.KSM02..Z "
+                "R6VDO9K= 2020-09-11 22:37:26.00000 P 1 False\n")
+        # span form: date2/time2 + duration inserted after time1
+        f.write("phase: 2020-09-11 22:37:28.34316 2020-09-11 "
+                "22:37:30.34316 2.0 0 1E.BCH2A..Z "
+                "R6VDO9K= 2020-09-11 22:37:26.00000 P -1 False\n")
+    markers = interop.load_snuffler_markers(path)
+    assert len(markers) == 2
+    assert markers[0]["station"] == "EO.KSM02"
+    assert markers[0]["polarity"] == 1
+    assert markers[1]["station"] == "1E.BCH2A"
+    assert markers[1]["polarity"] == -1
+    assert markers[1]["phase"] == "P"
+    # both reference the same event origin
+    assert markers[0]["event_time"] == markers[1]["event_time"]
+    # span tmin is the first date/time pair
+    assert markers[1]["time"] - markers[0]["time"] == pytest.approx(
+        28.34316 - 27.90353, abs=1e-4)
+
+
+def test_import_honors_global_base_model(tmp_path):
+    """Laquila names ak135-f-continental.m with NO custom model: the
+    import must write the embedded ak135 as velocity_model.nd and point
+    gf_config at it instead of silently defaulting to homogeneous
+    (advisor round-4 medium finding)."""
+    dest = str(tmp_path / "laquila_ak")
+    cfg, notes = interop.import_beat_project(
+        os.path.join(EXAMPLES, "Laquila"), dest, build=False)
+    nd = os.path.join(dest, "velocity_model.nd")
+    assert os.path.exists(nd)
+    gf = cfg.geodetic_config.gf_config
+    assert gf["earth_model"] == "velocity_model.nd"
+    assert any("ak135" in n for n in notes)
+
+    from beat_tpu.heart.velocity_model import LayeredModel
+
+    model = LayeredModel.from_nd(nd)
+    assert model.nlayers > 10                      # the real ak135 stack
+    assert 5000 < model.vp[0] < 7000               # crustal P
+    assert model.vp[-1] > 9000                     # 600+ km mantle
+
+
+def test_import_refuses_unknown_base_model(tmp_path):
+    """An un-honorable base model must fail loudly at build=True."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    cfg_text = open(os.path.join(EXAMPLES, "Laquila",
+                                 "config_geometry.yaml")).read()
+    cfg_text = cfg_text.replace("ak135-f-continental.m", "prem-no-ocean.m")
+    with open(os.path.join(src, "config_geometry.yaml"), "w") as f:
+        f.write(cfg_text)
+    shutil.copy(os.path.join(EXAMPLES, "Laquila", "geodetic_data.pkl"), src)
+
+    with pytest.raises(ValueError, match="base earth model"):
+        interop.import_beat_project(src, str(tmp_path / "dest"), build=True)
+    # build=False degrades to an import note
+    cfg, notes = interop.import_beat_project(
+        src, str(tmp_path / "dest2"), build=False)
+    assert any("not honored" in n for n in notes)
+
+
+def test_seismic_grid_s_phase_lengthens_table():
+    """A project with an S wavemap must size the table time axis for
+    the S arrival (~d/3500), not the P heuristic (advisor finding)."""
+    cfg, _ = interop.beat_config_from_guts(
+        os.path.join(EXAMPLES, "FullMT", "config_geometry.yaml"))
+    stations, _ = interop.seismic_arrays_from_pickle(
+        os.path.join(EXAMPLES, "FullMT", "seismic_data.pkl"))
+    gf_p = interop._seismic_gf_grid(cfg, stations, {})
+    for w in cfg.seismic_config.waveforms:
+        w.name = "any_S"
+    gf_s = interop._seismic_gf_grid(cfg, stations, {})
+    assert gf_s["nt"] * gf_s["dt"] >= gf_p["nt"] * gf_p["dt"]
+    # ~955 km far edge: S needs ≥ 955e3/3000 ≈ 318 s + taper
+    assert gf_s["nt"] * gf_s["dt"] >= 318.0
