@@ -8,12 +8,55 @@ import numpy as np
 from beat_tpu.plotting.common import PlotOptions, format_axes, save_figure
 
 
+def _draw_patch_field(ax, fig, sf, values, cmap, label, vmax=None):
+    """One per-patch scalar field on a subfault (regular grid via imshow,
+    irregular resolution-discretized geometry via patch rectangles)."""
+    if not hasattr(sf, "n_strike"):
+        from matplotlib.collections import PatchCollection
+        from matplotlib.patches import Rectangle
+
+        centers = sf.patch_centers_local() / 1e3
+        rects = [Rectangle((c[0] - p.length / 2e3, c[1] - p.width / 2e3),
+                           p.length / 1e3, p.width / 1e3)
+                 for c, p in zip(centers, sf.patches)]
+        pc = PatchCollection(rects, cmap=cmap, edgecolor="k", linewidth=0.3)
+        pc.set_array(values)
+        if vmax is not None:
+            pc.set_clim(0.0, vmax)
+        im = ax.add_collection(pc)
+        ax.set_xlim(0, sf.plane.length / 1e3)
+        ax.set_ylim(sf.plane.width / 1e3, 0)
+    else:
+        grid = values.reshape(sf.n_dip, sf.n_strike)
+        im = ax.imshow(grid, cmap=cmap, aspect="auto", vmin=0.0, vmax=vmax,
+                       extent=[0, sf.plane.length / 1e3,
+                               sf.plane.width / 1e3, 0])
+    fig.colorbar(im, ax=ax, label=label)
+    ax.set_xlabel("along strike [km]")
+    ax.set_ylabel("down dip [km]")
+    return im
+
+
+def _starttime_grid(fault, i, sf, point, slc):
+    """Rupture-onset times of one (regular-grid) subfault at one point."""
+    import jax.numpy as jnp
+
+    return np.asarray(fault.point2starttimes(
+        i, jnp.asarray(np.asarray(point["velocities"])[slc]),
+        float(np.atleast_1d(point["nucleation_strike"])[i]),
+        float(np.atleast_1d(point["nucleation_dip"])[i]),
+    )).reshape(sf.n_dip, sf.n_strike)
+
+
 def plot_slip_distribution(problem, po: PlotOptions | None = None, point=None,
-                           fault=None):
+                           fault=None, n_fuzzy: int = 30):
     """
-    Posterior-mean slip on the fault plane grid with rupture-onset
-    contours when kinematic variables are present
-    (reference ``slip_distribution``).
+    The FFI money plot (reference ``slip_distribution``
+    ``beat/plotting/ffi.py``): per subfault a posterior-MEAN slip panel
+    (slip-direction quivers, posterior-mean rupture-front isochrones,
+    FUZZY fronts from ``n_fuzzy`` posterior draws, nucleation-point
+    marker + its posterior scatter) next to a posterior-UNCERTAINTY
+    panel (per-patch slip standard deviation over the stage trace).
     """
     import matplotlib.pyplot as plt
 
@@ -35,39 +78,43 @@ def plot_slip_distribution(problem, po: PlotOptions | None = None, point=None,
     if point is not None:
         mean_point.update(point)
 
-    uparr = np.asarray(mean_point.get("uparr", np.zeros(fault.npatches)))
-    uperp = np.asarray(mean_point.get("uperp", np.zeros(fault.npatches)))
+    npatch = fault.npatches
+    uparr = np.asarray(mean_point.get("uparr", np.zeros(npatch)))
+    uperp = np.asarray(mean_point.get("uperp", np.zeros(npatch)))
     slip = np.sqrt(uparr**2 + uperp**2)
 
+    # per-patch slip std over the posterior (uncertainty panel)
+    slip_std = None
+    ordering = problem.ordering
+    if "uparr" in ordering:
+        sl_a = ordering["uparr"].slc
+        s_a = flat[:, sl_a]
+        s_p = flat[:, ordering["uperp"].slc] if "uperp" in ordering else 0.0
+        slip_std = np.std(np.sqrt(np.square(s_a) + np.square(s_p)),
+                          axis=0, ddof=1)
+
+    kinematic = "velocities" in mean_point \
+        and "nucleation_strike" in mean_point
+    # posterior draws for fuzzy rupture fronts / nucleation scatter
+    draw_points = []
+    if kinematic and flat.shape[0] > 1:
+        idx = np.linspace(0, flat.shape[0] - 1,
+                          min(n_fuzzy, flat.shape[0])).astype(int)
+        draw_points = [problem.ordering.to_point(flat[k]) for k in idx]
+
     n_sf = fault.nsubfaults
-    fig, axes = plt.subplots(n_sf, 1, figsize=(8, 4 * n_sf), squeeze=False)
+    ncols = 2 if slip_std is not None else 1
+    fig, axes = plt.subplots(n_sf, ncols,
+                             figsize=(7.5 * ncols, 4 * n_sf), squeeze=False)
     from beat_tpu.plotting.colormap import slip_colormap
 
     for i in range(n_sf):
         sf = fault.get_subfault(i)
         slc = fault.ordering.slices[i]
         ax = axes[i][0]
-        if not hasattr(sf, "n_strike"):
-            # irregular (resolution-discretized) subfault: per-patch
-            # rectangles in fault-plane coordinates
-            from matplotlib.collections import PatchCollection
-            from matplotlib.patches import Rectangle
-
-            centers = sf.patch_centers_local() / 1e3
-            rects = [Rectangle((c[0] - p.length / 2e3, c[1] - p.width / 2e3),
-                               p.length / 1e3, p.width / 1e3)
-                     for c, p in zip(centers, sf.patches)]
-            pc = PatchCollection(rects, cmap=slip_colormap(),
-                                 edgecolor="k", linewidth=0.3)
-            pc.set_array(slip[slc])
-            im = ax.add_collection(pc)
-            ax.set_xlim(0, sf.plane.length / 1e3)
-            ax.set_ylim(sf.plane.width / 1e3, 0)
-        else:
-            grid = slip[slc].reshape(sf.n_dip, sf.n_strike)
-            im = ax.imshow(grid, cmap=slip_colormap(), aspect="auto",
-                           extent=[0, sf.plane.length / 1e3,
-                                   sf.plane.width / 1e3, 0])
+        _draw_patch_field(ax, fig, sf, slip[slc], slip_colormap(),
+                          "mean slip [m]")
+        if hasattr(sf, "n_strike"):
             # slip-direction arrows (along-strike uparr, up-dip uperp —
             # the reference draws per-patch slip vectors)
             if np.any(uperp[slc]) and np.any(uparr[slc]):
@@ -78,24 +125,34 @@ def plot_slip_distribution(problem, po: PlotOptions | None = None, point=None,
                           -uperp[slc].reshape(sf.n_dip, sf.n_strike),
                           color="w", width=0.003, scale_units="width",
                           scale=max(np.abs(slip[slc]).max() * 25, 1e-9))
-        fig.colorbar(im, ax=ax, label="slip [m]")
-        # rupture-onset contours if kinematic variables sampled
-        # (kinematic mode uses regular grids)
-        if "velocities" in mean_point and "nucleation_strike" in mean_point \
-                and hasattr(sf, "n_strike"):
-            import jax.numpy as jnp
-
-            times = np.asarray(fault.point2starttimes(
-                i, jnp.asarray(mean_point["velocities"][slc]),
-                float(np.atleast_1d(mean_point["nucleation_strike"])[i]),
-                float(np.atleast_1d(mean_point["nucleation_dip"])[i]),
-            )).reshape(sf.n_dip, sf.n_strike)
-            s = (np.arange(sf.n_strike) + 0.5) * sf.patch_length / 1e3
-            d = (np.arange(sf.n_dip) + 0.5) * sf.patch_width / 1e3
-            cs = ax.contour(s, d, times, colors="k", linewidths=0.7)
-            ax.clabel(cs, fontsize=6, fmt="%.1f s")
-        ax.set_xlabel("along strike [km]")
-        ax.set_ylabel("down dip [km]")
+            if kinematic:
+                s = (np.arange(sf.n_strike) + 0.5) * sf.patch_length / 1e3
+                d = (np.arange(sf.n_dip) + 0.5) * sf.patch_width / 1e3
+                # fuzzy fronts: isochrones of posterior draws (reference
+                # ``fuzzy_rupture_fronts``, beat/plotting/ffi.py)
+                for pt in draw_points:
+                    times_k = _starttime_grid(fault, i, sf, pt, slc)
+                    ax.contour(s, d, times_k, colors="w", linewidths=0.4,
+                               alpha=0.25)
+                times = _starttime_grid(fault, i, sf, mean_point, slc)
+                cs = ax.contour(s, d, times, colors="k", linewidths=0.8)
+                ax.clabel(cs, fontsize=6, fmt="%.1f s")
+                # nucleation: posterior scatter + mean marker (reference
+                # draws the hypocenter star)
+                nuc_s = [float(np.atleast_1d(pt["nucleation_strike"])[i]) / 1e3
+                         for pt in draw_points]
+                nuc_d = [float(np.atleast_1d(pt["nucleation_dip"])[i]) / 1e3
+                         for pt in draw_points]
+                ax.plot(nuc_s, nuc_d, ".", color="w", ms=2, alpha=0.5)
+                ax.plot(
+                    float(np.atleast_1d(mean_point["nucleation_strike"])[i]) / 1e3,
+                    float(np.atleast_1d(mean_point["nucleation_dip"])[i]) / 1e3,
+                    marker="*", ms=14, mfc="gold", mec="k", mew=0.8, ls="")
+        if slip_std is not None:
+            _draw_patch_field(axes[i][1], fig, sf, slip_std[slc],
+                              "magma", "slip std [m]")
+            axes[i][1].set_title("posterior uncertainty", fontsize=9)
+            ax.set_title("posterior mean", fontsize=9)
     fig.tight_layout()
     return save_figure(fig, problem.outfolder, "slip_distribution", po)
 

@@ -70,6 +70,13 @@ def plot_stage_posteriors(problem, po: PlotOptions | None = None, stages=None,
                     if lower is not None and lower[col] < upper[col]:
                         pad = 0.02 * (upper[col] - lower[col])
                         ax.set_xlim(lower[col] - pad, upper[col] + pad)
+                        # prior overlay: the Uniform prior's density
+                        # level — posteriors that stay at this line are
+                        # prior-dominated (reference draws the prior
+                        # pdf in stage_posteriors)
+                        ax.hlines(1.0 / (upper[col] - lower[col]),
+                                  lower[col], upper[col], color="0.45",
+                                  ls=":", lw=1.0)
                 ax.set_yticks([])
         for j in range(n, nrows * ncols):
             axes[j // ncols][j % ncols].axis("off")
