@@ -262,6 +262,10 @@ def register_clone(sub):
     p.add_argument("project_dir")
     p.add_argument("clone_dir")
     p.add_argument("--mode", default="geometry")
+    p.add_argument("--new_mode", default=None,
+                   help="derive the clone's config for a different mode "
+                        "(e.g. geometry -> ffi: the reference staged "
+                        "workflow `beat clone ... --new_mode ffi`)")
     p.set_defaults(handler=_cmd_clone)
 
 
@@ -269,17 +273,27 @@ def _cmd_clone(args):
     import os
     import shutil
 
-    from beat_tpu.config import config_file_name, dump_config, load_config
+    from beat_tpu.config import clone_config_to_mode, dump_config, load_config
 
     os.makedirs(args.clone_dir, exist_ok=True)
     config = load_config(args.project_dir, args.mode)
     config.name = os.path.basename(os.path.normpath(args.clone_dir))
     dump_config(config, args.clone_dir)
-    for fname in ("geodetic_data.npz", "seismic_data.npz"):
+    data_files = ("geodetic_data.npz", "seismic_data.npz",
+                  "seismic_data_raw.npz", "polarity_data.npz",
+                  "velocity_model.nd", "velocity_model.npz",
+                  "gf_table.npz", "static_gf_table.npz")
+    for fname in data_files:
         src = os.path.join(args.project_dir, fname)
         if os.path.exists(src):
             shutil.copy(src, os.path.join(args.clone_dir, fname))
-    print(f"Cloned {args.project_dir} -> {args.clone_dir}")
+    if args.new_mode and args.new_mode != args.mode:
+        clone_config_to_mode(args.clone_dir, args.new_mode,
+                             from_mode=args.mode)
+        print(f"Cloned {args.project_dir} -> {args.clone_dir} "
+              f"(+ config_{args.new_mode}.yaml)")
+    else:
+        print(f"Cloned {args.project_dir} -> {args.clone_dir}")
     return 0
 
 
@@ -291,6 +305,22 @@ def register_build_gfs(sub):
                    help="comma-separated: geodetic,seismic")
     p.add_argument("--patch_length", type=float, default=2.0, help="[km]")
     p.add_argument("--patch_width", type=float, default=2.0, help="[km]")
+    p.add_argument("--extension_length", type=float, default=0.1,
+                   help="fractional fault extension along strike around "
+                        "the reference source (reference "
+                        "DiscretizationConfig, config.py:351-373)")
+    p.add_argument("--extension_width", type=float, default=0.1,
+                   help="fractional fault extension down dip")
+    p.add_argument("--discretization", default="uniform",
+                   choices=["uniform", "resolution"],
+                   help="'resolution' = Atzori-style iterative division "
+                        "by the model-resolution matrix with epsilon-"
+                        "elbow damping search (geodetic only; reference "
+                        "ffi/fault.py:1520,2057)")
+    p.add_argument("--epsilon", type=float, default=0.005,
+                   help="resolution discretization damping (start of "
+                        "the elbow search)")
+    p.add_argument("--epsilon_search_runs", type=int, default=6)
     p.add_argument("--earth_model", default=None,
                    help="geometry mode: velocity model for native GF "
                         "store building — 'homogeneous', 'default_crust' "
@@ -342,8 +372,42 @@ def _cmd_build_gfs(args):
     datatypes = args.datatypes.split(",")
 
     ref = _reference_source_from_project(args.project_dir, config)
-    fault = discretize_sources([ref], patch_length=args.patch_length * 1e3,
-                               patch_width=args.patch_width * 1e3)
+    discretization = getattr(args, "discretization", "uniform")
+    if discretization == "resolution":
+        # resolution-based (Atzori) discretization needs the data
+        # geometry; geodetic only, as in the reference
+        # (SeismicLinearGFConfig forbids it, config.py:530-533)
+        from beat_tpu.ffi.discretization import (
+            ResolutionDiscretizationConfig, optimize_damping)
+        from beat_tpu.ffi.fault import extend_plane
+
+        if "geodetic" not in datatypes:
+            print("--discretization resolution needs geodetic data")
+            return 1
+        gc = config.geodetic_config
+        datasets = load_geodetic_datasets(args.project_dir, gc,
+                                          event=config.event)
+        stack = DatasetStack.from_datasets(datasets)
+        plane = extend_plane(ref, args.extension_width,
+                             args.extension_length)
+        rcfg = ResolutionDiscretizationConfig(
+            epsilon=args.epsilon,
+            epsilon_search_runs=args.epsilon_search_runs,
+            patch_lengths_min=args.patch_length * 1e3 / 2,
+            patch_lengths_max=args.patch_length * 1e3 * 2,
+            patch_widths_min=args.patch_width * 1e3 / 2,
+            patch_widths_max=args.patch_width * 1e3 * 2)
+        fault, epsilon, results = optimize_damping(
+            plane, stack.coords, stack.los, rcfg)
+        print(f"Resolution discretization: {fault.npatches} patches at "
+              f"elbow epsilon {epsilon:.4g} "
+              f"({len(results)} damping candidates)")
+    else:
+        fault = discretize_sources(
+            [ref], patch_length=args.patch_length * 1e3,
+            patch_width=args.patch_width * 1e3,
+            extension_width=getattr(args, "extension_width", 0.0),
+            extension_length=getattr(args, "extension_length", 0.0))
     outdir = os.path.join(args.project_dir, "ffi", "linear_gfs")
     os.makedirs(outdir, exist_ok=True)
     with open(os.path.join(outdir, "fault_geometry.pkl"), "wb") as f:
@@ -603,6 +667,13 @@ def _reference_source_from_project(project_dir, config):
     allowed = {"east_shift", "north_shift", "depth", "strike", "dip",
                "rake", "length", "width"}
     kwargs = {k: v for k, v in kwargs.items() if k in allowed}
+    if "length" not in kwargs or "width" not in kwargs:
+        raise ValueError(
+            "FFI needs a reference fault geometry but the project has "
+            "neither a geometry-mode posterior (geometry/stage_-1) nor "
+            "fixed length/width priors — run "
+            "`beat-tpu sample <project> --mode geometry` first "
+            "(reference staged workflow, apps/beat.py:543-770)")
     kwargs.setdefault("depth", config.event.depth)
     return RectangularSource(**kwargs)
 

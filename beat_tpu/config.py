@@ -888,6 +888,102 @@ def import_results_as_priors(project_dir: str, mode: str, from_mode: str,
     return updated
 
 
+def geometry_map_point(project_dir: str) -> dict | None:
+    """MAP point of the project's geometry-mode final stage (None when
+    no geometry posterior exists) — the anchor of the staged
+    geometry→FFI workflow (reference ``apps/beat.py:543-770``)."""
+    stage_dir = os.path.join(project_dir, geometry_mode_str, "stage_-1")
+    if not os.path.isdir(stage_dir):
+        return None
+    from beat_tpu.backend import SampleStage
+
+    geom_cfg = load_config(project_dir, geometry_mode_str)
+    problem = problem_from_config(geom_cfg, project_dir)
+    handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+    pop, llks = handler.load_trace(-1).end_points()
+    return problem.ordering.to_point(pop[int(np.argmax(llks))])
+
+
+def _apply_fixed_corrections(datasets, corrections, point) -> list:
+    """Subtract correction displacements evaluated at ``point`` from the
+    datasets (host-side, once).  Returns the dataset names corrected.
+
+    The reference keeps hierarchical corrections FIXED at their
+    geometry-run values during distributed-slip optimization — free
+    ramp parameters trade off with artificial slip on deep patches
+    (``docs/examples/FFI_static.rst:236``; fixed import of
+    hierarchicals, ``apps/beat.py:605-663``)."""
+    import jax.numpy as jnp
+
+    from beat_tpu.heart.corrections import RampCorrection
+
+    corrected = []
+    for ds in datasets:
+        total = np.zeros(ds.samples)
+        for corr in corrections:
+            if isinstance(corr, RampCorrection):
+                if corr.dataset_name != ds.name:
+                    continue
+                total = total + np.asarray(
+                    corr.displacement(point, jnp.asarray(ds.coords)))
+            else:
+                if ds.typ != "GNSS":
+                    continue
+                if corr.dataset_name is not None \
+                        and corr.dataset_name != ds.name:
+                    continue
+                total = total + np.asarray(
+                    corr.displacement(point, jnp.asarray(ds.los_vector)))
+        if np.any(total != 0.0):
+            ds.displacement = ds.displacement - total
+            corrected.append(ds.name)
+    return corrected
+
+
+def clone_config_to_mode(project_dir: str, new_mode: str,
+                         from_mode: str = geometry_mode_str,
+                         datatypes: list | None = None) -> BEATconfig:
+    """
+    Derive a ``new_mode`` config from an existing run's config inside
+    the same project — the reference's staged-workflow step
+    ``beat clone <dir> <dir> --mode geometry --new_mode ffi``
+    (``apps/beat.py:826``): event/data/noise/corrections configuration
+    carries over, the sampled variables switch to the new mode's
+    registry (ffi: slip components per patch — re-dimensioned to the
+    discretized fault at load — plus the kinematic variables when
+    seismic data participates).
+
+    Writes ``config_<new_mode>.yaml`` and returns the new config.
+    """
+    import copy
+
+    config = load_config(project_dir, from_mode)
+    new = copy.deepcopy(config)
+    pc = new.problem_config
+    pc.mode = new_mode
+    if datatypes:
+        pc.datatypes = sorted(datatypes)
+    if new_mode == ffi_mode_str:
+        variables = list(static_dist_vars[:2])
+        if "seismic" in pc.datatypes:
+            variables.extend(partial_kinematic_vars)
+        old_priors = pc.priors
+        pc.priors = {}
+        pc.set_default_priors(sorted(set(variables)))
+        # rupture-onset timing carries over from the geometry run (the
+        # reference re-bounds `time` on results import, apps/beat.py:672)
+        for keep in ("time",):
+            if keep in old_priors and keep in (
+                    partial_kinematic_vars + hypo_vars):
+                pc.priors[keep] = old_priors[keep]
+    elif new_mode == bem_mode_str:
+        raise ValueError("clone to bem mode: init a bem project with "
+                         "`beat-tpu init --mode bem` instead (BEM source "
+                         "geometry cannot be derived from other modes)")
+    dump_config(new, project_dir)
+    return new
+
+
 def update_hypers_in_config(config: "BEATconfig", problem) -> list:
     """Fill/refresh the config's ``hyperparameters`` section with the
     problem's current hyper + hierarchical parameter names (reference
@@ -1355,6 +1451,27 @@ def _ffi_problem_from_config(config: BEATconfig, project_dir: str):
         gc = config.geodetic_config
         datasets = load_geodetic_datasets(project_dir, gc,
                                           event=config.event)
+        corrections = _build_corrections(gc, datasets)
+        if corrections:
+            # fixed at the geometry MAP (reference FFI semantics: free
+            # ramps feed artificial deep slip, FFI_static.rst:236)
+            map_point = geometry_map_point(project_dir)
+            names = [n for c in corrections for n in c.parameter_names]
+            if map_point is not None and all(n in map_point
+                                             for n in names):
+                fixed = _apply_fixed_corrections(datasets, corrections,
+                                                 map_point)
+                logger.info(
+                    "ffi: corrections (%s) fixed at the geometry-MAP "
+                    "values and removed from %s",
+                    ", ".join(sorted(set(names))), ", ".join(fixed))
+            else:
+                logger.warning(
+                    "ffi: corrections are configured but no geometry-"
+                    "mode posterior exists in %s — the slip inversion "
+                    "sees UNCORRECTED data (ramps trade off with deep "
+                    "slip); run `beat-tpu sample --mode geometry` first "
+                    "(reference staged workflow)", project_dir)
         lib = GeodeticGFLibrary.load(lib_path)
         slip_components = list(lib.component_names)
         composites["geodetic"] = GeodeticDistributerComposite(

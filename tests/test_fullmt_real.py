@@ -96,19 +96,48 @@ class TestRealDataForward:
         assert np.median(ccs) > 0.55, f"median cc {np.median(ccs):.2f}"
 
 
+@pytest.fixture(scope="module")
+def smc_trace(fullmt_problem):
+    """One shared SMC posterior on the real data (end-point population +
+    final-stage log evidence from the stage state)."""
+    from beat_tpu.backend import SampleStage
+    from beat_tpu.samplers import SMCParams
+
+    prob = fullmt_problem
+    prob.sampler_params = SMCParams(n_chains=96, n_steps=60,
+                                    tune_interval=20, seed=5)
+    q_tr, llk_tr = prob.sample()
+    state = SampleStage(prob.outfolder,
+                        ordering=prob.ordering).load_state(-1)
+    return (np.asarray(q_tr[-1]), np.asarray(llk_tr[-1]),
+            float(state.get("log_evidence", 0.0)))
+
+
+def _mean_m6(ordering, pop):
+    pt = ordering.to_point(pop.mean(axis=0))
+    return np.array([float(np.asarray(pt[k])) for k in M6_NAMES])
+
+
+def _cosine(a, b):
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
 class TestRealDataInversion:
-    def test_smc_recovers_gcmt(self, fullmt_problem):
+    def test_smc_recovers_gcmt(self, fullmt_problem, smc_trace):
         """Short SMC on the real example data: posterior mean MT must
         align with the GCMT mechanism (normalized direction cosine),
-        magnitude/time near the documented truth."""
-        from beat_tpu.samplers import SMCParams
+        magnitude near the documented truth — and the IDENTIFIED timing
+        quantity, the centroid time t + duration/2, near its truth.
 
+        Onset time and duration are individually unidentified: the
+        likelihood is constant along t + d/2 = −0.5 ± 0.1 s (both table
+        grids), with the truth (−11, 22) on the ridge — so the ridge
+        coordinates are asserted through the centroid and the MAP, not
+        the drifting marginal means (docs/fullmt_bias_analysis.md)."""
         prob = fullmt_problem
-        prob.sampler_params = SMCParams(n_chains=96, n_steps=60,
-                                        tune_interval=20, seed=5)
-        q_tr, llk_tr = prob.sample()
-        final = np.asarray(q_tr[-1])
+        final, llk, _ = smc_trace
         mean_pt = prob.ordering.to_point(final.mean(axis=0))
+        map_pt = prob.ordering.to_point(final[int(np.argmax(llk))])
 
         m6_est = np.array([float(np.asarray(mean_pt[k])) for k in M6_NAMES])
         m6_true = np.array([GCMT_M6[k] for k in M6_NAMES])
@@ -118,7 +147,66 @@ class TestRealDataInversion:
 
         mag = float(np.asarray(mean_pt["magnitude"]))
         assert 5.7 < mag < 6.0, f"magnitude {mag}"
-        t0 = float(np.asarray(mean_pt["time"]))
-        assert -16.0 < t0 < -8.0, f"time {t0}"
+
+        # identified timing: posterior centroid time over ALL end-point
+        # draws (the per-draw ridge invariant, truth −11 + 22/2 = 0)
+        sl_t = prob.ordering["time"].slc
+        sl_d = prob.ordering["duration"].slc
+        centroids = final[:, sl_t].ravel() + final[:, sl_d].ravel() / 2.0
+        assert -2.0 < float(centroids.mean()) < 1.0, centroids.mean()
+        assert centroids.std() < 2.0, \
+            f"centroid time not pinned: sd {centroids.std():.2f}"
+
+        # MAP depth: the reduced test grid biases the optimum to
+        # ~6.5 km (full resolution recovers 8.0 km exactly — bench)
+        map_depth = float(np.asarray(map_pt["depth"]))
+        assert 4.5e3 < map_depth < 10e3, f"MAP depth {map_depth}"
         depth = float(np.asarray(mean_pt["depth"]))
-        assert 2e3 < depth < 14e3, f"depth {depth}"
+        assert 4e3 < depth < 11e3, f"mean depth {depth}"
+
+    def test_pt_agrees_with_smc_on_real_posterior(self, fullmt_problem,
+                                                  smc_trace):
+        """PT on the REAL FullMT posterior (round-4 verdict missing #2):
+        the reference's PT showcase never faced real data here before.
+        The tempered ladder must reproduce the SMC posterior — mechanism
+        cosine, magnitude, centroid time — and record swap-acceptance /
+        β-retune history (reference ``SamplingHistory`` pt.py:76)."""
+        from beat_tpu.samplers import PTParams
+
+        prob = fullmt_problem
+        prob.sampler_params = PTParams(
+            n_chains=10, n_chains_posterior=4, n_samples=8000,
+            swap_interval=(8, 14), tune_interval=60,
+            beta_tune_interval=1500, seed=11)
+        q_tr, llk_tr, history = prob.sample()
+
+        # ladder diagnostics: β=1 posterior group + descending tempered
+        betas = np.asarray(history["betas"])
+        assert betas[0] == 1.0 and np.all(np.diff(betas) <= 0)
+        assert len(history["swap_acceptance"]) > 0
+        acc = float(np.mean(history["swap_acceptance"]))
+        assert 0.0 < acc < 1.0, f"degenerate swap acceptance {acc}"
+
+        # pool the second half (burn-in discarded)
+        n_burn = q_tr.shape[0] // 2
+        pool = np.asarray(q_tr[n_burn:]).reshape(-1, q_tr.shape[-1])
+
+        smc_pop, _, _ = smc_trace
+        m6_pt = _mean_m6(prob.ordering, pool)
+        m6_smc = _mean_m6(prob.ordering, smc_pop)
+        m6_true = np.array([GCMT_M6[k] for k in M6_NAMES])
+        assert _cosine(m6_pt, m6_true) > 0.95, m6_pt
+        assert _cosine(m6_pt, m6_smc) > 0.97, (m6_pt, m6_smc)
+
+        pt_mean = prob.ordering.to_point(pool.mean(axis=0))
+        smc_mean = prob.ordering.to_point(smc_pop.mean(axis=0))
+        d_mag = abs(float(np.asarray(pt_mean["magnitude"]))
+                    - float(np.asarray(smc_mean["magnitude"])))
+        assert d_mag < 0.05, d_mag
+
+        # centroid time (the identified timing combination) must agree
+        sl_t = prob.ordering["time"].slc
+        sl_d = prob.ordering["duration"].slc
+        cen_pt = float(np.mean(pool[:, sl_t] + pool[:, sl_d] / 2.0))
+        cen_smc = float(np.mean(smc_pop[:, sl_t] + smc_pop[:, sl_d] / 2.0))
+        assert abs(cen_pt - cen_smc) < 1.0, (cen_pt, cen_smc)
