@@ -77,6 +77,35 @@ def both_strike_dip_rake(m6):
     return plane_sdr(n1, u1), plane_sdr(u1, n1)
 
 
+def kagan_angle(m6_a, m6_b) -> float:
+    """
+    Minimum rotation angle [deg] between the best-double-couple
+    principal-axis frames of two mechanisms (Kagan 1991) — the standard
+    mechanism-similarity metric (0° identical, ≤120° always).
+
+    Computed from the deviatoric eigenframes: the four DC symmetry
+    operations (identity + 180° flips about each principal axis) are
+    applied and the smallest rotation angle kept.
+    """
+
+    def frame(m6):
+        M = m6_to_matrix(np.asarray(m6, dtype=float))
+        dev = M - np.trace(M) / 3.0 * np.eye(3)
+        _, V = np.linalg.eigh(dev)          # ascending: P, B, T columns
+        if np.linalg.det(V) < 0:
+            V[:, 1] *= -1.0                 # right-handed (B flip is a
+        return V                            # DC symmetry anyway)
+
+    Va, Vb = frame(m6_a), frame(m6_b)
+    best = 180.0
+    for flip in (np.diag([1.0, 1.0, 1.0]), np.diag([1.0, -1.0, -1.0]),
+                 np.diag([-1.0, 1.0, -1.0]), np.diag([-1.0, -1.0, 1.0])):
+        R = Vb @ flip @ Va.T
+        c = (np.trace(R) - 1.0) / 2.0
+        best = min(best, float(np.degrees(np.arccos(np.clip(c, -1.0, 1.0)))))
+    return best
+
+
 def hudson_coords(m6):
     """Hudson skewed-diamond (u, v) source-type coordinates."""
     M = m6_to_matrix(m6)

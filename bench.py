@@ -273,12 +273,32 @@ def bench_fullmt_real():
     by_rate = float(ca.get("bytes accessed", 0.0)) / per_eval
     fl_rate = float(ca.get("flops", 0.0)) / per_eval
 
-    mean_pt = problem.ordering.to_point(np.asarray(q_tr[-1]).mean(axis=0))
+    final = np.asarray(q_tr[-1])
+    mean_pt = problem.ordering.to_point(final.mean(axis=0))
     gcmt = np.array([-0.43283071, 0.65741974, -0.22458903,
                      0.63839719, 0.50698292, 0.02063122])
     est = np.array([float(np.asarray(mean_pt[k]))
                     for k in ("mnn", "mee", "mdd", "mne", "mnd", "med")])
     cosine = float(est @ gcmt / (np.linalg.norm(est) * np.linalg.norm(gcmt)))
+
+    # identified quantities (docs/fullmt_bias_analysis.md): onset time
+    # and duration ride an unidentified ridge t + d/2 = const — report
+    # the posterior centroid time and the MAP point, whose depth the
+    # full-resolution table recovers exactly (8 km truth)
+    map_pt = mean_pt
+    try:
+        from beat_tpu.backend import SampleStage
+
+        handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+        pop, llks = handler.load_trace(-1).end_points()
+        map_pt = problem.ordering.to_point(pop[int(np.argmax(llks))])
+    except Exception:
+        pass
+    sl_t = problem.ordering["time"].slc
+    sl_d = problem.ordering["duration"].slc
+    centroid = float(np.mean(final[:, sl_t] + final[:, sl_d] / 2.0))
+    map_depth = float(np.asarray(map_pt["depth"]))
+    map_time = float(np.asarray(map_pt["time"]))
     return {
         "table_build_s": round(build_s, 1),
         "evals_per_s_500plus_chains": round(evals_per_s, 1),
@@ -294,12 +314,135 @@ def bench_fullmt_real():
         "posterior_magnitude": round(float(np.asarray(mean_pt["magnitude"])), 3),
         "posterior_time_s": round(float(np.asarray(mean_pt["time"])), 2),
         "posterior_depth_m": round(float(np.asarray(mean_pt["depth"])), 0),
-        "recovered_gcmt": bool(cosine > 0.95),
+        "posterior_map_depth_m": round(map_depth, 0),
+        "posterior_map_time_s": round(map_time, 2),
+        "posterior_centroid_time_s": round(centroid, 2),
+        # truth: depth 8 km, centroid time −11 + 22/2 = 0 s; onset time
+        # and duration are individually unidentified (ridge), so the
+        # recovery check uses the MAP depth + centroid, not the means
+        "recovered_gcmt": bool(cosine > 0.95 and 7e3 < map_depth < 9e3
+                               and -2.0 < centroid < 1.0),
     }
 
 
 V5E_PEAK_BF16_FLOPS = 197e12    # TPU v5e per-chip MXU peak (bf16)
 V5E_HBM_BYTES_PER_S = 819e9    # TPU v5e per-chip HBM bandwidth
+
+
+def bench_hbm_measured(n_chains: int = 512):
+    """
+    MEASURED HBM attribution for the flagship forward (round-4 verdict
+    next-round #4 — replace the [lower, upper] cost-model bracket with
+    a measurement).
+
+    Method: the forward's dominant traffic is the GF-table one-hot
+    matmul ``W @ tbl`` (``gftable._gather_spectra_mm``), which streams
+    the whole table once per 128-row chain-block.  Sweep ONLY the table
+    size (distance/depth grid; identical chain count, stations, nt) and
+    fit per-eval device time vs table bytes:
+
+        slope [s/byte] → achieved stream rate = r / slope,
+        r = ceil(n_chains·n_targets/128) table passes per eval.
+
+    A ~zero slope would mean the table never leaves VMEM / the kernel
+    is compute-bound; a rate near the chip's pure-stream ceiling means
+    HBM-bound.  The ceiling itself is measured too (sum-reduce over a
+    1 GiB array), so both numbers come from this chip, not a datasheet.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _build_flagship
+    from beat_tpu.profiling import slope_time
+
+    n_stations = 8
+    sizes = [(64, 16), (128, 32), (256, 64)]
+    rows = []
+    for nd, nz in sizes:
+        problem = _build_flagship(n_stations=n_stations, nt=256,
+                                  n_distances=nd, n_depths=nz)
+        logp, data = problem.make_logp_fn()
+        lower, upper = problem.priors.bounds_arrays()
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.uniform(lower, upper,
+                                    size=(n_chains, lower.size)),
+                        dtype=jnp.float32)
+        batched = jax.vmap(lambda x, d: logp(x, d), in_axes=(0, None))
+
+        import functools
+
+        # data rides as a traced argument (device buffers), NOT a
+        # closed-over constant — a constant table would be inlined into
+        # the HLO and blow past the remote-compile request limit
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def scan_evals(qq, d, n, batched=batched):
+            def body(eps, _):
+                return (jnp.float32(1e-20)
+                        * jnp.sum(batched(qq + eps, d)), None)
+
+            eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return eps
+
+        per_eval = slope_time(lambda n, rep: float(
+            scan_evals(q + jnp.float32(1e-7 * rep), data, n)), 2, 18)
+        table_bytes = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree_util.tree_leaves(data)
+            if hasattr(x, "shape") and x.size > 1_000_000)
+        rows.append((table_bytes, per_eval))
+
+    b = np.array([r[0] for r in rows], dtype=np.float64)
+    t = np.array([r[1] for r in rows], dtype=np.float64)
+    slope, intercept = np.polyfit(b, t, 1)
+
+    # pure-stream ceiling on THIS chip: fused multiply+reduce over a
+    # 1 GiB array, iteration-dependent so XLA cannot hoist/CSE the read
+    import functools
+
+    big = jnp.zeros((1 << 28,), jnp.float32)  # 1 GiB
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def stream_n(x, n):
+        def body(acc, _):
+            return jnp.sum(x * (1.0 + acc * 1e-30)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+        return acc
+
+    ceil_t = slope_time(lambda n, rep: float(stream_n(big, n)), 1, 8)
+    stream_ceiling = big.nbytes / ceil_t
+
+    # model-free attribution: at the largest table, the fraction of
+    # per-eval device time that scales with table bytes.  Near 1 =
+    # the forward is table-traffic dominated (bandwidth-bound); near 0
+    # = compute/latency bound.  The effective pass count (HBM bytes
+    # actually streamed per table byte per eval) follows from the
+    # measured ceiling: r = slope x ceiling — the marginal table byte
+    # costs `slope` seconds, and each second streams at most `ceiling`
+    # bytes, so each table byte is touched at most r times.
+    traffic_time_frac = float(slope * b[-1] / t[-1])
+    passes_at_ceiling = float(slope * stream_ceiling)
+    return {
+        "method": "table-size sweep: d(device time)/d(table bytes); "
+                  "the one-hot table matmul is the only term whose "
+                  "cost depends on the grid size",
+        "n_chains": n_chains,
+        "table_bytes_swept": [int(x) for x in b],
+        "per_eval_s_swept": [round(float(x), 6) for x in t],
+        "fit_slope_s_per_byte": float(slope),
+        "fit_intercept_s": round(float(intercept), 6),
+        "measured_stream_ceiling_gb_per_s": round(stream_ceiling / 1e9, 1),
+        "stream_ceiling_pct_of_datasheet": round(
+            100 * stream_ceiling / V5E_HBM_BYTES_PER_S, 1),
+        "table_traffic_time_fraction_at_largest": round(
+            traffic_time_frac, 3),
+        "effective_table_passes_per_eval_at_ceiling": round(
+            passes_at_ceiling, 1),
+        "bound_from_measurement": (
+            "bandwidth (table streaming dominates the eval)"
+            if traffic_time_frac > 0.5 else
+            "compute/latency (table traffic does not dominate)"),
+    }
 
 
 def bench_mfu():
@@ -460,6 +603,10 @@ def main():
     stack_sharded_ms = bench_gf_stack_sharded()
     inv_stats, inv_depth, inv_mag, inv_ok = bench_fullmt_inversion()
     mfu = bench_mfu()
+    try:
+        mfu["forward_logp"]["hbm_measured"] = bench_hbm_measured()
+    except Exception as e:  # keep the bench line flowing on any chip hiccup
+        mfu["forward_logp"]["hbm_measured"] = {"error": str(e)}
     real = bench_fullmt_real()
     inv_wall = inv_stats["min_s"]
     print(json.dumps({

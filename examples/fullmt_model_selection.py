@@ -72,7 +72,7 @@ def evidence(dest, n_chains=500, seed=5):
 
     logp, data = prob.make_logp_fn()
     lo, hi = prob.priors.bounds_arrays()
-    q_map, _ = map_estimate(logp, lo, hi, n_restarts=32, logp_args=(data,))
+    q_map, _, _ = map_estimate(logp, lo, hi, n_restarts=32, logp_args=(data,))
     lap = laplace_approximation(logp, q_map, lo, hi, logp_args=(data,))
     return logz_smc, float(lap["log_evidence"]), wall, lo.size
 

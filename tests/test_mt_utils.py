@@ -109,3 +109,36 @@ class TestMTQTConversion:
             rho = np.sqrt(np.sum(m * m))
             np.testing.assert_allclose(
                 rho / np.sqrt(2.0), magnitude_to_moment(5.8), rtol=1e-5)
+
+
+class TestKaganAngle:
+    def test_known_rotations(self):
+        from beat_tpu.mt_utils import kagan_angle
+        from beat_tpu.sources import sdr_to_m6
+
+        a = sdr_to_m6(0.0, 90.0, 0.0)
+        assert kagan_angle(a, a) < 1e-4
+        # pure strike rotation of a vertical strike-slip fault
+        np.testing.assert_allclose(
+            kagan_angle(a, sdr_to_m6(30.0, 90.0, 0.0)), 30.0, atol=1e-3)
+        # the conjugate plane is the SAME double couple
+        assert kagan_angle(a, sdr_to_m6(90.0, 90.0, 180.0)) < 1e-3
+        # dip rotation
+        np.testing.assert_allclose(
+            kagan_angle(sdr_to_m6(45.0, 90.0, 0.0),
+                        sdr_to_m6(45.0, 60.0, 0.0)), 30.0, atol=1e-3)
+        # full polarity flip = 90 deg (Kagan's maximum for a flip)
+        m = np.asarray(a)
+        np.testing.assert_allclose(kagan_angle(m, -m), 90.0, atol=1e-3)
+
+    def test_symmetric_and_bounded(self):
+        from beat_tpu.mt_utils import kagan_angle
+        from beat_tpu.sources import sdr_to_m6
+
+        rng = np.random.default_rng(3)
+        for _ in range(10):
+            a = sdr_to_m6(*rng.uniform([0, 10, -180], [360, 90, 180]))
+            b = sdr_to_m6(*rng.uniform([0, 10, -180], [360, 90, 180]))
+            k_ab, k_ba = kagan_angle(a, b), kagan_angle(b, a)
+            np.testing.assert_allclose(k_ab, k_ba, atol=1e-6)
+            assert 0.0 <= k_ab <= 120.0 + 1e-9

@@ -128,3 +128,41 @@ class TestMTQTRealPolarity:
             fit_fraction(prob.ordering.to_point(rng.uniform(lo, hi)))
             for _ in range(12)])
         assert frac > rand + 0.1, (frac, rand)
+
+        # mechanism check against the example's DOCUMENTED solution
+        # (posterior means h=0.220, kappa=3.072, sigma=0.211 —
+        # reference docs/examples/MTQT_polarity.rst:369-372).  25 noisy
+        # picks leave the polarity posterior MULTIMODAL (different
+        # seeds reach the same max llk at Kagan-distant mechanisms), so
+        # a MAP-to-mean angle would be unsound; instead assert
+        # (a) the documented point lies ON our likelihood plateau and
+        # (b) it is Kagan-close to SOME posterior mode (probed:
+        # llk_doc -16.6 vs MAP -14.8; min ensemble Kagan 10.7 deg)
+        import jax
+        import jax.numpy as jnp
+
+        from beat_tpu.mt_utils import kagan_angle
+        from beat_tpu.sources import mtqt_to_m6
+
+        logp, data = prob.make_logp_fn()
+        jl = jax.jit(logp)
+        doc = dict(kappa=3.071605, sigma=0.211455, h=0.220287)
+        doc_pt = dict(map_pt)
+        doc_pt.update(doc)
+        llk_doc = float(jl(jnp.asarray(prob.point_to_array(doc_pt)), data))
+        llk_map = float(jl(jnp.asarray(prob.point_to_array(map_pt)), data))
+        assert llk_doc > llk_map - 4.0, (llk_doc, llk_map)
+
+        m6_doc = np.asarray(mtqt_to_m6(0.0, 0.0, doc["kappa"],
+                                       doc["sigma"], doc["h"], 1.0))
+        angles = []
+        for q in final:
+            pt = prob.ordering.to_point(q)
+            m6 = np.asarray(mtqt_to_m6(
+                0.0, 0.0, float(np.asarray(pt["kappa"])),
+                float(np.asarray(pt["sigma"])),
+                float(np.asarray(pt["h"])), 1.0))
+            angles.append(kagan_angle(m6, m6_doc))
+        assert min(angles) < 35.0, \
+            f"documented mechanism not among posterior modes: " \
+            f"min Kagan {min(angles):.1f} deg"
