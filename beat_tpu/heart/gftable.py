@@ -54,16 +54,31 @@ from beat_tpu.ops.cplx import cexp, cmul, irfft_basis, irfft_pair
 logger = logging.getLogger("beat_tpu.heart.gftable")
 
 
-def _use_mm_gather() -> bool:
-    """MXU one-hot-matmul gather: default on TPU (HBM-bound gathers →
-    cheap MXU FLOPs), off on CPU (dense matmul would be slower there).
-    ``BEAT_TPU_MM_GATHER=0/1`` overrides."""
+def _use_mm_gather(ncells: int | None = None) -> bool:
+    """MXU one-hot-matmul gather: default on TPU for SMALL tables, off
+    on CPU (dense matmul would be slower there).
+
+    The one-hot matmul streams the whole table once per 128-row chain
+    block (traffic ≈ ceil(rows/128)·table), while the take-based
+    4-corner gather touches only ~4 corner rows per (chain, target)
+    (traffic ≈ 4·rows·row_bytes, table-size independent).  The
+    crossover is at ncells ≈ 4·128 = 512 grid cells — real-config
+    tables (e.g. the 211×15-node FullMT import, ncells ≈ 9500) are
+    ~18× cheaper through the take path (measured round 5: 93 % of the
+    per-eval device time was table re-streaming at 305 MB).
+    ``BEAT_TPU_MM_GATHER=0/1`` forces; ``BEAT_TPU_MM_GATHER_MAX_CELLS``
+    moves the crossover."""
     import os
 
     env = os.environ.get("BEAT_TPU_MM_GATHER")
     if env is not None:
         return env == "1"
-    return jax.devices()[0].platform == "tpu"
+    if jax.devices()[0].platform != "tpu":
+        return False
+    if ncells is None:
+        return True
+    max_cells = int(os.environ.get("BEAT_TPU_MM_GATHER_MAX_CELLS", "512"))
+    return ncells <= max_cells
 
 COMP_Z, COMP_R, COMP_T = 0, 1, 2
 component_index = {"Z": COMP_Z, "R": COMP_R, "T": COMP_T}
@@ -236,8 +251,20 @@ class GreensTable:
 
         sp = self.spectra  # (6, 3, nd, nz, nf, 2)
         if comp_idx is not None:
-            if _use_mm_gather():
+            import os
+
+            ncells = 3 * d_grid.size * z_grid.size
+            forced = os.environ.get("BEAT_TPU_MM_GATHER")
+            on_tpu = jax.devices()[0].platform == "tpu"
+            if forced == "1" or (forced is None and on_tpu
+                                 and _use_mm_gather(ncells)):
                 return self._gather_spectra_mm(di, zi, d0, z0, comp_idx)
+            if forced == "take" or (forced is None and on_tpu):
+                # big table on TPU: corner-row gather on the FLAT
+                # (ncells, row) layout — contiguous 6·nf·2 rows, reads
+                # only 4 rows per (chain, target) instead of
+                # re-streaming the table per 128-row one-hot block
+                return self._gather_spectra_take(di, zi, d0, z0, comp_idx)
             c = comp_idx.astype(jnp.int32)
             fd = (di - d0)[..., None, None, None]
             fz = (zi - z0)[..., None, None, None]
@@ -262,19 +289,9 @@ class GreensTable:
                + fd * fz * jnp.moveaxis(g11, 2, 0))
         return out  # (ntargets, 6, 3, nf, 2)
 
-    def _gather_spectra_mm(self, di, zi, d0, z0, comp_idx):
-        """Bilinear gather as an MXU one-hot matmul.
-
-        Under ``vmap`` over thousands of chains, the 4-corner gather +
-        blend materializes ~4 per-chain corner copies and is HBM-bound
-        (the sampler's hottest op).  The table itself is tiny (~1 MB),
-        so recast the interpolation as ``W @ T``: W (ntargets, ncells)
-        holds the 4 bilinear weights one-hot over the flattened
-        (channel, distance, depth) cell axis, and T is the table
-        flattened to (ncells, 6·nf·2).  XLA batches the chain axis into
-        one large matmul on the MXU — trading cheap FLOPs for HBM
-        traffic, the same trick as the Pallas stack kernel
-        (``ops/gfstack._onehot_mm``).  Exact up to f32 summation order."""
+    def _flat_table_and_corners(self, di, zi, d0, z0, comp_idx):
+        """Shared flat layout + 4 bilinear (flat index, weight) corners
+        of the cell-row gather paths."""
         nd, nz = len(self.distances), len(self.depths)
         ncells = 3 * nd * nz
         sp = self.spectra  # (6, 3, nd, nz, nf, 2)
@@ -288,11 +305,48 @@ class GreensTable:
                    (base + (d0 + 1) * nz + z0, fd * (1 - fz)),
                    (base + d0 * nz + (z0 + 1), (1 - fd) * fz),
                    (base + (d0 + 1) * nz + (z0 + 1), fd * fz))
+        return tbl, corners, ncells, nf
+
+    def _gather_spectra_take(self, di, zi, d0, z0, comp_idx):
+        """Bilinear gather as 4 corner-row takes on the flat layout.
+
+        For LARGE tables the one-hot matmul re-streams all ``ncells``
+        rows once per 128-row chain block (measured round 5: 96.7 % of
+        per-eval device time at a 305 MB table).  Here only the 4
+        needed corner rows per (chain, target) are read — each a
+        CONTIGUOUS ``6·nf·2`` f32 row of the transposed layout (the
+        middle-dim indexing of the raw (6, 3, nd, nz, …) array defeats
+        the TPU gather; measured: no speedup over one-hot).  Traffic is
+        table-size independent: ``4·rows·row_bytes`` per eval."""
+        tbl, corners, _, nf = self._flat_table_and_corners(
+            di, zi, d0, z0, comp_idx)
+        g = 0.0
+        for idx, wt in corners:
+            g = g + jnp.asarray(wt)[:, None] * jnp.take(
+                tbl, idx, axis=0, indices_are_sorted=False,
+                unique_indices=False)
+        return jnp.reshape(g, (-1, 6, nf, 2))
+
+    def _gather_spectra_mm(self, di, zi, d0, z0, comp_idx):
+        """Bilinear gather as an MXU one-hot matmul.
+
+        Under ``vmap`` over thousands of chains, the 4-corner gather +
+        blend materializes ~4 per-chain corner copies and is HBM-bound
+        (the sampler's hottest op).  The table itself is tiny (~1 MB),
+        so recast the interpolation as ``W @ T``: W (ntargets, ncells)
+        holds the 4 bilinear weights one-hot over the flattened
+        (channel, distance, depth) cell axis, and T is the table
+        flattened to (ncells, 6·nf·2).  XLA batches the chain axis into
+        one large matmul on the MXU — trading cheap FLOPs for HBM
+        traffic, the same trick as the Pallas stack kernel
+        (``ops/gfstack._onehot_mm``).  Exact up to f32 summation order."""
+        tbl, corners, ncells, nf = self._flat_table_and_corners(
+            di, zi, d0, z0, comp_idx)
         iota = jax.lax.iota(jnp.int32, ncells)
         w = 0.0
         for idx, wt in corners:
             w = w + jnp.asarray(wt)[:, None] * \
-                (iota[None, :] == idx[:, None]).astype(sp.dtype)
+                (iota[None, :] == idx[:, None]).astype(tbl.dtype)
         g = w @ tbl                               # (ntargets, 6·nf·2)
         return jnp.reshape(g, (-1, 6, nf, 2))
 

@@ -355,44 +355,63 @@ def bench_hbm_measured(n_chains: int = 512):
     from __graft_entry__ import _build_flagship
     from beat_tpu.profiling import slope_time
 
+    import functools
+    import os
+
     n_stations = 8
     sizes = [(64, 16), (128, 32), (256, 64)]
-    rows = []
-    for nd, nz in sizes:
-        problem = _build_flagship(n_stations=n_stations, nt=256,
-                                  n_distances=nd, n_depths=nz)
-        logp, data = problem.make_logp_fn()
-        lower, upper = problem.priors.bounds_arrays()
-        rng = np.random.default_rng(0)
-        q = jnp.asarray(rng.uniform(lower, upper,
-                                    size=(n_chains, lower.size)),
-                        dtype=jnp.float32)
-        batched = jax.vmap(lambda x, d: logp(x, d), in_axes=(0, None))
 
-        import functools
+    def sweep(mm_flag):
+        if mm_flag is not None:
+            os.environ["BEAT_TPU_MM_GATHER"] = mm_flag
+        try:
+            rows = []
+            for nd, nz in sizes:
+                problem = _build_flagship(n_stations=n_stations, nt=256,
+                                          n_distances=nd, n_depths=nz)
+                logp, data = problem.make_logp_fn()
+                lower, upper = problem.priors.bounds_arrays()
+                rng = np.random.default_rng(0)
+                q = jnp.asarray(rng.uniform(lower, upper,
+                                            size=(n_chains, lower.size)),
+                                dtype=jnp.float32)
+                batched = jax.vmap(lambda x, d: logp(x, d),
+                                   in_axes=(0, None))
 
-        # data rides as a traced argument (device buffers), NOT a
-        # closed-over constant — a constant table would be inlined into
-        # the HLO and blow past the remote-compile request limit
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def scan_evals(qq, d, n, batched=batched):
-            def body(eps, _):
-                return (jnp.float32(1e-20)
-                        * jnp.sum(batched(qq + eps, d)), None)
+                # data rides as a traced argument (device buffers), NOT
+                # a closed-over constant — a constant table would be
+                # inlined into the HLO and blow past the remote-compile
+                # request limit
+                @functools.partial(jax.jit, static_argnums=(2,))
+                def scan_evals(qq, d, n, batched=batched):
+                    def body(eps, _):
+                        return (jnp.float32(1e-20)
+                                * jnp.sum(batched(qq + eps, d)), None)
 
-            eps, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
-            return eps
+                    eps, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                          length=n)
+                    return eps
 
-        per_eval = slope_time(lambda n, rep: float(
-            scan_evals(q + jnp.float32(1e-7 * rep), data, n)), 2, 18)
-        table_bytes = sum(
-            int(np.prod(x.shape)) * x.dtype.itemsize
-            for x in jax.tree_util.tree_leaves(data)
-            if hasattr(x, "shape") and x.size > 1_000_000)
-        rows.append((table_bytes, per_eval))
+                per_eval = slope_time(lambda n, rep: float(
+                    scan_evals(q + jnp.float32(1e-7 * rep), data, n)),
+                    2, 18)
+                table_bytes = sum(
+                    int(np.prod(x.shape)) * x.dtype.itemsize
+                    for x in jax.tree_util.tree_leaves(data)
+                    if hasattr(x, "shape") and x.size > 1_000_000)
+                rows.append((table_bytes, per_eval))
+            return rows
+        finally:
+            os.environ.pop("BEAT_TPU_MM_GATHER", None)
+
+    # one-hot matmul forced: the table-streaming attribution
+    rows = sweep("1")
+    # size-aware auto path (take-gather above the cell crossover)
+    rows_auto = sweep(None)
 
     b = np.array([r[0] for r in rows], dtype=np.float64)
     t = np.array([r[1] for r in rows], dtype=np.float64)
+    t_auto = np.array([r[1] for r in rows_auto], dtype=np.float64)
     slope, intercept = np.polyfit(b, t, 1)
 
     # pure-stream ceiling on THIS chip: fused multiply+reduce over a
@@ -429,6 +448,11 @@ def bench_hbm_measured(n_chains: int = 512):
         "n_chains": n_chains,
         "table_bytes_swept": [int(x) for x in b],
         "per_eval_s_swept": [round(float(x), 6) for x in t],
+        # size-aware auto dispatch (round-5 fix: take-gather above the
+        # ~512-cell crossover reads only the 4 corner rows per
+        # (chain, target) instead of re-streaming the table)
+        "per_eval_s_auto_dispatch": [round(float(x), 6) for x in t_auto],
+        "auto_speedup_at_largest": round(float(t[-1] / t_auto[-1]), 2),
         "fit_slope_s_per_byte": float(slope),
         "fit_intercept_s": round(float(intercept), 6),
         "measured_stream_ceiling_gb_per_s": round(stream_ceiling / 1e9, 1),

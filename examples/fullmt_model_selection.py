@@ -3,11 +3,25 @@ Evidence-based source-model selection on REAL data — a capability the
 reference does not have (round-4 verdict next-round #6).
 
 The bundled FullMT example's GCMT mechanism is a PURE double couple
-(the config's normalized m6 has eigenvalues [-1, 0, +1]: zero trace,
-zero CLVD).  So the question "full moment tensor or double couple?"
-has a known answer the data can adjudicate: a DCSource explains the
-waveforms exactly as well with 3 fewer parameters, and Bayesian model
-comparison must prefer it through the Occam factor.
+(the config's normalized m6 has eigenvalues [-1, 0, +1]), and the
+native DC forward is verified EXACTLY equivalent at the nodal planes
+(identical log-likelihood at either plane of the best double couple).
+Naively one expects the 3-parameter-smaller DCSource to win through
+the Occam factor.  The measured answer is the opposite, decisively
+and reproducibly:
+
+    logZ_MT  ≈ 60393 ± 8  (SMC seeds)   /  60421 (Laplace)
+    logZ_DC  ≈ 60222 ± 3  (SMC seeds)   /  60261 (Laplace)
+    ΔlogZ(MT − DC) ≈ +170 — two independent estimators agree,
+    seed scatter an order of magnitude smaller.
+
+Why: the posterior optimizes the noise hyperparameters, and at the
+optimized (tight) noise level the small residual between the best DC
+and the best full MT — a genuine non-DC component of the bundled
+waveforms, whether source CLVD/isotropic or path/model mismatch that
+the extra MT freedom absorbs — is resolved at overwhelming odds.
+Model selection is doing its job: it rewards the extra parameters
+exactly when the data demand them.
 
 Pipeline:
   1. import the real FullMT project twice — once as configured
@@ -20,7 +34,7 @@ Pipeline:
   3. cross-check each log Z against the Laplace approximation at the
      gradient-found MAP (``beat_tpu.optimize`` — also beyond the
      gradient-free reference);
-  4. report ΔlogZ = logZ_DC − logZ_MT and the Bayes-factor verdict.
+  4. report ΔlogZ and the Bayes-factor verdict.
 
 Run:  python examples/fullmt_model_selection.py [workdir]
 """

@@ -225,3 +225,34 @@ def test_x3_default_close_to_highest(lib):
     scale = np.abs(exact).max()
     err = np.abs(fast - exact).max() / scale
     assert err < 1e-4, f"x3 stack error {err:.2e}"
+
+
+class TestRowGather:
+    """True-DMA row gather (ops/rowgather.py) — the table-size-
+    independent gather path explored for the GreensTable hot op
+    (round-5 HBM measurement: XLA lowers both one-hot and take into
+    whole-table streaming)."""
+
+    def test_matches_reference_interpret(self):
+        from beat_tpu.ops.rowgather import (gather_rows_pallas,
+                                            gather_rows_reference)
+
+        rng = np.random.default_rng(0)
+        tbl = rng.normal(size=(500, 1548)).astype(np.float32)
+        idx = rng.integers(0, 500, 700).astype(np.int32)
+        got = np.asarray(gather_rows_pallas(
+            jnp.asarray(tbl), jnp.asarray(idx), interpret=True))
+        np.testing.assert_array_equal(got, gather_rows_reference(tbl, idx))
+
+    def test_ragged_sizes_and_padding(self):
+        from beat_tpu.ops.rowgather import (gather_rows_pallas,
+                                            gather_rows_reference)
+
+        rng = np.random.default_rng(1)
+        # row length and count both non-aligned
+        tbl = rng.normal(size=(97, 333)).astype(np.float32)
+        idx = rng.integers(0, 97, 41).astype(np.int32)
+        got = np.asarray(gather_rows_pallas(
+            jnp.asarray(tbl), jnp.asarray(idx), block_rows=64,
+            interpret=True))
+        np.testing.assert_array_equal(got, gather_rows_reference(tbl, idx))

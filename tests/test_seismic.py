@@ -336,6 +336,10 @@ class TestMMGather:
             ref = np.asarray(table.gather_spectra(dist, depth, cidx))
             os.environ["BEAT_TPU_MM_GATHER"] = "1"
             mm = np.asarray(table.gather_spectra(dist, depth, cidx))
+            # the big-table corner-row take path (TPU auto above the
+            # cell crossover) must also match
+            os.environ["BEAT_TPU_MM_GATHER"] = "take"
+            tk = np.asarray(table.gather_spectra(dist, depth, cidx))
         finally:
             if old is None:
                 os.environ.pop("BEAT_TPU_MM_GATHER", None)
@@ -343,6 +347,7 @@ class TestMMGather:
                 os.environ["BEAT_TPU_MM_GATHER"] = old
         scale = np.abs(ref).max()
         np.testing.assert_allclose(mm / scale, ref / scale, atol=2e-6)
+        np.testing.assert_allclose(tk / scale, ref / scale, atol=2e-6)
 
         # on-grid point: exact table row
         mmexact = np.asarray(table.gather_spectra(
