@@ -55,19 +55,22 @@ logger = logging.getLogger("beat_tpu.heart.gftable")
 
 
 def _use_mm_gather(ncells: int | None = None) -> bool:
-    """MXU one-hot-matmul gather: default on TPU for SMALL tables, off
-    on CPU (dense matmul would be slower there).
+    """MXU one-hot-matmul gather: default on TPU, off on CPU (dense
+    matmul would be slower there).
 
-    The one-hot matmul streams the whole table once per 128-row chain
-    block (traffic ≈ ceil(rows/128)·table), while the take-based
-    4-corner gather touches only ~4 corner rows per (chain, target)
-    (traffic ≈ 4·rows·row_bytes, table-size independent).  The
-    crossover is at ncells ≈ 4·128 = 512 grid cells — real-config
-    tables (e.g. the 211×15-node FullMT import, ncells ≈ 9500) are
-    ~18× cheaper through the take path (measured round 5: 93 % of the
-    per-eval device time was table re-streaming at 305 MB).
-    ``BEAT_TPU_MM_GATHER=0/1`` forces; ``BEAT_TPU_MM_GATHER_MAX_CELLS``
-    moves the crossover."""
+    MEASURED (round 5, bench_hbm_measured + bench_fullmt_real): the
+    one-hot matmul re-streams the table per 128-row chain block
+    (13-17 effective passes at a 305 MB table — bandwidth-bound), but
+    every XLA alternative is no better: ``jnp.take`` on the flat
+    layout is rewritten into the same streaming form (identical time
+    at 305 MB, and 1.6× SLOWER at the real-config 119 MB/9500-cell
+    table where the matmul wins outright), and the true-DMA Pallas
+    row gather (``ops/rowgather.py``) is DMA-latency bound at
+    ~54 GB/s.  So the matmul stays the default at every size;
+    ``BEAT_TPU_MM_GATHER=0`` forces the plain 6-D gather and
+    ``=take`` the flat-layout corner-row take (both kept for
+    experimentation; ``BEAT_TPU_MM_GATHER_MAX_CELLS`` re-enables a
+    size crossover)."""
     import os
 
     env = os.environ.get("BEAT_TPU_MM_GATHER")
@@ -75,10 +78,10 @@ def _use_mm_gather(ncells: int | None = None) -> bool:
         return env == "1"
     if jax.devices()[0].platform != "tpu":
         return False
-    if ncells is None:
+    max_cells = os.environ.get("BEAT_TPU_MM_GATHER_MAX_CELLS")
+    if ncells is None or max_cells is None:
         return True
-    max_cells = int(os.environ.get("BEAT_TPU_MM_GATHER_MAX_CELLS", "512"))
-    return ncells <= max_cells
+    return ncells <= int(max_cells)
 
 COMP_Z, COMP_R, COMP_T = 0, 1, 2
 component_index = {"Z": COMP_Z, "R": COMP_R, "T": COMP_T}
