@@ -778,3 +778,66 @@ class TestVersionGate:
         d2 = {"version": "0.2.0", "geodetic_config": {"types": ["SAR"]}}
         upgrade_config_dict(d2)
         assert d2["geodetic_config"]["types"] == ["SAR"]
+
+
+class TestCloneNewModeAndFixedCorrections:
+    def test_clone_new_mode_writes_ffi_config(self, tmp_path):
+        """`beat-tpu clone --new_mode ffi` derives the ffi config from
+        geometry (reference `beat clone ... --new_mode`)."""
+        pdir = str(tmp_path / "src")
+        assert run_cli("init", "src", pdir, "--datatypes", "geodetic") == 0
+        make_synthetic_scene(pdir)
+        cdir = str(tmp_path / "dst")
+        assert run_cli("clone", pdir, cdir, "--new_mode", "ffi") == 0
+        assert os.path.exists(os.path.join(cdir, "config_geometry.yaml"))
+        cfg = load_config(cdir, "ffi")
+        pc = cfg.problem_config
+        assert pc.mode == "ffi"
+        assert {"uparr", "uperp"} <= set(pc.priors)
+        assert "strike" not in pc.priors          # geometry vars dropped
+        assert pc.datatypes == ["geodetic"]
+        # data files travel with the clone
+        assert os.path.exists(os.path.join(cdir, "geodetic_data.npz"))
+
+    def test_build_gfs_refuses_without_reference_fault(self, tmp_path):
+        """No geometry posterior + no fixed length/width priors must be
+        a loud error, not a silent degenerate 1-patch fault."""
+        pdir = str(tmp_path / "nofault")
+        assert run_cli("init", "nofault", pdir, "--datatypes", "geodetic") == 0
+        make_synthetic_scene(pdir)
+        rc = run_cli("build_gfs", pdir, "--mode", "ffi",
+                     "--patch_length", "2.0", "--patch_width", "2.0")
+        assert rc == 1
+        assert not os.path.exists(
+            os.path.join(pdir, "ffi", "linear_gfs", "geodetic_gfs.npz"))
+
+    def test_ffi_fixes_corrections_at_geometry_map(self, tmp_path):
+        """In ffi mode, ramp corrections are FIXED at the geometry-MAP
+        values and removed from the data (reference FFI_static.rst:236:
+        free ramps feed artificial deep slip)."""
+        import jax.numpy as jnp
+
+        from beat_tpu.config import (_apply_fixed_corrections,
+                                     geometry_map_point)
+        from beat_tpu.heart.corrections import (RampCorrection,
+                                                get_ramp_displacement)
+        from beat_tpu.heart.geodesy import GeodeticDataset
+
+        rng = np.random.default_rng(0)
+        coords = rng.uniform(-5e3, 5e3, (30, 2))
+        disp = rng.normal(0, 0.01, 30)
+        ds = GeodeticDataset(name="ifg", typ="SAR", coords=coords,
+                             displacement=disp.copy(),
+                             los_vector=np.tile([0.0, 0.0, 1.0], (30, 1)))
+        corr = RampCorrection(dataset_name="ifg")
+        point = {"ifg_azimuth_ramp": 2e-6, "ifg_range_ramp": -1e-6,
+                 "ifg_offset": 0.003}
+        fixed = _apply_fixed_corrections([ds], [corr], point)
+        assert fixed == ["ifg"]
+        expected = disp - np.asarray(get_ramp_displacement(
+            jnp.asarray(coords[:, 0]), jnp.asarray(coords[:, 1]),
+            2e-6, -1e-6, 0.003))
+        np.testing.assert_allclose(ds.displacement, expected, atol=1e-12)
+
+        # no geometry stage -> no MAP point
+        assert geometry_map_point(str(tmp_path / "nothing")) is None
