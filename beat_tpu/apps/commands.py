@@ -685,6 +685,9 @@ def register_plot(sub):
     p.add_argument("--mode", default="geometry")
     p.add_argument("--stage", type=int, default=-1)
     p.add_argument("--format", default="png")
+    p.add_argument("--varnames", default=None,
+                   help="comma-separated variables for marginal/corner "
+                        "plots (reference `beat plot --varnames`)")
     p.set_defaults(handler=_cmd_plot)
 
 
@@ -694,7 +697,9 @@ def _cmd_plot(args):
     from beat_tpu.plotting.common import PlotOptions
 
     problem = load_model(args.project_dir, args.mode, build=True)
-    po = PlotOptions(outformat=args.format, load_stage=args.stage)
+    po = PlotOptions(outformat=args.format, load_stage=args.stage,
+                     varnames=(args.varnames.split(",")
+                               if getattr(args, "varnames", None) else None))
     names = list(plots_catalog) if args.plot_names == "all" \
         else args.plot_names.split(",")
     for name in names:

@@ -22,6 +22,9 @@ class PlotOptions:
     load_stage: int = -1
     force: bool = False
     reference: dict | None = None
+    #: restrict marginal/corner plots to these variables (reference
+    #: ``beat plot --varnames``); None = all
+    varnames: list | None = None
 
 
 def figures_dir(outfolder: str) -> str:

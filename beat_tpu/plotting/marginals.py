@@ -27,7 +27,11 @@ def plot_stage_posteriors(problem, po: PlotOptions | None = None, stages=None,
         lower = upper = None
 
     all_specs = [(spec, k) for spec in problem.ordering.vmap
+                 if not po.varnames or spec.name in po.varnames
                  for k in range(max(1, int(np.prod(spec.shape, dtype=int))))]
+    if po.varnames and not all_specs:
+        raise ValueError(f"varnames {po.varnames} match no sampled "
+                         f"variable ({list(problem.ordering.names)})")
     pages = [all_specs[i:i + max_vars]
              for i in range(0, len(all_specs), max_vars)] or [[]]
     colors = plt.cm.viridis(np.linspace(0.2, 0.9, len(stages)))
@@ -100,6 +104,7 @@ def plot_correlation_hist(problem, po: PlotOptions | None = None, varnames=None,
     trace = handler.load_trace(po.load_stage)
     flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
 
+    varnames = varnames or po.varnames
     specs = []
     for spec in problem.ordering.vmap:
         if varnames and spec.name not in varnames:

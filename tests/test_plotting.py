@@ -314,3 +314,19 @@ def test_slip_distribution_kinematic_panels(tmp_path):
     assert calls["fields"] == 2
     # 6 fuzzy draws + the posterior-mean front
     assert calls["contours"] == 7
+
+
+def test_varnames_selection(geodetic_problem):
+    """PlotOptions.varnames restricts marginal/corner plots (reference
+    `beat plot --varnames`)."""
+    from beat_tpu.plotting.marginals import (plot_correlation_hist,
+                                             plot_stage_posteriors)
+
+    po = PlotOptions(varnames=["depth", "slip"])
+    path = plot_stage_posteriors(geodetic_problem, po)
+    assert os.path.exists(path if isinstance(path, str) else path[0])
+    path2 = plot_correlation_hist(geodetic_problem, po)
+    assert os.path.exists(path2)
+    with pytest.raises(ValueError, match="match no sampled"):
+        plot_stage_posteriors(geodetic_problem,
+                              PlotOptions(varnames=["nope"]))
