@@ -259,6 +259,9 @@ class GreensTable:
             ncells = 3 * d_grid.size * z_grid.size
             forced = os.environ.get("BEAT_TPU_MM_GATHER")
             on_tpu = jax.devices()[0].platform == "tpu"
+            if forced == "dma" or (forced is None and on_tpu
+                                   and self._use_dma_gather()):
+                return self._gather_spectra_dma(di, zi, d0, z0, comp_idx)
             if forced == "1" or (forced is None and on_tpu
                                  and _use_mm_gather(ncells)):
                 return self._gather_spectra_mm(di, zi, d0, z0, comp_idx)
@@ -329,6 +332,57 @@ class GreensTable:
                 tbl, idx, axis=0, indices_are_sorted=False,
                 unique_indices=False)
         return jnp.reshape(g, (-1, 6, nf, 2))
+
+    def _use_dma_gather(self) -> bool:
+        """Pallas corner-block DMA gather: default on TPU for tables
+        past ``BEAT_TPU_DMA_GATHER_MIN_MB`` (default 8), where its
+        table-size-INDEPENDENT traffic beats the one-hot matmul's
+        whole-table streaming.  MEASURED (round 5, tools/bench_gather,
+        4096 blended rows): 0.30 ms at the real-config 119 MB table —
+        692 GB/s effective on the 4-corner bytes, ~7× the one-hot
+        streaming path — and unchanged at 305 MB (the streaming paths
+        scale linearly with table bytes).  Needs ≥2 nodes per grid
+        axis (the corner block is a real 2×2 cell)."""
+        import os
+
+        if len(self.distances) < 2 or len(self.depths) < 2:
+            return False
+        min_mb = float(os.environ.get("BEAT_TPU_DMA_GATHER_MIN_MB", "8"))
+        return self.spectra.size * self.spectra.dtype.itemsize \
+            >= min_mb * 1e6
+
+    def _gather_spectra_dma(self, di, zi, d0, z0, comp_idx):
+        """Bilinear gather as ONE strided corner-block DMA per
+        (chain, target) row (``ops/bilgather.py``): in the
+        (channel·distance, depth, row) layout the 4 bilinear corners
+        are the contiguous block ``[cd:cd+2, z0:z0+2]``, fetched and
+        blended in VMEM.  HBM traffic is 4 rows in + 1 blended row out
+        per query — independent of the table size (the one-hot matmul
+        and ``jnp.take`` both re-stream the WHOLE table once per
+        128-row chain block).  Differentiable through the bilinear
+        weights (MALA/HMC/MAP), vmap flattens the chain batch into one
+        DMA queue."""
+        from beat_tpu.ops.bilgather import bilinear_rows, pack_table
+
+        nd, nz = len(self.distances), len(self.depths)
+        sp = self.spectra  # (6, 3, nd, nz, nf, 2)
+        nf = sp.shape[4]
+        # same flat (channel, distance, depth) row order as
+        # _flat_table_and_corners; pad/pack is loop-invariant — XLA
+        # hoists it out of the sampler's scan
+        tbl = jnp.reshape(jnp.transpose(sp, (1, 2, 3, 0, 4, 5)),
+                          (3 * nd * nz, 6 * nf * 2))
+        tbl4 = pack_table(tbl, 3 * nd, nz)
+        cd = comp_idx.astype(jnp.int32) * nd + d0
+        fd, fz = di - d0, zi - z0
+        # depth is a per-chain SCALAR (z0/fz shape ()) while distance is
+        # per-target — broadcast to one query per (chain, target) row
+        cd, z0b = jnp.broadcast_arrays(cd, z0)
+        w4 = jnp.stack(jnp.broadcast_arrays(
+            (1 - fd) * (1 - fz), (1 - fd) * fz,
+            fd * (1 - fz), fd * fz), axis=-1)
+        g = bilinear_rows(tbl4, cd, z0b, w4)[..., :6 * nf * 2]
+        return jnp.reshape(g, g.shape[:-1] + (6, nf, 2))
 
     def _gather_spectra_mm(self, di, zi, d0, z0, comp_idx):
         """Bilinear gather as an MXU one-hot matmul.
