@@ -116,6 +116,46 @@ class TestKernel:
                                        rtol=1e-5, atol=1e-4)
 
 
+class TestShardedDMAGather:
+    def test_chain_sharded_logp_matches_unsharded(self, monkeypatch):
+        """The sampler deployment shape: flagship logp vmapped over
+        chains, chains sharded over the 8-device mesh via shard_map
+        with the GF table replicated — the DMA gather runs per-device
+        on the local chain block and must equal the unsharded eval."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from jax.sharding import PartitionSpec as P
+
+        try:  # vma checking needs pallas out-shape declarations — off
+            from jax import shard_map
+            kw = {"check_vma": False}
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+            kw = {"check_rep": False}
+
+        from __graft_entry__ import _build_flagship
+        from beat_tpu.parallel import make_chain_mesh
+
+        monkeypatch.setenv("BEAT_TPU_MM_GATHER", "dma")
+        problem = _build_flagship(n_stations=4, nt=128)
+        logp, data = problem.make_logp_fn()
+        lower, upper = problem.priors.bounds_arrays()
+        rng = np.random.default_rng(0)
+        n_chains = 16
+        q = jnp.asarray(rng.uniform(lower, upper,
+                                    size=(n_chains, lower.size)),
+                        dtype=jnp.float32)
+        batched = jax.vmap(lambda x: logp(x, data))
+        want = np.asarray(jax.jit(batched)(q))
+
+        mesh = make_chain_mesh()
+        sharded = shard_map(batched, mesh=mesh, in_specs=(P("chains"),),
+                            out_specs=P("chains"), **kw)
+        got = np.asarray(jax.jit(sharded)(q))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-4)
+
+
 class TestGreensTableDispatch:
     def _table(self):
         return build_homogeneous_table(
