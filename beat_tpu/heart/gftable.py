@@ -55,22 +55,24 @@ logger = logging.getLogger("beat_tpu.heart.gftable")
 
 
 def _use_mm_gather(ncells: int | None = None) -> bool:
-    """MXU one-hot-matmul gather: default on TPU, off on CPU (dense
-    matmul would be slower there).
+    """MXU one-hot-matmul gather: default on TPU for SMALL tables,
+    off on CPU (dense matmul would be slower there).
 
-    MEASURED (round 5, bench_hbm_measured + bench_fullmt_real): the
+    MEASURED (round 5, bench_hbm_measured + tools/bench_gather): the
     one-hot matmul re-streams the table per 128-row chain block
-    (13-17 effective passes at a 305 MB table — bandwidth-bound), but
-    every XLA alternative is no better: ``jnp.take`` on the flat
-    layout is rewritten into the same streaming form (identical time
-    at 305 MB, and 1.6× SLOWER at the real-config 119 MB/9500-cell
-    table where the matmul wins outright), and the true-DMA Pallas
-    row gather (``ops/rowgather.py``) is DMA-latency bound at
-    ~54 GB/s.  So the matmul stays the default at every size;
-    ``BEAT_TPU_MM_GATHER=0`` forces the plain 6-D gather and
-    ``=take`` the flat-layout corner-row take (both kept for
-    experimentation; ``BEAT_TPU_MM_GATHER_MAX_CELLS`` re-enables a
-    size crossover)."""
+    (13-17 effective passes at a 305 MB table — bandwidth-bound) and
+    ``jnp.take`` on the flat layout behaves comparably in context.
+    Tables past ``BEAT_TPU_DMA_GATHER_MIN_MB`` therefore default to
+    the fused corner-block DMA kernel instead
+    (:meth:`GreensTable._use_dma_gather`, ``ops/bilgather.py``):
+    one strided DMA per query, 0.39 ms vs the matmul's 1.34 ms for
+    4096 blended rows at the real-config 117 MB table, and
+    table-size INDEPENDENT (0.22 ms at 305 MB vs 3.8 ms).  Below the
+    threshold the matmul wins (the whole table fits the cache-like
+    reuse of one streaming pass).  ``BEAT_TPU_MM_GATHER=0`` forces
+    the plain 6-D gather, ``=take`` the flat corner-row take,
+    ``=dma`` the DMA kernel; ``BEAT_TPU_MM_GATHER_MAX_CELLS``
+    re-enables a size crossover for the matmul."""
     import os
 
     env = os.environ.get("BEAT_TPU_MM_GATHER")
@@ -138,6 +140,13 @@ class GreensTable:
     tt_p: np.ndarray = None
     tt_s: np.ndarray = None
     _ibasis: tuple = field(default=None, repr=False)
+    #: cached (3·nd, nz, 8, L) DMA-gather layout (see
+    #: :meth:`with_packed_gather`) — a pytree child so it rides into
+    #: jit as an argument, built ONCE at data-assembly time (built
+    #: inside the trace it would be re-materialised every eval:
+    #: measured ~1.7 ms/eval of pure table-copy at the 116 MB
+    #: real-config table, swamping the 0.4 ms gather)
+    _packed: jnp.ndarray = field(default=None, repr=False)
 
     def __post_init__(self):
         # the bilinear gathers (spectra + travel times) index with a
@@ -259,8 +268,7 @@ class GreensTable:
             ncells = 3 * d_grid.size * z_grid.size
             forced = os.environ.get("BEAT_TPU_MM_GATHER")
             on_tpu = jax.devices()[0].platform == "tpu"
-            if forced == "dma" or (forced is None and on_tpu
-                                   and self._use_dma_gather()):
+            if self._dma_active():
                 return self._gather_spectra_dma(di, zi, d0, z0, comp_idx)
             if forced == "1" or (forced is None and on_tpu
                                  and _use_mm_gather(ncells)):
@@ -333,6 +341,34 @@ class GreensTable:
                 unique_indices=False)
         return jnp.reshape(g, (-1, 6, nf, 2))
 
+    def _dma_active(self) -> bool:
+        """One source of truth for the DMA-gather dispatch: the
+        ``BEAT_TPU_MM_GATHER`` override wins, otherwise TPU +
+        size/grid heuristics (:meth:`_use_dma_gather`)."""
+        import os
+
+        forced = os.environ.get("BEAT_TPU_MM_GATHER")
+        if forced is not None:
+            return forced == "dma"
+        return (jax.devices()[0].platform == "tpu"
+                and self._use_dma_gather())
+
+    def with_packed_gather(self) -> "GreensTable":
+        """Ensure the (3·nd, nz, 8, L) DMA-gather layout is cached on
+        this instance (instance-level, so wavemaps sharing one table
+        share one packed copy).  Call OUTSIDE jit at data-assembly
+        time; returns self."""
+        if self._packed is None:
+            from beat_tpu.ops.bilgather import pack_table
+
+            nd, nz = len(self.distances), len(self.depths)
+            nf = self.spectra.shape[4]
+            tbl = jnp.reshape(
+                jnp.transpose(self.spectra, (1, 2, 3, 0, 4, 5)),
+                (3 * nd * nz, 6 * nf * 2))
+            self._packed = pack_table(tbl, 3 * nd, nz)
+        return self
+
     def _use_dma_gather(self) -> bool:
         """Pallas corner-block DMA gather: default on TPU for tables
         past ``BEAT_TPU_DMA_GATHER_MIN_MB`` (default 8), where its
@@ -365,14 +401,19 @@ class GreensTable:
         from beat_tpu.ops.bilgather import bilinear_rows, pack_table
 
         nd, nz = len(self.distances), len(self.depths)
-        sp = self.spectra  # (6, 3, nd, nz, nf, 2)
-        nf = sp.shape[4]
-        # same flat (channel, distance, depth) row order as
-        # _flat_table_and_corners; pad/pack is loop-invariant — XLA
-        # hoists it out of the sampler's scan
-        tbl = jnp.reshape(jnp.transpose(sp, (1, 2, 3, 0, 4, 5)),
-                          (3 * nd * nz, 6 * nf * 2))
-        tbl4 = pack_table(tbl, 3 * nd, nz)
+        nf = self.spectra.shape[4]
+        if self._packed is not None:
+            tbl4 = self._packed
+        else:
+            # fallback for direct calls without with_packed_gather():
+            # same flat (channel, distance, depth) row order as
+            # _flat_table_and_corners.  Do NOT rely on this inside a
+            # sampler loop — XLA does not reliably hoist the 2×-table
+            # copy out of the scan (measured ~1.7 ms/eval at 116 MB)
+            tbl = jnp.reshape(
+                jnp.transpose(self.spectra, (1, 2, 3, 0, 4, 5)),
+                (3 * nd * nz, 6 * nf * 2))
+            tbl4 = pack_table(tbl, 3 * nd, nz)
         cd = comp_idx.astype(jnp.int32) * nd + d0
         fd, fz = di - d0, zi - z0
         # depth is a per-chain SCALAR (z0/fz shape ()) while distance is
@@ -549,7 +590,7 @@ def _table_flatten(t: "GreensTable"):
     (so jit receives them as *arguments*, never as embedded closure
     constants — the axon remote compiler rejects >~10 MB constants),
     grid/metadata are static aux data."""
-    children = (t.spectra, t._ibasis[0], t._ibasis[1])
+    children = (t.spectra, t._ibasis[0], t._ibasis[1], t._packed)
 
     def _tt_aux(tt):
         return (None if tt is None
@@ -565,7 +606,7 @@ def _table_flatten(t: "GreensTable"):
 
 def _table_unflatten(aux, children) -> "GreensTable":
     dists, deps, dt, nt, t0, vp, vs, rho, tt_p_aux, tt_s_aux = aux
-    spectra, ic, is_ = children
+    spectra, ic, is_, packed = children
 
     def _tt(aux_tt):
         return (None if aux_tt is None
@@ -576,7 +617,7 @@ def _table_unflatten(aux, children) -> "GreensTable":
                        depths=np.asarray(deps, dtype=np.float64),
                        dt=dt, nt=nt, t0=t0, vp=vp, vs=vs, rho=rho,
                        tt_p=_tt(tt_p_aux), tt_s=_tt(tt_s_aux),
-                       _ibasis=(ic, is_))
+                       _ibasis=(ic, is_), _packed=packed)
 
 
 jax.tree_util.register_pytree_node(GreensTable, _table_flatten, _table_unflatten)

@@ -262,11 +262,17 @@ class SeismicGeometryComposite(Composite):
                     len(self.wavemaps), n_targets)
 
     def _wavemap_device(self, wmap):
+        table = wmap.table
+        if table._dma_active():
+            # pre-pack the DMA-gather layout ONCE here — built inside
+            # the trace it is re-materialised every eval (a 2×-table
+            # copy per draw); wavemaps sharing a table share the cache
+            table = table.with_packed_gather()
         dev = {
             # the GF table rides along as a pytree leaf-bundle so jit
             # receives the spectra as arguments (beat_tpu.heart.gftable
             # pytree registration), not closure constants
-            "table": wmap.table,
+            "table": table,
             "data": jnp.asarray(wmap.data_fit),
             "station_east": jnp.asarray(wmap.station_east, dtype=jnp.float32),
             "station_north": jnp.asarray(wmap.station_north, dtype=jnp.float32),

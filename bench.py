@@ -408,18 +408,23 @@ def bench_hbm_measured(n_chains: int = 512):
         finally:
             os.environ.pop("BEAT_TPU_MM_GATHER", None)
 
-    # one-hot matmul (the TPU default): the table-streaming attribution
+    # one-hot matmul (the small-table TPU default): the table-streaming
+    # attribution
     rows = sweep("1")
     # flat-layout corner-row take for comparison — XLA rewrites it into
-    # the same whole-table streaming (measured ~equal here and 1.6x
-    # SLOWER at the real-config table), which is why one-hot stays the
-    # default at every size
+    # the same whole-table streaming in context
     rows_auto = sweep("take")
+    # fused corner-block DMA gather (ops/bilgather.py — the large-table
+    # default since round 5): per-eval time must be ~FLAT in table
+    # bytes (one strided DMA per query reads only the 4 corner rows)
+    rows_dma = sweep("dma")
 
     b = np.array([r[0] for r in rows], dtype=np.float64)
     t = np.array([r[1] for r in rows], dtype=np.float64)
     t_auto = np.array([r[1] for r in rows_auto], dtype=np.float64)
+    t_dma = np.array([r[1] for r in rows_dma], dtype=np.float64)
     slope, intercept = np.polyfit(b, t, 1)
+    slope_dma = float(np.polyfit(b, t_dma, 1)[0])
 
     # pure-stream ceiling on THIS chip: fused multiply+reduce over a
     # 1 GiB array, iteration-dependent so XLA cannot hoist/CSE the read
@@ -457,9 +462,17 @@ def bench_hbm_measured(n_chains: int = 512):
         "per_eval_s_swept": [round(float(x), 6) for x in t],
         # the take path reads only 4 corner rows algorithmically, but
         # XLA lowers it to the same table streaming — measured here to
-        # document that the one-hot default is not leaving perf behind
+        # document that the one-hot small-table default is not leaving
+        # perf behind
         "per_eval_s_take_path": [round(float(x), 6) for x in t_auto],
         "take_vs_onehot_at_largest": round(float(t[-1] / t_auto[-1]), 2),
+        # the corner-block DMA kernel (large-table default): flat in
+        # table bytes — its slope/streaming-slope ratio is the
+        # traffic-independence proof
+        "per_eval_s_dma_path": [round(float(x), 6) for x in t_dma],
+        "dma_vs_onehot_at_largest": round(float(t[-1] / t_dma[-1]), 2),
+        "dma_slope_fraction_of_streaming": round(
+            float(slope_dma / slope), 4) if slope > 0 else None,
         "fit_slope_s_per_byte": float(slope),
         "fit_intercept_s": round(float(intercept), 6),
         "measured_stream_ceiling_gb_per_s": round(stream_ceiling / 1e9, 1),

@@ -99,7 +99,11 @@ def main():
             def rep(k, bump, T):
                 def body(acc, _):
                     r = fn(T, *query(acc + bump))
-                    return acc + jnp.float32(1e-30) * r.ravel()[0], None
+                    # consume the WHOLE result: feeding only r[0,0] to
+                    # the carry lets XLA slice through the one-hot
+                    # matmul (dot → single dot product) and measure
+                    # nothing
+                    return acc + jnp.float32(1e-30) * jnp.sum(r), None
 
                 acc, _ = jax.lax.scan(body, jnp.float32(0.0), None,
                                       length=k)
@@ -156,7 +160,8 @@ def main():
 
             # numerical sanity
             cdi, z0i, w4i, base = (np.asarray(x) for x in query(0.0))
-            ref = np.asarray(take4(jnp.asarray(cdi), jnp.asarray(z0i),
+            ref = np.asarray(take4(tbl, jnp.asarray(cdi),
+                                   jnp.asarray(z0i),
                                    jnp.asarray(w4i), jnp.asarray(base)))
             got = np.asarray(bilinear_rows_pallas(
                 t4, jnp.asarray(cdi), jnp.asarray(z0i),
