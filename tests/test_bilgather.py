@@ -220,6 +220,39 @@ class TestGreensTableDispatch:
             g_dma, g_base, rtol=5e-3,
             atol=5e-3 * float(np.abs(g_base).max()))
 
+    def test_packed_cache_lifecycle(self, monkeypatch, tmp_path):
+        """with_packed_gather caches on the instance (wavemaps sharing a
+        table share it); save/load and astype drop the cache and the
+        DMA path still answers identically through the inline
+        fallback."""
+        from beat_tpu.heart.gftable import GreensTable
+
+        table = self._table()
+        monkeypatch.setenv("BEAT_TPU_MM_GATHER", "dma")
+        rng = np.random.default_rng(3)
+        n = 7
+        dist = jnp.asarray(rng.uniform(25e3, 85e3, n))
+        depth = jnp.asarray(rng.uniform(3e3, 13e3, n))
+        comp = jnp.asarray(rng.integers(0, 3, n), dtype=jnp.int32)
+
+        want = np.asarray(table.gather_spectra(dist, depth, comp))
+
+        packed = table.with_packed_gather()
+        assert packed is table and table._packed is not None
+        assert packed.with_packed_gather()._packed is table._packed
+        np.testing.assert_allclose(
+            np.asarray(table.gather_spectra(dist, depth, comp)), want,
+            rtol=1e-6)
+
+        p = str(tmp_path / "t.npz")
+        table.save(p)
+        loaded = GreensTable.load(p)
+        assert loaded._packed is None
+        np.testing.assert_allclose(
+            np.asarray(loaded.gather_spectra(dist, depth, comp)), want,
+            rtol=1e-6)
+        assert table.astype(jnp.float32)._packed is None
+
     def test_use_dma_gather_thresholds(self, monkeypatch):
         table = self._table()
         monkeypatch.setenv("BEAT_TPU_DMA_GATHER_MIN_MB", "0")
