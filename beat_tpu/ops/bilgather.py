@@ -95,7 +95,7 @@ def _bilinear_rows_call(tbl4, cd, z0, wT, block_rows: int, interpret: bool):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((block_rows, 8, L),
                                    lambda i, *_: (i, 0, 0)),
             scratch_shapes=[
@@ -195,7 +195,7 @@ def _corner_rows_call(tbl4, cd, z0, block_rows: int, interpret: bool):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((block_rows, 2, 2, 8, L),
                                    lambda i, *_: (i, 0, 0, 0, 0)),
             scratch_shapes=[pltpu.SemaphoreType.DMA((N_BUF,))],

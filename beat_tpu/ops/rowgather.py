@@ -3,17 +3,14 @@ True-DMA row gather for large GF tables.
 
 ``out[i] = tbl[idx[i]]`` with per-row asynchronous HBM→VMEM copies.
 
-Why this kernel exists (round-5 measurement, bench_hbm_measured): for
-the geometry-mode GreensTable gather, XLA lowers BOTH the one-hot
-matmul trick and ``jnp.take`` into whole-table streaming — per-eval
-device time grows linearly with table bytes (96.7 % of the eval at a
-305 MB table, ~13-17 effective table passes).  The rows actually
-needed are only the 4 bilinear corners per (chain, target): ~100 MB
-per lockstep eval regardless of table size.  A Pallas kernel with
-scalar-prefetched indices and manual ``make_async_copy`` row DMAs
-reads exactly those rows, making the gather cost table-size
-independent (the reference's analogous hot path is the pyrocko store
-read in ``engine.process``, ``beat/heart.py:3564``).
+First-generation table-size-independent gather, kept as a measured
+baseline: 4 separate row DMAs per query plus an HBM blend round trip
+leave it DMA-issue bound at ~65-77 GB/s effective
+(tools/bench_gather).  SUPERSEDED by the fused corner-block kernel in
+:mod:`beat_tpu.ops.bilgather` (one strided ``[cd:cd+2, z0:z0+2]`` DMA
+per query, blended in VMEM, ~860 GB/s raw — the TPU default for
+tables past 8 MB).  The reference's analogous hot path is the pyrocko
+store read in ``engine.process``, ``beat/heart.py:3564``.
 """
 
 from __future__ import annotations
@@ -78,7 +75,7 @@ def _gather_rows_call(tbl3, idx, block_rows: int, interpret: bool):
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((block_rows, 8, L),
                                    lambda i, idx_ref: (i, 0, 0)),
         ),
