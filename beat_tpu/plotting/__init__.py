@@ -13,7 +13,8 @@ from beat_tpu.plotting.geodetic import (plot_geodetic_covariances, plot_gnss_fit
     plot_scene_fits, plot_station_map)
 from beat_tpu.plotting.seismic import (plot_station_variance_reductions,
     plot_velocity_models, plot_waveform_fits)
-from beat_tpu.plotting.ffi import plot_moment_rate, plot_slip_distribution
+from beat_tpu.plotting.ffi import (plot_fault_geometry, plot_moment_rate,
+    plot_slip_distribution)
 from beat_tpu.plotting.bem import plot_slip_distribution_3d
 from beat_tpu.plotting.mt import (plot_fuzzy_beachball, plot_fuzzy_mt_decomp,
     plot_hudson, plot_lune)
@@ -34,6 +35,7 @@ plots_availability = {
     "velocity_models": {"modes": ["geometry", "ffi"],
                         "datatypes": ["seismic", "polarity"]},
     "slip_distribution": {"modes": ["ffi"], "datatypes": None},
+    "fault_geometry": {"modes": ["ffi"], "datatypes": None},
     "slip_distribution_3d": {"modes": ["ffi", "bem"], "datatypes": None},
     "moment_rate": {"modes": ["ffi"], "datatypes": ["seismic"]},
     "hudson": {"modes": ["geometry"], "datatypes": ["seismic", "polarity"]},
@@ -56,6 +58,7 @@ plots_catalog = {
     "station_variance_reductions": plot_station_variance_reductions,
     "velocity_models": plot_velocity_models,
     "slip_distribution": plot_slip_distribution,
+    "fault_geometry": plot_fault_geometry,
     "slip_distribution_3d": plot_slip_distribution_3d,
     "moment_rate": plot_moment_rate,
     "hudson": plot_hudson,

@@ -37,6 +37,110 @@ def _draw_patch_field(ax, fig, sf, values, cmap, label, vmax=None):
     return im
 
 
+def _patch_corners(p) -> np.ndarray:
+    """(4, 3) corners of a RectangularSource in (east, north, depth) [m],
+    walked top-left → top-right → bottom-right → bottom-left (reference
+    ``outline()`` convention, ``beat/plotting/ffi.py:210-232``)."""
+    frac = {"top": 0.0, "center": 0.5, "bottom": 1.0}.get(p.anchor, 0.0)
+    sv, dv = p.strikevector, p.dipvector          # ENU, z up-positive
+    s3 = np.array([sv[0], sv[1], 0.0])
+    d3 = np.array([dv[0], dv[1], -dv[2]])         # (E, N, depth-down)
+    anchor = np.array([p.east_shift, p.north_shift, p.depth])
+    tl = anchor - d3 * (p.width * frac) - s3 * (p.length / 2.0)
+    return np.stack([tl, tl + s3 * p.length,
+                     tl + s3 * p.length + d3 * p.width, tl + d3 * p.width])
+
+
+def plot_fault_geometry(problem, po: PlotOptions | None = None, point=None,
+                        fault=None):
+    """
+    3-D rotatable source-geometry view (reference ``source_geometry``
+    ``beat/plotting/ffi.py:184-338``): every subfault patch as a 3-D
+    face colored by its slip at ``point`` (posterior mean by default),
+    bold top-edge + outline per subfault plane, nucleation star for
+    kinematic points, and dataset positions at the free surface.
+    """
+    import matplotlib.pyplot as plt
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    from beat_tpu.backend import SampleStage
+    from beat_tpu.plotting.colormap import slip_colormap
+
+    po = po or PlotOptions()
+    if fault is None:
+        for comp in problem.composites.values():
+            if hasattr(comp, "fault"):
+                fault = comp.fault
+                break
+    if fault is None:
+        raise ValueError("No fault geometry in problem composites")
+
+    if point is None:
+        try:
+            handler = SampleStage(problem.outfolder, ordering=problem.ordering)
+            trace = handler.load_trace(po.load_stage)
+            flat = trace.q_trace.reshape(-1, trace.q_trace.shape[-1])
+            point = problem.ordering.to_point(flat.mean(axis=0))
+        except Exception:
+            point = {}
+    uparr = np.asarray(point.get("uparr", np.zeros(fault.npatches)))
+    uperp = np.asarray(point.get("uperp", np.zeros(fault.npatches)))
+    slip = np.sqrt(np.atleast_1d(uparr) ** 2 + np.atleast_1d(uperp) ** 2)
+    if slip.size != fault.npatches:
+        slip = np.zeros(fault.npatches)
+
+    fig = plt.figure(figsize=(9, 7))
+    ax = fig.add_subplot(111, projection="3d")
+    cmap = slip_colormap()
+    vmax = max(float(slip.max()), 1e-9)
+    k = 0
+    for i in range(fault.nsubfaults):
+        sf = fault.get_subfault(i)
+        faces, colors = [], []
+        for p in sf.patches:
+            c = _patch_corners(p) / 1e3
+            faces.append([(x, y, -z) for x, y, z in c])  # z up, [km]
+            colors.append(cmap(slip[k] / vmax))
+            k += 1
+        pc = Poly3DCollection(faces, facecolors=colors, edgecolor="k",
+                              linewidths=0.2, alpha=0.7)
+        ax.add_collection3d(pc)
+        # bold plane outline, top edge solid black (reference marks the
+        # updip edge so dip direction is readable)
+        o = _patch_corners(sf.plane) / 1e3
+        ax.plot(np.r_[o[:, 0], o[0, 0]], np.r_[o[:, 1], o[0, 1]],
+                -np.r_[o[:, 2], o[0, 2]], color="k", lw=1.5)
+        ax.plot(o[:2, 0], o[:2, 1], -o[:2, 2], color="k", lw=3.0)
+        if "nucleation_strike" in point and hasattr(sf, "n_strike"):
+            ns = float(np.atleast_1d(point["nucleation_strike"])[i]) * 1e3
+            nd = float(np.atleast_1d(point["nucleation_dip"])[i]) * 1e3
+            sv, dv = sf.plane.strikevector, sf.plane.dipvector
+            tl = _patch_corners(sf.plane)[0]
+            pos = (tl + np.array([sv[0], sv[1], 0.0]) * ns
+                   + np.array([dv[0], dv[1], -dv[2]]) * nd) / 1e3
+            ax.scatter([pos[0]], [pos[1]], [-pos[2]], marker="*", s=140,
+                       color="gold", edgecolor="k", zorder=5)
+    for comp in problem.composites.values():
+        for ds in getattr(comp, "datasets", []):
+            if hasattr(ds, "coords"):
+                xy = np.asarray(ds.coords)[:, :2] / 1e3
+                ax.scatter(xy[:, 0], xy[:, 1], np.zeros(len(xy)), s=3,
+                           color="0.5", alpha=0.4, depthshade=False)
+            elif hasattr(ds, "east"):
+                ax.scatter([ds.east / 1e3], [ds.north / 1e3], [0.0],
+                           marker="^", s=40, color="tab:blue",
+                           edgecolor="k", depthshade=False)
+    import matplotlib.cm as mcm
+
+    sm = mcm.ScalarMappable(cmap=cmap)
+    sm.set_clim(0.0, vmax)
+    fig.colorbar(sm, ax=ax, shrink=0.55, label="slip [m]")
+    ax.set_xlabel("east [km]")
+    ax.set_ylabel("north [km]")
+    ax.set_zlabel("depth [km]")
+    return save_figure(fig, problem.outfolder, "fault_geometry", po)
+
+
 def _starttime_grid(fault, i, sf, point, slc):
     """Rupture-onset times of one (regular-grid) subfault at one point."""
     import jax.numpy as jnp
@@ -183,6 +287,7 @@ def plot_moment_rate(problem, po: PlotOptions | None = None, fault=None,
     t = np.linspace(0, 30, 300)
     fig, ax = plt.subplots(figsize=(7, 4))
     areas = fault.patch_areas()
+    rates = []
     for q in flat[idx]:
         point = problem.ordering.to_point(q)
         uparr = np.asarray(np.atleast_1d(point.get("uparr", 0.0)))
@@ -212,7 +317,23 @@ def plot_moment_rate(problem, po: PlotOptions | None = None, fault=None,
                 else shear_modulus * areas[p] * abs(float(uparr))
             rate += m0 * np.asarray(half_sinusoid_stf(
                 jnp.asarray(t - st[p]), float(durations[p] if durations.size > 1 else durations)))
-        ax.plot(t, rate, color="grey", alpha=0.2, lw=0.6)
+        rates.append(rate)
+    rates = np.stack(rates)
+    # fuzzy posterior density (reference ``fuzzy_moment_rate``
+    # ``beat/plotting/ffi.py:41-84``): bin every draw's curve into a
+    # (t, rate) histogram and shade by coverage, mean curve on top
+    rmax = max(float(rates.max()) * 1.05, 1e-30)
+    ngrid = 250
+    H = np.zeros((ngrid, ngrid))
+    edges_t = np.linspace(t[0], t[-1], ngrid + 1)
+    edges_r = np.linspace(0.0, rmax, ngrid + 1)
+    for r in rates:
+        H += np.histogram2d(t, r, bins=[edges_t, edges_r])[0]
+    ax.imshow(np.log1p(H.T), origin="lower", aspect="auto", cmap="Greys",
+              extent=(t[0], t[-1], 0.0, rmax), interpolation="bilinear",
+              vmin=0.0, vmax=max(float(np.log1p(H).max()) / 2.0, 1e-9))
+    ax.plot(t, rates.mean(axis=0), color="k", lw=1.5, label="posterior mean")
+    ax.legend(frameon=False, fontsize=8)
     ax.set_xlabel("time after origin [s]")
     ax.set_ylabel("moment rate [Nm/s]")
     format_axes(ax)

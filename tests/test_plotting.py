@@ -101,7 +101,8 @@ GEO_PLOTS = ["stage_posteriors", "correlation_hist", "scene_fits",
              "station_map", "geodetic_covariances"]
 MT_PLOTS = ["hudson", "lune", "fuzzy_beachball", "fuzzy_mt_decomp",
             "waveform_fits", "station_variance_reductions"]
-FFI_PLOTS = ["slip_distribution", "moment_rate", "slip_distribution_3d"]
+FFI_PLOTS = ["slip_distribution", "moment_rate", "slip_distribution_3d",
+             "fault_geometry"]
 
 
 @pytest.mark.parametrize("name", GEO_PLOTS)
